@@ -1,0 +1,172 @@
+"""Parser unit tests.
+
+Ports the reference's 10 parser test cases
+(/root/reference/pbrt-parser/src/lib.rs:579-711) to the rene_tpu grammar,
+plus smoke tests over the shipped sample scenes.
+"""
+import numpy as np
+import pytest
+
+from rene_tpu.pbrt import ParseError, parse_pbrt, tokenize
+from rene_tpu.pbrt.parser import _Parser
+
+
+def test_comment():
+    assert tokenize("# Hello") == []
+
+
+def test_sp():
+    # comments + whitespace in any mix tokenize to nothing
+    assert tokenize("# Hello\n   \n") == []
+    assert tokenize("# hello\n        # world") == []
+    assert tokenize("\n   \n") == []
+    assert tokenize(" ") == []
+    assert tokenize("") == []
+
+
+def test_float():
+    def f(s):
+        return _Parser(s).number()
+
+    assert f("1") == 1.0
+    assert f("2.25") == 2.25
+    assert f("1e5") == 1e5
+    assert f("1e-5") == 1e-5
+    assert f(".9") == pytest.approx(0.9)
+
+
+def test_integer():
+    def i(s):
+        return int(_Parser(s).number())
+
+    assert i("1") == 1
+    assert i("114514") == 114514
+    assert i("-200") == -200
+
+
+def test_string():
+    assert _Parser('"TEST"').string() == "TEST"
+
+
+def test_parse_vec4_with_comments():
+    p = _Parser("""1 # this is 1
+                # aaa
+                2 # this is 2
+                3
+                4""")
+    vals = [p.number() for _ in range(4)]
+    assert vals == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_parse_argument():
+    a = _Parser('"string test" "OK"').argument()
+    assert a.name == "test"
+    assert a.value.kind == "string" and a.value.data == ["OK"]
+
+    a = _Parser('"float test" [1 2 3]').argument()
+    assert a.name == "test"
+    assert a.value.kind == "float" and a.value.data == [1.0, 2.0, 3.0]
+
+    a = _Parser('"rgb Kd" [ .7 .2 .2 ]').argument()
+    assert a.name == "Kd"
+    assert a.value.kind == "rgb"
+    np.testing.assert_allclose(a.value.data, [0.7, 0.2, 0.2], rtol=1e-6)
+
+
+def test_world():
+    src = '''LightSource "infinite" "rgb L" [.4 .45 .5]
+WorldEnd'''
+    stmts = _Parser(src).parse_worlds("WorldEnd")
+    assert len(stmts) == 1
+    assert stmts[0].kind == "object"
+    assert stmts[0].payload.object_type == "LightSource"
+    assert stmts[0].payload.t == "infinite"
+
+
+def test_world_statement():
+    src = """WorldBegin
+# uniform blue-ish illumination from all directions
+LightSource "infinite" "rgb L" [.4 .45 .5]
+
+AttributeBegin
+  Material "matte" "rgb Kd" [ .7 .2 .2 ]
+  Shape "sphere" "float radius" 1
+AttributeEnd
+
+WorldEnd
+        """
+    stmts = parse_pbrt(src)
+    assert len(stmts) == 1
+    world = stmts[0].payload
+    assert stmts[0].kind == "world"
+    assert world[1].kind == "attribute"
+    assert len(world[1].payload) == 2
+
+
+def test_sphere_scene():
+    src = """
+LookAt 3 4 1.5  # eye
+       .0 .0 0  # look at point
+       0 0 1    # up vector
+Camera "perspective" "float fov" 45
+
+WorldBegin
+
+# uniform blue-ish illumination from all directions
+LightSource "infinite" "rgb L" [.4 .45 .5]
+
+AttributeBegin
+  Material "matte" "rgb Kd" [ .7 .2 .2 ]
+  Shape "sphere" "float radius" 1
+AttributeEnd
+
+WorldEnd
+        """
+    stmts = parse_pbrt(src)
+    kinds = [s.kind for s in stmts]
+    assert kinds == ["look_at", "object", "world"]
+    la = stmts[0].payload
+    np.testing.assert_allclose(la.eye, [3, 4, 1.5])
+    np.testing.assert_allclose(la.up, [0, 0, 1])
+
+
+def test_transform_column_major():
+    # pbrt Transform lists 16 values column-major; our AST stores M@p row-major
+    stmts = parse_pbrt(
+        "Transform [ 1 0 0 0  0 1 0 0  0 0 1 0  5 6 7 1] WorldBegin WorldEnd")
+    m = stmts[0].payload
+    np.testing.assert_allclose(m[:3, 3], [5, 6, 7])
+    np.testing.assert_allclose(m[3], [0, 0, 0, 1])
+
+
+def test_rgb_length_validation():
+    with pytest.raises(ParseError):
+        parse_pbrt('Camera "perspective" "rgb x" [1 2]')
+
+
+def test_bool_argument():
+    a = _Parser('"bool remaproughness" [ "false" ]').argument()
+    assert a.value.kind == "bool" and a.value.data == [False]
+
+
+def test_object_instance_block():
+    src = """WorldBegin
+ObjectBegin "tree"
+  Shape "sphere" "float radius" 1
+ObjectEnd
+ObjectInstance "tree"
+WorldEnd"""
+    world = parse_pbrt(src)[0].payload
+    assert world[0].kind == "object_block"
+    name, inner = world[0].payload
+    assert name == "tree" and len(inner) == 1
+    assert world[1].kind == "object_instance"
+
+
+def test_sample_scenes_parse(sample_scenes):
+    for rel in ["sphere.pbrt", "cube.pbrt", "current.pbrt",
+                "cornell-box/scene.pbrt", "veach-mis/scene.pbrt",
+                "dragon/scene.pbrt", "teapot/scene.pbrt"]:
+        text = (sample_scenes / rel).read_text()
+        stmts = parse_pbrt(text)
+        assert any(s.kind == "world" for s in stmts), rel
