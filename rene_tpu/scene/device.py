@@ -1,0 +1,254 @@
+"""Device scene: flat SoA buffers ready for the TPU render kernels.
+
+This replaces the reference's Vulkan upload + acceleration-structure build
+(/root/reference/rene/src/main.rs:2910-3336). TPU-first design decisions:
+
+* Triangle geometry is pre-transformed to *world space* at compile time
+  (instances replicate their mesh), removing per-ray object-space transforms
+  from the hot loop. Vertex normals are transformed by the inverse-transpose
+  so that `normalize(interp(n_world))` equals the reference's
+  `normalize(W2O^T @ interp(n_obj))` exactly (linear maps commute with
+  barycentric interpolation).
+* Spheres stay analytic with per-instance affine object<->world matrices
+  (the reference's unit-AABB BLAS + intersection shader).
+* The reference's two TLASes (all instances vs emissive-only, main.rs:3109-3141)
+  become two triangle/sphere index sets over the same buffers.
+* Images are packed into one flat RGBA atlas with per-image offset/size.
+
+Everything is float32/int32 numpy; `to_jax()` moves the buffers on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from . import types as T
+from .flatten import FlatScene
+from .intermediate import Film
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    """Static (compile-time) scene facts the kernels specialize on."""
+    integrator: str
+    film: Film
+    num_instances: int
+    num_triangles: int
+    num_spheres: int
+    num_emit_triangles: int
+    num_emit_spheres: int
+    num_lights: int
+    num_emit_objects: int
+    emit_primitives: int
+    max_depth_hint: Optional[int] = None
+
+
+def _affine(m: np.ndarray) -> np.ndarray:
+    return np.asarray(m, dtype=np.float32)[:3, :4]
+
+
+def build_device_scene(scene: FlatScene):
+    """FlatScene -> (buffers: dict[str, np.ndarray], config: RenderConfig)."""
+    tri_p = [np.zeros((0, 3, 3), np.float32)]
+    tri_n = [np.zeros((0, 3, 3), np.float32)]
+    tri_uv = [np.zeros((0, 3, 2), np.float32)]
+    tri_inst = [np.zeros((0,), np.int32)]
+    sph_o2w = []
+    sph_w2o = []
+    sph_inst = []
+
+    inst_material = []
+    inst_area_light = []
+    inst_interior = []
+    inst_exterior = []
+    inst_prim_count = []
+    inst_tri_start = []
+    inst_kind = []
+
+    emit_tri_ids = []
+    emit_sph_ids = []
+    # emit objects: the per-emissive-instance sampling records
+    # (reference EnumSurfaceSample, surface_sample.rs)
+    eo_kind = []
+    eo_tri_start = []
+    eo_prim_count = []
+    eo_matrix = []
+
+    tri_count = 0
+    for i, inst in enumerate(scene.tlas):
+        inst_material.append(inst.material_index)
+        inst_area_light.append(inst.area_light_index)
+        inst_interior.append(inst.interior_medium_index)
+        inst_exterior.append(inst.exterior_medium_index)
+        inst_kind.append(inst.kind)
+        emissive = scene.area_type[inst.area_light_index] != T.AREA_NULL
+        if inst.kind == T.KIND_SPHERE:
+            m = inst.matrix.astype(np.float64)
+            sph_o2w.append(_affine(m))
+            sph_w2o.append(_affine(np.linalg.inv(m)))
+            sph_inst.append(i)
+            inst_prim_count.append(1)
+            inst_tri_start.append(0)
+            if emissive:
+                emit_sph_ids.append(len(sph_inst) - 1)
+                eo_kind.append(T.KIND_SPHERE)
+                eo_tri_start.append(0)
+                eo_prim_count.append(1)
+                eo_matrix.append(_affine(m))
+        else:
+            mesh = scene.blases[inst.blas_index]
+            m = inst.matrix.astype(np.float64)
+            nrm_m = np.linalg.inv(m[:3, :3]).T
+            det_sign = 1.0 if np.linalg.det(m[:3, :3]) >= 0 else -1.0
+            pos = mesh.positions.astype(np.float64) @ m[:3, :3].T + m[:3, 3]
+            nrm = mesh.normals.astype(np.float64) @ nrm_m.T
+            idx = mesh.indices.reshape(-1, 3).astype(np.int64)
+            ntri = len(idx)
+            p = pos[idx]  # (F,3,3)
+            n = nrm[idx]
+            uv = mesh.uvs[idx]
+            # geometric-normal fallback triangles (all vertex normals zero,
+            # reference lib.rs:931-935): bake cross product with orientation
+            # preserved under the world transform (det sign).
+            zero_n = (np.abs(n).sum(axis=(1, 2)) == 0.0)
+            if zero_n.any():
+                gn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+                gn = gn * det_sign
+                n = np.where(zero_n[:, None, None],
+                             np.broadcast_to(gn[:, None, :], n.shape), n)
+            tri_p.append(p.astype(np.float32))
+            tri_n.append(n.astype(np.float32))
+            tri_uv.append(uv.astype(np.float32))
+            tri_inst.append(np.full(ntri, i, np.int32))
+            inst_prim_count.append(ntri)
+            inst_tri_start.append(tri_count)
+            if emissive and ntri > 0:
+                emit_tri_ids.extend(range(tri_count, tri_count + ntri))
+                eo_kind.append(T.KIND_TRIANGLE)
+                eo_tri_start.append(tri_count)
+                eo_prim_count.append(ntri)
+                eo_matrix.append(_affine(np.eye(4)))
+            tri_count += ntri
+
+    def cat(parts, shape_tail, dtype=np.float32):
+        if not parts:
+            return np.zeros((0,) + shape_tail, dtype)
+        return np.concatenate([np.asarray(p, dtype).reshape((-1,) + shape_tail)
+                               for p in parts], axis=0)
+
+    buffers: Dict[str, np.ndarray] = {}
+    buffers["tri_p"] = cat(tri_p, (3, 3))
+    buffers["tri_n"] = cat(tri_n, (3, 3))
+    buffers["tri_uv"] = cat(tri_uv, (3, 2))
+    buffers["tri_inst"] = cat(tri_inst, (), np.int32)
+    buffers["sph_o2w"] = cat(sph_o2w, (3, 4))
+    buffers["sph_w2o"] = cat(sph_w2o, (3, 4))
+    buffers["sph_inst"] = cat(sph_inst, (), np.int32)
+
+    buffers["inst_material"] = np.asarray(inst_material, np.int32)
+    buffers["inst_area_light"] = np.asarray(inst_area_light, np.int32)
+    buffers["inst_interior"] = np.asarray(inst_interior, np.int32)
+    buffers["inst_exterior"] = np.asarray(inst_exterior, np.int32)
+    buffers["inst_prim_count"] = np.asarray(inst_prim_count, np.int32)
+    buffers["inst_tri_start"] = np.asarray(inst_tri_start, np.int32)
+    buffers["inst_kind"] = np.asarray(inst_kind, np.int32)
+
+    buffers["emit_tri_ids"] = np.asarray(emit_tri_ids, np.int32)
+    buffers["emit_sph_ids"] = np.asarray(emit_sph_ids, np.int32)
+    buffers["eo_kind"] = np.asarray(eo_kind, np.int32)
+    buffers["eo_tri_start"] = np.asarray(eo_tri_start, np.int32)
+    buffers["eo_prim_count"] = np.asarray(eo_prim_count, np.int32)
+    buffers["eo_matrix"] = cat(eo_matrix, (3, 4))
+
+    # material / texture / light tables
+    buffers["mat_type"] = np.asarray(scene.mat_type, np.int32)
+    buffers["mat_u0"] = np.asarray(scene.mat_u0, np.int32).reshape(-1, 4)
+    buffers["mat_u1"] = np.asarray(scene.mat_u1, np.int32).reshape(-1, 4)
+    buffers["mat_v0"] = np.asarray(scene.mat_v0, np.float32).reshape(-1, 4)
+    buffers["tex_type"] = np.asarray(scene.tex_type, np.int32)
+    buffers["tex_u0"] = np.asarray(scene.tex_u0, np.int32).reshape(-1, 4)
+    buffers["tex_v0"] = np.asarray(scene.tex_v0, np.float32).reshape(-1, 4)
+    buffers["med_type"] = np.asarray(scene.med_type, np.int32)
+    buffers["med_sigma_a"] = cat(scene.med_sigma_a, (3,))
+    buffers["med_sigma_s"] = cat(scene.med_sigma_s, (3,))
+    buffers["med_g"] = np.asarray(scene.med_g, np.float32)
+    buffers["area_type"] = np.asarray(scene.area_type, np.int32)
+    buffers["area_color"] = cat(scene.area_color, (3,))
+    buffers["light_dir"] = cat(scene.light_dir, (3,))
+    buffers["light_color"] = cat(scene.light_color, (3,))
+
+    # image atlas
+    offsets, widths, heights, flat = [], [], [], []
+    off = 0
+    for img in scene.images:
+        offsets.append(off)
+        widths.append(img.width)
+        heights.append(img.height)
+        flat.append(img.data.reshape(-1, 4))
+        off += img.width * img.height
+    if not flat:
+        offsets, widths, heights = [0], [1], [1]
+        flat = [np.zeros((1, 4), np.float32)]
+    buffers["img_atlas"] = np.concatenate(flat, axis=0).astype(np.float32)
+    buffers["img_offset"] = np.asarray(offsets, np.int32)
+    buffers["img_width"] = np.asarray(widths, np.int32)
+    buffers["img_height"] = np.asarray(heights, np.int32)
+
+    # uniform (reference Uniform, rene-shader/src/lib.rs:90-102)
+    buffers["camera_to_world"] = scene.camera_to_world
+    buffers["camera_proj_inv"] = scene.camera_proj_inv
+    buffers["background_color"] = scene.background_color
+    buffers["background_matrix"] = scene.background_matrix
+    buffers["background_texture"] = np.asarray(scene.background_texture,
+                                               np.int32)
+
+    config = RenderConfig(
+        integrator=scene.integrator,
+        film=scene.film,
+        num_instances=len(scene.tlas),
+        num_triangles=int(buffers["tri_p"].shape[0]),
+        num_spheres=int(buffers["sph_o2w"].shape[0]),
+        num_emit_triangles=int(buffers["emit_tri_ids"].shape[0]),
+        num_emit_spheres=int(buffers["emit_sph_ids"].shape[0]),
+        num_lights=int(buffers["light_dir"].shape[0]),
+        num_emit_objects=int(buffers["eo_kind"].shape[0]),
+        emit_primitives=int(np.sum(buffers["eo_prim_count"]))
+        if len(eo_kind) else 0,
+        max_depth_hint=scene.max_depth_hint,
+    )
+
+    # guarantee non-empty gatherable buffers (reference pushes dummies,
+    # main.rs:2965-2975,3197-3204,3262-3299)
+    def pad_nonempty(name, tail, dtype=np.float32):
+        if buffers[name].shape[0] == 0:
+            buffers[name] = np.zeros((1,) + tail, dtype)
+
+    pad_nonempty("tri_p", (3, 3))
+    pad_nonempty("tri_n", (3, 3))
+    pad_nonempty("tri_uv", (3, 2))
+    pad_nonempty("tri_inst", (), np.int32)
+    pad_nonempty("sph_o2w", (3, 4))
+    pad_nonempty("sph_w2o", (3, 4))
+    pad_nonempty("sph_inst", (), np.int32)
+    pad_nonempty("emit_tri_ids", (), np.int32)
+    pad_nonempty("emit_sph_ids", (), np.int32)
+    pad_nonempty("eo_kind", (), np.int32)
+    pad_nonempty("eo_tri_start", (), np.int32)
+    pad_nonempty("eo_prim_count", (), np.int32)
+    buffers["eo_prim_count"] = np.maximum(buffers["eo_prim_count"], 1)
+    pad_nonempty("eo_matrix", (3, 4))
+    pad_nonempty("light_dir", (3,))
+    pad_nonempty("light_color", (3,))
+    for nm in ("inst_material", "inst_area_light", "inst_interior",
+               "inst_exterior", "inst_prim_count", "inst_tri_start",
+               "inst_kind"):
+        pad_nonempty(nm, (), np.int32)
+
+    return buffers, config
+
+
+def to_jax(buffers: Dict[str, np.ndarray]):
+    import jax.numpy as jnp
+    return {k: jnp.asarray(v) for k, v in buffers.items()}
