@@ -1,0 +1,125 @@
+"""Top-level render driver: sample batching, tiling, timing, checkpointing.
+
+Replaces the reference's render loop (rene/src/main.rs:1301-1402): N_SAMPLES
+batches of full-frame traces with per-batch timing logs. TPU-first changes:
+the sample loop is a host loop over a jit-compiled per-sample wavefront
+kernel; large films are split into ray tiles to bound device memory; the
+accumulated film is a host array and can be checkpointed/resumed per batch
+(the reference's VRAM-only film loses all samples on a crash,
+SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from .scene.device import RenderConfig, build_device_scene
+from .scene.flatten import FlatScene
+from .utils.film import rays_to_image
+
+log = logging.getLogger("rene_tpu.render")
+
+DEFAULT_SPP = 5000  # reference N_SAMPLES, main.rs:80
+LOG_EVERY = 100     # reference N_SAMPLES_ITER, main.rs:81
+
+
+def _sample_fn(config: RenderConfig, accel=None):
+    import jax
+
+    if config.integrator == "volpath":
+        from .integrators.volpath import render_sample
+    else:
+        from .integrators.path import render_sample
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(buffers, px, py, seed):
+        return render_sample(buffers, config, px, py, seed, accel=accel)
+
+    return run
+
+
+def render(scene: FlatScene, spp: int = DEFAULT_SPP,
+           seed: int = 0, tile_rays: int = 1 << 18,
+           checkpoint: Optional[str] = None,
+           resume: bool = False,
+           progress: Optional[Callable[[int, int, float], None]] = None,
+           use_bvh: Optional[bool] = None):
+    """Render a scene; returns dict of (H,W,3) float32 arrays:
+    color (averaged), normal, albedo."""
+    import jax
+    import jax.numpy as jnp
+
+    from .scene.device import to_jax
+
+    buffers_np, config = build_device_scene(scene)
+    buffers = to_jax(buffers_np)
+
+    accel = None
+    if use_bvh is None:
+        use_bvh = config.num_triangles > 4096
+    if use_bvh and config.num_triangles > 1:
+        from .ops.bvh import build_bvh
+        accel = build_bvh(buffers_np["tri_p"])
+        accel.to_device()
+
+    w = config.film.xresolution
+    h = config.film.yresolution
+    n = w * h
+    ys, xs = np.mgrid[0:h, 0:w]
+    px_all = jnp.asarray(xs.reshape(-1).astype(np.int32))
+    py_all = jnp.asarray(ys.reshape(-1).astype(np.int32))
+
+    run = _sample_fn(config, accel=accel)
+
+    accum = {
+        "radiance": np.zeros((n, 3), np.float32),
+        "normal": np.zeros((n, 3), np.float32),
+        "albedo": np.zeros((n, 3), np.float32),
+    }
+    start_sample = 0
+    if checkpoint and resume:
+        from .utils.checkpoint import load_checkpoint
+        loaded = load_checkpoint(checkpoint)
+        if loaded is not None:
+            accum, start_sample = loaded
+            log.info("resumed from %s at sample %d", checkpoint, start_sample)
+
+    host_rng = np.random.default_rng(seed)
+    # skip the seeds already consumed when resuming
+    for _ in range(start_sample):
+        host_rng.integers(0, 2 ** 32, dtype=np.uint32)
+
+    tiles = [(s, min(s + tile_rays, n)) for s in range(0, n, tile_rays)]
+    t_batch = time.time()
+    for s in range(start_sample, spp):
+        sample_seed = np.uint32(host_rng.integers(0, 2 ** 32,
+                                                  dtype=np.uint32))
+        for lo, hi in tiles:
+            out = run(buffers, px_all[lo:hi], py_all[lo:hi],
+                      jnp.uint32(sample_seed))
+            for k in accum:
+                accum[k][lo:hi] += np.asarray(out[k])
+        done = s + 1
+        if done % LOG_EVERY == 0 or done == spp:
+            dt = (time.time() - t_batch) * 1000.0
+            log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
+            t_batch = time.time()
+            if progress:
+                progress(done, spp, dt)
+            if checkpoint:
+                from .utils.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint, accum, done)
+
+    color = accum["radiance"] / max(spp, 1)
+    normal = accum["normal"] / max(spp, 1)
+    albedo = accum["albedo"] / max(spp, 1)
+    return {
+        "color": rays_to_image(color, w, h),
+        "normal": rays_to_image(normal, w, h),
+        "albedo": rays_to_image(albedo, w, h),
+        "config": config,
+    }

@@ -6,11 +6,17 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's sitecustomize (axon TPU plugin) overrides JAX_PLATFORMS;
+# force the CPU backend explicitly for the test suite.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
