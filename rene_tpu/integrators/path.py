@@ -76,6 +76,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         "alive": jnp.ones((n,), bool),
         "aov_normal": jnp.zeros((n, 3), jnp.float32),
         "aov_albedo": jnp.zeros((n, 3), jnp.float32),
+        "rays": jnp.zeros((), jnp.float32),
     }
 
     def cond(c):
@@ -86,6 +87,10 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         alive = c["alive"]
         color = c["color"]
         radiance = c["radiance"]
+        n_alive = jnp.sum(alive.astype(jnp.float32))
+        # rays traced this bounce: extension + per-light shadow + pdf ray
+        rays = c["rays"] + n_alive * (1.0 + config.num_lights
+                                      + (1.0 if num_emit > 0 else 0.0))
 
         hit = I.trace(buffers, config, c["org"], c["dir"], TMIN, TMAX,
                       accel=accel)
@@ -191,6 +196,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
             "alive": alive,
             "aov_normal": aov_normal,
             "aov_albedo": aov_albedo,
+            "rays": rays,
         }
 
     out = jax.lax.while_loop(cond, body, carry)
@@ -198,4 +204,5 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         "radiance": out["radiance"],
         "normal": out["aov_normal"],
         "albedo": out["aov_albedo"],
+        "rays": out["rays"],
     }

@@ -135,6 +135,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         "med": jnp.zeros((n,), jnp.int32),
         "aov_normal": jnp.zeros((n, 3), jnp.float32),
         "aov_albedo": jnp.zeros((n, 3), jnp.float32),
+        "rays": jnp.zeros((), jnp.float32),
     }
 
     def cond(c):
@@ -146,6 +147,9 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         color = c["color"]
         radiance = c["radiance"]
         med = c["med"]
+
+        rays = c["rays"] + jnp.sum(alive.astype(jnp.float32)) \
+            * (1.0 + config.num_lights + (1.0 if num_emit > 0 else 0.0))
 
         hit = I.trace(buffers, config, c["org"], c["dir"], TMIN, TMAX,
                       accel=accel)
@@ -276,6 +280,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
             "med": jnp.where(alive, new_med, med),
             "aov_normal": aov_normal,
             "aov_albedo": aov_albedo,
+            "rays": rays,
         }
 
     out = jax.lax.while_loop(cond, body, carry)
@@ -283,4 +288,5 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         "radiance": out["radiance"],
         "normal": out["aov_normal"],
         "albedo": out["aov_albedo"],
+        "rays": out["rays"],
     }

@@ -1,0 +1,118 @@
+"""Multi-chip scale-out: data-parallel sampling over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.6); its only parallelism
+axes are pixels (one thread each) and sequential samples. Path tracing has no
+inter-ray communication, so the TPU-native scale-out is data parallelism over
+*samples*: every chip renders the full frame with decorrelated RNG streams and
+the films are mean-reduced with `psum` over ICI. Scene buffers are replicated
+(they are read-only); film reduction is the only collective.
+
+`render_sample_sharded` is the multi-chip render step: one call = one sample
+per device (N_devices effective spp), jitted once under `shard_map`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "spp"):
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def render_sample_sharded(mesh, config, accel=None, axis: str = "spp"):
+    """Build the jitted multi-chip sample function.
+
+    Returns fn(buffers, px, py, seed) -> dict of per-ray outputs where
+    `radiance` is the mean over the mesh's devices (each device traces its
+    own decorrelated sample) — psum over ICI, replicated result.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if config.integrator == "volpath":
+        from ..integrators.volpath import render_sample
+    else:
+        from ..integrators.path import render_sample
+
+    ndev = mesh.devices.size
+
+    def per_device(buffers, px, py, seed):
+        idx = jax.lax.axis_index(axis).astype(jnp.uint32)
+        # decorrelate each chip's sample stream
+        dev_seed = seed ^ (idx * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
+        out = render_sample(buffers, config, px, py, dev_seed, accel=accel)
+        out["radiance"] = jax.lax.psum(out["radiance"], axis) / ndev
+        out["normal"] = jax.lax.psum(out["normal"], axis) / ndev
+        out["albedo"] = jax.lax.psum(out["albedo"], axis) / ndev
+        out["rays"] = jax.lax.psum(out["rays"], axis)
+        return out
+
+    rep = P()  # replicated: every device traces the full frame
+    # check_vma=False: the integrator's while-loop carry is initialized
+    # unvarying but becomes device-varying through the per-device seed.
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(rep, rep, rep, rep),
+                   out_specs=rep, check_vma=False)
+    return jax.jit(fn)
+
+
+def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
+                     tile_rays: int = 1 << 18):
+    """Full multi-chip render driver: like rene_tpu.render.render but each
+    host step produces `n_devices` samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..scene.device import build_device_scene, to_jax
+    from ..utils.film import rays_to_image
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+
+    buffers_np, config = build_device_scene(scene)
+    buffers = to_jax(buffers_np)
+    accel = None
+    if config.num_triangles > 4096:
+        from ..ops.bvh import build_bvh
+        accel = build_bvh(buffers_np["tri_p"]).to_device()
+
+    run = render_sample_sharded(mesh, config, accel=accel)
+
+    w = config.film.xresolution
+    h = config.film.yresolution
+    n = w * h
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(xs.reshape(-1).astype(np.int32))
+    py = jnp.asarray(ys.reshape(-1).astype(np.int32))
+
+    steps = max(1, (spp + ndev - 1) // ndev)
+    host_rng = np.random.default_rng(seed)
+    accum = {k: np.zeros((n, 3), np.float32)
+             for k in ("radiance", "normal", "albedo")}
+    total_rays = 0.0
+    for _ in range(steps):
+        s = np.uint32(host_rng.integers(0, 2 ** 32, dtype=np.uint32))
+        for lo in range(0, n, tile_rays):
+            hi = min(lo + tile_rays, n)
+            out = run(buffers, px[lo:hi], py[lo:hi], jnp.uint32(s))
+            for k in accum:
+                accum[k][lo:hi] += np.asarray(out[k])
+            total_rays += float(out["rays"])
+    return {
+        "color": rays_to_image(accum["radiance"] / steps, w, h),
+        "normal": rays_to_image(accum["normal"] / steps, w, h),
+        "albedo": rays_to_image(accum["albedo"] / steps, w, h),
+        "total_rays": total_rays,
+        "effective_spp": steps * ndev,
+        "config": config,
+    }

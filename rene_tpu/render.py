@@ -94,7 +94,9 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
         host_rng.integers(0, 2 ** 32, dtype=np.uint32)
 
     tiles = [(s, min(s + tile_rays, n)) for s in range(0, n, tile_rays)]
+    total_rays = 0.0
     t_batch = time.time()
+    t_start = time.time()
     for s in range(start_sample, spp):
         sample_seed = np.uint32(host_rng.integers(0, 2 ** 32,
                                                   dtype=np.uint32))
@@ -103,6 +105,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
                       jnp.uint32(sample_seed))
             for k in accum:
                 accum[k][lo:hi] += np.asarray(out[k])
+            total_rays += float(out["rays"])
         done = s + 1
         if done % LOG_EVERY == 0 or done == spp:
             dt = (time.time() - t_batch) * 1000.0
@@ -122,4 +125,6 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
         "normal": rays_to_image(normal, w, h),
         "albedo": rays_to_image(albedo, w, h),
         "config": config,
+        "total_rays": total_rays,
+        "wall_time": time.time() - t_start,
     }
