@@ -175,9 +175,39 @@ class BVH:
                 jnp.where(miss, 0, out["prim"]).astype(jnp.int32))
 
 
-def build_bvh(tri_p: np.ndarray) -> BVH:
-    """Median-split build over (T,3,3) world-space triangles."""
+def build_bvh(tri_p: np.ndarray, use_native: bool = True) -> BVH:
+    """BVH build over (T,3,3) world-space triangles.
+
+    Prefers the native C++ binned-SAH builder (native/bvh_builder.cpp via
+    ctypes); falls back to the numpy median-split builder below.
+    """
     tri_p = np.asarray(tri_p, np.float32)
+    if use_native and tri_p.shape[0] > 0:
+        from .native import native_build_bvh
+        out = native_build_bvh(tri_p, LEAF_SIZE)
+        if out is not None:
+            aabb_min, aabb_max, left, right, is_leaf, order = out
+            return _finish(tri_p, aabb_min, aabb_max, left, right, is_leaf,
+                           order.astype(np.int64))
+    return _build_median(tri_p)
+
+
+def _finish(tri_p, aabb_min, aabb_max, left, right, is_leaf, order):
+    ntri = tri_p.shape[0]
+    pad = (-ntri) % LEAF_SIZE  # allow fixed-width leaf loop to over-read
+    order32 = order.astype(np.int32)
+    tri_sorted = tri_p[order]
+    if pad:
+        tri_sorted = np.concatenate(
+            [tri_sorted, np.zeros((pad, 3, 3), np.float32)], axis=0)
+        order32 = np.concatenate([order32, np.zeros(pad, np.int32)], axis=0)
+    return BVH(aabb_min, aabb_max, left.astype(np.int32),
+               right.astype(np.int32), np.asarray(is_leaf, bool), order32,
+               tri_sorted)
+
+
+def _build_median(tri_p: np.ndarray) -> BVH:
+    """Numpy median-split fallback builder."""
     ntri = tri_p.shape[0]
     lo = tri_p.min(axis=1)  # (T,3)
     hi = tri_p.max(axis=1)
@@ -222,14 +252,5 @@ def build_bvh(tri_p: np.ndarray) -> BVH:
         stack.append((lnode, s, s + mid))
         stack.append((rnode, s + mid, e))
 
-    pad = (-ntri) % LEAF_SIZE  # allow fixed-width leaf loop to over-read
-    order32 = order.astype(np.int32)
-    tri_sorted = tri_p[order]
-    if pad:
-        tri_sorted = np.concatenate(
-            [tri_sorted, np.zeros((pad, 3, 3), np.float32)], axis=0)
-        order32 = np.concatenate(
-            [order32, np.zeros(pad, np.int32)], axis=0)
-
-    return BVH(aabb_min[:n_nodes], aabb_max[:n_nodes], left[:n_nodes],
-               right[:n_nodes], is_leaf[:n_nodes], order32, tri_sorted)
+    return _finish(tri_p, aabb_min[:n_nodes], aabb_max[:n_nodes],
+                   left[:n_nodes], right[:n_nodes], is_leaf[:n_nodes], order)

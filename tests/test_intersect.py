@@ -57,14 +57,15 @@ def test_sphere_roots():
     assert float(t2[0]) == pytest.approx(1.0, rel=1e-5)
 
 
+@pytest.mark.parametrize("native", [True, False])
 @pytest.mark.parametrize("ntri", [10, 333, 2000])
-def test_bvh_matches_brute_force(ntri):
+def test_bvh_matches_brute_force(ntri, native):
     tri = random_tris(ntri, seed=ntri)
     org, d = random_rays(512, seed=ntri + 1)
     tmin = jnp.full((512,), 1e-3)
     tmax = jnp.full((512,), 1e30)
     bt, bid = I.intersect_triangles(org, d, tmin, tmax, jnp.asarray(tri))
-    bvh = build_bvh(tri)
+    bvh = build_bvh(tri, use_native=native)
     vt, vid = bvh.intersect(org, d, tmin, tmax)
     bt = np.asarray(bt)
     vt = np.asarray(vt)
