@@ -1,0 +1,94 @@
+"""Quality validation: render the sample scenes and report SSIM vs the
+shipped Tungsten goldens (sample_scenes/*/TungstenRender.png).
+
+Usage:
+  python scripts/validate.py [--spp N] [--scale S] [--scenes a,b,...]
+          [--platform cpu|axon] [--denoiser atrous]
+
+SSIM is computed on gamma-encoded 8-bit images (what the goldens are).
+`--scale` renders at reduced resolution and downsamples the golden — useful
+for quick CPU checks; the official numbers use scale 1 on TPU.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+SCENES = {
+    "cornell-box": "cornell-box/scene.pbrt",
+    "veach-mis": "veach-mis/scene.pbrt",
+    "dragon": "dragon/scene.pbrt",
+    "teapot": "teapot/scene.pbrt",
+}
+ROOT = "/root/reference/sample_scenes"
+
+
+def box_downsample(img, s):
+    import numpy as np
+    h, w = img.shape[:2]
+    h2, w2 = h // s * s, w // s * s
+    img = img[:h2, :w2]
+    return img.reshape(h2 // s, s, w2 // s, s, -1).mean(axis=(1, 3))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--scale", type=int, default=1)
+    ap.add_argument("--scenes", default=",".join(SCENES))
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--denoiser", default="none")
+    ap.add_argument("--save-dir", default="/tmp/rene_validate")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from rene_tpu.render import render
+    from rene_tpu.scene import load_scene
+    from rene_tpu.utils.film import save_png, to_rgb8
+    from rene_tpu.utils.ssim import ssim
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    results = {}
+    for name in args.scenes.split(","):
+        path = os.path.join(ROOT, SCENES[name])
+        golden_path = os.path.join(os.path.dirname(path),
+                                   "TungstenRender.png")
+        scene = load_scene(path)
+        if args.scale > 1:
+            scene.film.xresolution //= args.scale
+            scene.film.yresolution //= args.scale
+            # recompute camera for the new aspect (same here) — reload kept
+        t0 = time.time()
+        out = render(scene, spp=args.spp, seed=0)
+        dt = time.time() - t0
+        color = out["color"]
+        if args.denoiser != "none":
+            from rene_tpu.models.denoise import denoise
+            color = denoise(color, out["normal"], out["albedo"],
+                            method=args.denoiser)
+        ours8 = to_rgb8(color)
+        save_png(os.path.join(args.save_dir, f"{name}.png"), ours8)
+
+        golden = np.asarray(PILImage.open(golden_path).convert("RGB"),
+                            dtype=np.float32) / 255.0
+        if args.scale > 1:
+            golden = box_downsample(golden, args.scale)
+        s = ssim(ours8.astype(np.float32) / 255.0, golden)
+        mrays = out["total_rays"] / dt / 1e6
+        results[name] = s
+        print(f"{name:12s} SSIM={s:.4f}  spp={args.spp} "
+              f"({dt:.1f}s, {mrays:.1f} Mrays/s)", flush=True)
+    print({k: round(v, 4) for k, v in results.items()})
+
+
+if __name__ == "__main__":
+    main()
