@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 BASELINE_MRAYS = 300.0
 
 

@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from typing import Callable, Optional
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 from .scene.device import RenderConfig, build_device_scene
 from .scene.flatten import FlatScene
