@@ -49,7 +49,8 @@ def main():
 
     buffers_np, config = build_device_scene(scene)
     buffers = to_jax(buffers_np)
-    run = _sample_fn(config)
+    from rene_tpu.ops.accel import make_accel
+    run = _sample_fn(config, accel=make_accel(buffers_np, config))
 
     n = res * res
     ys, xs = np.mgrid[0:res, 0:res]

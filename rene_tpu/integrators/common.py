@@ -9,13 +9,13 @@ from ..ops.texture import tex_color
 from ..scene import types as T
 
 
-def background_radiance(buffers, direction):
+def background_radiance(buffers, direction, config=None):
     """Infinite-light radiance for escaped rays (main_miss, lib.rs:120-139)."""
     n = direction.shape[0]
     d = m3.normalize(m3.mat4_vector(buffers["background_matrix"], direction))
     uv = m3.sphere_uv(d)
     tex_idx = jnp.broadcast_to(buffers["background_texture"], (n,))
-    tex = tex_color(buffers, tex_idx, uv)
+    tex = tex_color(buffers, tex_idx, uv, config)
     return buffers["background_color"][None, :] * tex
 
 

@@ -111,7 +111,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         al_idx = buffers["inst_area_light"][inst]
 
         onb = m3.onb_from_w(normal)
-        lobes = B.compute_bsdf(buffers, mat_idx, uv)
+        lobes = B.compute_bsdf(buffers, mat_idx, uv, config)
 
         # -- emitter hit (lib.rs:225-227, area_light.rs:66-73 one-sided)
         al_color = buffers["area_color"][al_idx]
@@ -122,7 +122,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
 
         # -- AOVs at first bounce (lib.rs:229-232)
         first = alive & (c["i"] == 0)
-        albedo = B.material_albedo(buffers, mat_idx, uv)
+        albedo = B.material_albedo(buffers, mat_idx, uv, config)
         aov_normal = jnp.where(first[:, None], normal, c["aov_normal"])
         aov_albedo = jnp.where(first[:, None], albedo, c["aov_albedo"])
 
@@ -134,14 +134,14 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
             # ray_target: position + dir, tmax 1e5 (light.rs:53-55)
             shadowed = I.occluded(buffers, config, position, wi_l, TMIN,
                                   TMAX, accel=accel)
-            f_l = B.bsdf_f(lobes, onb, normal, wo, wi_l)
+            f_l = B.bsdf_f(lobes, onb, normal, wo, wi_l, config)
             contrib = (color * f_l
                        * jnp.abs(m3.dot(wi_l, normal))[:, None] * lcol)
             radiance = radiance + jnp.where(
                 (alive & ~shadowed)[:, None], contrib, 0.0)
 
         # -- scatter: MIS mixture or plain BSDF sampling
-        swi, sf, spdf, state = B.bsdf_sample_f(lobes, onb, wo, state)
+        swi, sf, spdf, state = B.bsdf_sample_f(lobes, onb, wo, state, config)
 
         if num_emit > 0:
             coin, state = rng.next_f32(state)
@@ -152,12 +152,13 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
 
             wi = jnp.where((use_mis & take_light)[:, None], ls_wi, swi)
             f = jnp.where((use_mis & take_light)[:, None],
-                          B.bsdf_f(lobes, onb, normal, wo, ls_wi), sf)
+                          B.bsdf_f(lobes, onb, normal, wo, ls_wi, config), sf)
             pdf_b = jnp.where(use_mis & take_light,
-                              B.bsdf_pdf(lobes, onb, wo, ls_wi), spdf)
+                              B.bsdf_pdf(lobes, onb, wo, ls_wi, config), spdf)
 
             light_pdf = I.trace_emissive_pdf(
-                buffers, config, position, wi, TMIN, TMAX) / num_emit
+                buffers, config, position, wi, TMIN, TMAX,
+                accel=accel) / num_emit
             pdf_mix = 0.5 * pdf_b + 0.5 * light_pdf
 
             pdf = jnp.where(use_mis, pdf_mix, spdf)

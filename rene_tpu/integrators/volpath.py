@@ -190,7 +190,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
             # emitter NEE through tr_emit (lib.rs:599-654)
             ls_wi, state = sample_emit_object(buffers, config, mpos, state)
             epdf = I.trace_emissive_pdf(buffers, config, mpos, ls_wi,
-                                        TMIN, TMAX) / num_emit
+                                        TMIN, TMAX, accel=accel) / num_emit
             tr_e = _tr_march(buffers, config, mpos, ls_wi, med,
                              accel=accel, want_emit=True)
             phase_e = MD.med_phase(buffers, med, wo, ls_wi)
@@ -202,7 +202,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         # =================== surface interaction ===================
         surf = alive & ~sampled
         onb = m3.onb_from_w(normal)
-        lobes = B.compute_bsdf(buffers, mat_idx, uv)
+        lobes = B.compute_bsdf(buffers, mat_idx, uv, config)
 
         al_color = buffers["area_color"][al_idx]
         al_on = (buffers["area_type"][al_idx] != T.AREA_NULL) \
@@ -211,7 +211,7 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
                                         color * al_color, 0.0)
 
         first = surf & (c["i"] == 0)
-        albedo = B.material_albedo(buffers, mat_idx, uv)
+        albedo = B.material_albedo(buffers, mat_idx, uv, config)
         aov_normal = jnp.where(first[:, None], normal, c["aov_normal"])
         aov_albedo = jnp.where(first[:, None], albedo, c["aov_albedo"])
 
@@ -222,13 +222,13 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
             wi_l = jnp.broadcast_to(ldir, position.shape)
             trv = _tr_march(buffers, config, position, wi_l, med,
                             accel=accel)
-            f_l = B.bsdf_f(lobes, onb, normal, wo, wi_l)
+            f_l = B.bsdf_f(lobes, onb, normal, wo, wi_l, config)
             radiance = radiance + jnp.where(
                 surf_scatter[:, None],
                 color * trv * f_l
                 * jnp.abs(m3.dot(wi_l, normal))[:, None] * lcol, 0.0)
 
-        swi, sf, spdf, state = B.bsdf_sample_f(lobes, onb, wo, state)
+        swi, sf, spdf, state = B.bsdf_sample_f(lobes, onb, wo, state, config)
         if num_emit > 0:
             coin, state = rng.next_f32(state)
             ls_wi, state = sample_emit_object(buffers, config, position,
@@ -237,11 +237,12 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
             use_mis = B.bsdf_contains(lobes, T.KIND_DIFFUSE)
             wi_s = jnp.where((use_mis & take_light)[:, None], ls_wi, swi)
             f_s = jnp.where((use_mis & take_light)[:, None],
-                            B.bsdf_f(lobes, onb, normal, wo, ls_wi), sf)
+                            B.bsdf_f(lobes, onb, normal, wo, ls_wi, config), sf)
             pdf_b = jnp.where(use_mis & take_light,
-                              B.bsdf_pdf(lobes, onb, wo, ls_wi), spdf)
+                              B.bsdf_pdf(lobes, onb, wo, ls_wi, config), spdf)
             light_pdf = I.trace_emissive_pdf(
-                buffers, config, position, wi_s, TMIN, TMAX) / num_emit
+                buffers, config, position, wi_s, TMIN, TMAX,
+                accel=accel) / num_emit
             pdf_s = jnp.where(use_mis, 0.5 * pdf_b + 0.5 * light_pdf, spdf)
             f_s = jnp.where(use_mis[:, None], f_s, sf)
             wi_s = jnp.where(use_mis[:, None], wi_s, swi)

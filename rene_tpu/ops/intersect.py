@@ -124,6 +124,29 @@ def intersect_spheres(org, direction, tmin, tmax, w2o):
     return tbest, best.astype(jnp.int32)
 
 
+def _main_tri_intersect(buffers, config, org, direction, tminv, tmaxv,
+                        accel, want_bary=False):
+    """Dispatch the triangle closest-hit over the selected accelerator."""
+    from .mxu_intersect import MXUIntersector
+    n = org.shape[0]
+    main = getattr(accel, "main", None)
+    bu = bv = None
+    if config.num_triangles <= 0:
+        return (jnp.full((n,), BIG_T), jnp.zeros((n,), jnp.int32), bu, bv)
+    if isinstance(main, MXUIntersector):
+        if want_bary:
+            tri_t, tri_id, bu, bv = main.intersect(org, direction, tminv,
+                                                   tmaxv, want_bary=True)
+        else:
+            tri_t, tri_id = main.intersect(org, direction, tminv, tmaxv)
+    elif main is not None:  # BVH
+        tri_t, tri_id = main.intersect(org, direction, tminv, tmaxv)
+    else:
+        tri_t, tri_id = intersect_triangles(org, direction, tminv, tmaxv,
+                                            buffers["tri_p"])
+    return tri_t, tri_id, bu, bv
+
+
 def trace(buffers, config, org, direction, tmin, tmax, accel=None):
     """Full closest-hit trace with shading attributes.
 
@@ -133,15 +156,9 @@ def trace(buffers, config, org, direction, tmin, tmax, accel=None):
     tminv = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmaxv = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
 
-    if config.num_triangles > 0:
-        if accel is not None:
-            tri_t, tri_id = accel.intersect(org, direction, tminv, tmaxv)
-        else:
-            tri_t, tri_id = intersect_triangles(
-                org, direction, tminv, tmaxv, buffers["tri_p"])
-    else:
-        tri_t = jnp.full((n,), BIG_T)
-        tri_id = jnp.zeros((n,), jnp.int32)
+    tri_t, tri_id, bu, bv = _main_tri_intersect(
+        buffers, config, org, direction, tminv, tmaxv, accel,
+        want_bary=True)
     if config.num_spheres > 0:
         sph_t, sph_id = intersect_spheres(
             org, direction, tminv, tmaxv, buffers["sph_w2o"])
@@ -158,12 +175,17 @@ def trace(buffers, config, org, direction, tmin, tmax, accel=None):
     tp = buffers["tri_p"][tid]
     tn = buffers["tri_n"][tid]
     tuv = buffers["tri_uv"][tid]
-    # recompute barycentrics from the hit point for the winning triangle
-    _, u, v, _ = moller_trumbore(org, direction, tp[:, None, 0],
-                                 tp[:, None, 1], tp[:, None, 2],
-                                 tminv, jnp.full_like(tminv, 1e30))
-    u = jnp.clip(u[:, 0], 0.0, 1.0)
-    v = jnp.clip(v[:, 0], 0.0, 1.0)
+    if bu is None:
+        # recompute barycentrics from the winning triangle (BVH/brute paths)
+        _, u, v, _ = moller_trumbore(org, direction, tp[:, None, 0],
+                                     tp[:, None, 1], tp[:, None, 2],
+                                     tminv, jnp.full_like(tminv, 1e30))
+        u = u[:, 0]
+        v = v[:, 0]
+    else:
+        u, v = bu, bv
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
     w0 = (1.0 - u - v)[:, None]
     tri_pos = w0 * tp[:, 0] + u[:, None] * tp[:, 1] + v[:, None] * tp[:, 2]
     tri_nrm = w0 * tn[:, 0] + u[:, None] * tn[:, 1] + v[:, None] * tn[:, 2]
@@ -206,11 +228,8 @@ def occluded(buffers, config, org, direction, tmin, tmax, accel=None):
     tmaxv = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     t = jnp.full((n,), BIG_T)
     if config.num_triangles > 0:
-        if accel is not None:
-            tri_t, _ = accel.intersect(org, direction, tminv, tmaxv)
-        else:
-            tri_t, _ = intersect_triangles(org, direction, tminv, tmaxv,
-                                           buffers["tri_p"])
+        tri_t, _, _, _ = _main_tri_intersect(
+            buffers, config, org, direction, tminv, tmaxv, accel)
         t = jnp.minimum(t, tri_t)
     if config.num_spheres > 0:
         sph_t, _ = intersect_spheres(org, direction, tminv, tmaxv,
@@ -219,7 +238,8 @@ def occluded(buffers, config, org, direction, tmin, tmax, accel=None):
     return t < BIG_T
 
 
-def trace_emissive_pdf(buffers, config, org, direction, tmin, tmax):
+def trace_emissive_pdf(buffers, config, org, direction, tmin, tmax,
+                       accel=None):
     """Light-pdf ray against the emissive-only set.
 
     Port of the tlas_emit trace + triangle_closest_hit_pdf /
@@ -234,8 +254,12 @@ def trace_emissive_pdf(buffers, config, org, direction, tmin, tmax):
     tri_pdf = jnp.zeros((n,))
     if config.num_emit_triangles > 0:
         etri = buffers["emit_tri_ids"]
-        tp = buffers["tri_p"][etri]  # (E,3,3)
-        tt, eid = intersect_triangles(org, direction, tminv, tmaxv, tp)
+        emit_accel = getattr(accel, "emit", None)
+        if emit_accel is not None:
+            tt, eid = emit_accel.intersect(org, direction, tminv, tmaxv)
+        else:
+            tp = buffers["tri_p"][etri]  # (E,3,3)
+            tt, eid = intersect_triangles(org, direction, tminv, tmaxv, tp)
         eid = jnp.clip(eid, 0, config.num_emit_triangles - 1)
         gid = etri[eid]
         p = buffers["tri_p"][gid]

@@ -50,42 +50,55 @@ def sample_image(buffers, img_idx, uv):
     return (top * (1 - fy) + bot * fy)[..., :3]
 
 
-def _color_non_recursive(buffers, idx, uv):
+def _tex_types(config):
+    if config is None:
+        return (T.TEX_SOLID, T.TEX_CHECKER, T.TEX_IMAGEMAP, T.TEX_SCALE)
+    return config.tex_types
+
+
+def _color_non_recursive(buffers, idx, uv, tex_types):
     """Solid or ImageMap only; Checker/Scale degrade to white
     (texture.rs:176-190)."""
     ttype = buffers["tex_type"][idx]
     solid = buffers["tex_v0"][idx][..., :3]
-    img = sample_image(buffers, buffers["tex_u0"][idx][..., 0], uv)
     out = jnp.where((ttype == T.TEX_SOLID)[..., None], solid,
                     jnp.ones_like(solid))
-    return jnp.where((ttype == T.TEX_IMAGEMAP)[..., None], img, out)
+    if T.TEX_IMAGEMAP in tex_types:
+        img = sample_image(buffers, buffers["tex_u0"][idx][..., 0], uv)
+        out = jnp.where((ttype == T.TEX_IMAGEMAP)[..., None], img, out)
+    return out
 
 
-def tex_color(buffers, idx, uv):
-    """Full one-level texture dispatch (texture.rs:192-211).
+def tex_color(buffers, idx, uv, config=None):
+    """Full one-level texture dispatch (texture.rs:192-211), specialized to
+    the texture variants present in the scene.
 
     idx: (N,) int32 texture table indices; uv: (N,2). Returns (N,3).
     """
+    tex_types = _tex_types(config)
     ttype = buffers["tex_type"][idx]
-    u0 = buffers["tex_u0"][idx]
     v0 = buffers["tex_v0"][idx]
+    out = v0[..., :3]  # solid
+    if tex_types == (T.TEX_SOLID,):
+        return out
+    u0 = buffers["tex_u0"][idx]
 
-    solid = v0[..., :3]
-    img = sample_image(buffers, u0[..., 0], uv)
+    if T.TEX_IMAGEMAP in tex_types:
+        img = sample_image(buffers, u0[..., 0], uv)
+        out = jnp.where((ttype == T.TEX_IMAGEMAP)[..., None], img, out)
 
-    # checkerboard (texture.rs:96-119)
-    xs = uv[..., 0] * v0[..., 0]
-    ys = uv[..., 1] * v0[..., 1]
-    even = ((xs.astype(jnp.int32) % 2 == 0)
-            == (ys.astype(jnp.int32) % 2 == 0))
-    sub_idx = jnp.where(even, u0[..., 0], u0[..., 1])
-    sub_uv = jnp.stack([_fract(xs), _fract(ys)], axis=-1)
-    checker = _color_non_recursive(buffers, sub_idx, sub_uv)
+    if T.TEX_CHECKER in tex_types:  # texture.rs:96-119
+        xs = uv[..., 0] * v0[..., 0]
+        ys = uv[..., 1] * v0[..., 1]
+        even = ((xs.astype(jnp.int32) % 2 == 0)
+                == (ys.astype(jnp.int32) % 2 == 0))
+        sub_idx = jnp.where(even, u0[..., 0], u0[..., 1])
+        sub_uv = jnp.stack([_fract(xs), _fract(ys)], axis=-1)
+        checker = _color_non_recursive(buffers, sub_idx, sub_uv, tex_types)
+        out = jnp.where((ttype == T.TEX_CHECKER)[..., None], checker, out)
 
-    scale = (_color_non_recursive(buffers, u0[..., 0], uv)
-             * _color_non_recursive(buffers, u0[..., 1], uv))
-
-    out = jnp.where((ttype == T.TEX_SOLID)[..., None], solid, checker)
-    out = jnp.where((ttype == T.TEX_IMAGEMAP)[..., None], img, out)
-    out = jnp.where((ttype == T.TEX_SCALE)[..., None], scale, out)
+    if T.TEX_SCALE in tex_types:
+        scale = (_color_non_recursive(buffers, u0[..., 0], uv, tex_types)
+                 * _color_non_recursive(buffers, u0[..., 1], uv, tex_types))
+        out = jnp.where((ttype == T.TEX_SCALE)[..., None], scale, out)
     return out

@@ -81,10 +81,8 @@ def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
 
     buffers_np, config = build_device_scene(scene)
     buffers = to_jax(buffers_np)
-    accel = None
-    if config.num_triangles > 4096:
-        from ..ops.bvh import build_bvh
-        accel = build_bvh(buffers_np["tri_p"]).to_device()
+    from ..ops.accel import make_accel
+    accel = make_accel(buffers_np, config)
 
     run = render_sample_sharded(mesh, config, accel=accel)
 

@@ -61,13 +61,9 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     buffers_np, config = build_device_scene(scene)
     buffers = to_jax(buffers_np)
 
-    accel = None
-    if use_bvh is None:
-        use_bvh = config.num_triangles > 4096
-    if use_bvh and config.num_triangles > 1:
-        from .ops.bvh import build_bvh
-        accel = build_bvh(buffers_np["tri_p"])
-        accel.to_device()
+    from .ops.accel import make_accel
+    force = {None: None, True: "bvh", False: None}[use_bvh]
+    accel = make_accel(buffers_np, config, force=force)
 
     w = config.film.xresolution
     h = config.film.yresolution

@@ -31,7 +31,13 @@ from .intermediate import Film
 
 @dataclasses.dataclass
 class RenderConfig:
-    """Static (compile-time) scene facts the kernels specialize on."""
+    """Static (compile-time) scene facts the kernels specialize on.
+
+    `mat_types` / `tex_types` / `max_lobes` drive scene-specialized
+    compilation: kernels only emit code for the material/BxDF/texture
+    variants the scene actually contains (a pure-matte scene compiles a
+    Lambertian-only BSDF), the TPU analogue of shader specialization.
+    """
     integrator: str
     film: Film
     num_instances: int
@@ -43,6 +49,10 @@ class RenderConfig:
     num_emit_objects: int
     emit_primitives: int
     max_depth_hint: Optional[int] = None
+    mat_types: tuple = ()
+    tex_types: tuple = ()
+    max_lobes: int = 5
+    has_media: bool = False
 
 
 def _affine(m: np.ndarray) -> np.ndarray:
@@ -204,9 +214,17 @@ def build_device_scene(scene: FlatScene):
     buffers["background_texture"] = np.asarray(scene.background_texture,
                                                np.int32)
 
+    _mat_lobe_count = {T.MAT_NONE: 0, T.MAT_MATTE: 1, T.MAT_GLASS: 1,
+                       T.MAT_SUBSTRATE: 1, T.MAT_METAL: 1, T.MAT_MIRROR: 1,
+                       T.MAT_UBER: 5, T.MAT_PLASTIC: 2}
+    mat_types = tuple(sorted(set(int(t) for t in scene.mat_type)))
     config = RenderConfig(
         integrator=scene.integrator,
         film=scene.film,
+        mat_types=mat_types,
+        tex_types=tuple(sorted(set(int(t) for t in scene.tex_type))),
+        max_lobes=max([_mat_lobe_count[t] for t in mat_types] + [1]),
+        has_media=any(t != T.MEDIUM_VACUUM for t in scene.med_type),
         num_instances=len(scene.tlas),
         num_triangles=int(buffers["tri_p"].shape[0]),
         num_spheres=int(buffers["sph_o2w"].shape[0]),

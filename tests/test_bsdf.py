@@ -11,6 +11,16 @@ from rene_tpu.ops import rng
 from rene_tpu.scene import types as T
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class FakeConfig:
+    mat_types: tuple
+    tex_types: tuple = (T.TEX_SOLID,)
+    max_lobes: int = 5
+
+
 def make_buffers(mat_type, u0=(0, 0, 0, 0), u1=(0, 0, 0, 0),
                  v0=(0.0, 0.0, 0.0, 0.0), tex_colors=((1.0, 1.0, 1.0),)):
     """Minimal buffers dict: one material + solid textures."""
@@ -34,7 +44,8 @@ def make_buffers(mat_type, u0=(0, 0, 0, 0), u1=(0, 0, 0, 0),
 def lobes_for(buffers, n):
     mat_idx = jnp.zeros((n,), jnp.int32)
     uv = jnp.zeros((n, 2), jnp.float32)
-    return B.compute_bsdf(buffers, mat_idx, uv)
+    cfg = FakeConfig(mat_types=(int(buffers["mat_type"][0]),))
+    return B.compute_bsdf(buffers, mat_idx, uv, cfg), cfg
 
 
 def default_frame(n):
@@ -45,7 +56,7 @@ def default_frame(n):
 def test_matte_single_lambertian_lobe():
     buffers = make_buffers(T.MAT_MATTE, u0=(0, 0, 0, 0),
                            tex_colors=((0.7, 0.2, 0.2),))
-    lobes = lobes_for(buffers, 1)
+    lobes, cfg = lobes_for(buffers, 1)
     assert int(B.bsdf_num_lobes(lobes)[0]) == 1
     assert int(lobes["type"][0, 0]) == T.BXDF_LAMBERTIAN
     assert bool(B.bsdf_contains(lobes, T.KIND_DIFFUSE)[0])
@@ -62,7 +73,7 @@ def test_uber_lobe_count():
                     (0.25, 0.25, 0.25),    # 1: kd/ks
                     (1.0, 1.0, 1.0),       # 2: opacity
                     (0.1, 0.1, 0.1)))      # 3: roughness
-    lobes = lobes_for(buffers, 1)
+    lobes, cfg = lobes_for(buffers, 1)
     assert int(B.bsdf_num_lobes(lobes)[0]) == 2  # lambert + microfacet
 
 
@@ -71,11 +82,11 @@ def test_lambertian_furnace():
     n = 20000
     albedo = (0.7, 0.2, 0.2)
     buffers = make_buffers(T.MAT_MATTE, tex_colors=(albedo,))
-    lobes = lobes_for(buffers, n)
+    lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
     wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.8]), (n, 3)))
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32))
-    wi, f, pdf, state = B.bsdf_sample_f(lobes, onb, wo, state)
+    wi, f, pdf, state = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
     weight = f * jnp.abs(m3.dot(wi, normal))[:, None] / pdf[:, None]
     est = np.asarray(jnp.mean(weight, axis=0))
     np.testing.assert_allclose(est, albedo, rtol=0.02)
@@ -85,12 +96,12 @@ def test_lambertian_pdf_integrates_to_one():
     """Integrate pdf over the sphere with uniform directions."""
     n = 400000
     buffers = make_buffers(T.MAT_MATTE)
-    lobes = lobes_for(buffers, n)
+    lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
     wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 99)
     wi, state = m3.random_unit_vector(state)
-    pdf = B.bsdf_pdf(lobes, onb, wo, wi)
+    pdf = B.bsdf_pdf(lobes, onb, wo, wi, cfg)
     integral = float(jnp.mean(pdf) * 4.0 * m3.PI)
     assert integral == pytest.approx(1.0, rel=0.02)
 
@@ -101,11 +112,11 @@ def test_microfacet_furnace_bounded():
     buffers = make_buffers(
         T.MAT_METAL, u0=(0, 0, 1, 1), u1=(0, 0, 0, 0),
         tex_colors=((1.0, 1.0, 1.0), (0.2, 0.2, 0.2)))  # eta=k tex, rough=0.2
-    lobes = lobes_for(buffers, n)
+    lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
     wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.9]), (n, 3)))
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 7)
-    wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state)
+    wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
     ok = pdf > 1e-6
     weight = jnp.where(ok[:, None],
                        f * jnp.abs(m3.dot(wi, normal))[:, None]
@@ -152,11 +163,11 @@ def test_glass_energy_conservation():
     """Fresnel-specular glass: reflected+transmitted weight == 1."""
     n = 20000
     buffers = make_buffers(T.MAT_GLASS, v0=(1.5, 0, 0, 0))
-    lobes = lobes_for(buffers, n)
+    lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
     wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.0, 0.95]), (n, 3)))
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 5)
-    wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state)
+    wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
     ok = pdf > 1e-6
     weight = jnp.where(ok[:, None],
                        f * jnp.abs(m3.dot(wi, normal))[:, None]
@@ -167,11 +178,11 @@ def test_glass_energy_conservation():
 
 def test_mirror_sample():
     buffers = make_buffers(T.MAT_MIRROR, tex_colors=((0.9, 0.9, 0.9),))
-    lobes = lobes_for(buffers, 4)
+    lobes, cfg = lobes_for(buffers, 4)
     onb, normal = default_frame(4)
     wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.5]), (4, 3)))
     state = rng.pcg_init(jnp.arange(4, dtype=jnp.uint32))
-    wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state)
+    wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
     expected = m3.normalize(jnp.asarray([[-0.5, 0.0, 0.5]]))
     np.testing.assert_allclose(np.asarray(wi), np.broadcast_to(expected,
                                                                (4, 3)),
