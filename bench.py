@@ -33,7 +33,7 @@ def main():
         "RENE_BENCH_SCENE",
         "/root/reference/sample_scenes/cornell-box/scene.pbrt")
 
-    from rene_tpu.render import _sample_fn
+    from rene_tpu.render import _batch_fn
     from rene_tpu.scene import load_scene
     from rene_tpu.scene.device import build_device_scene, to_jax
 
@@ -50,22 +50,20 @@ def main():
     buffers_np, config = build_device_scene(scene)
     buffers = to_jax(buffers_np)
     from rene_tpu.ops.accel import make_accel
-    run = _sample_fn(config, accel=make_accel(buffers_np, config))
+    run, _ = _batch_fn(config, accel=make_accel(buffers_np, config))
 
     n = res * res
     ys, xs = np.mgrid[0:res, 0:res]
     px = jnp.asarray(xs.reshape(-1).astype(np.int32))
     py = jnp.asarray(ys.reshape(-1).astype(np.int32))
 
-    # warmup / compile
-    out = run(buffers, px, py, jnp.uint32(0))
+    # warmup / compile (same static sample count as the timed run)
+    out = run(buffers, px, py, jnp.uint32(0), timed_samples)
     jax.block_until_ready(out["radiance"])
 
-    total_rays = 0.0
     t0 = time.time()
-    for s in range(timed_samples):
-        out = run(buffers, px, py, jnp.uint32(s + 1))
-        total_rays += float(out["rays"])
+    out = run(buffers, px, py, jnp.uint32(1), timed_samples)
+    total_rays = float(out["rays"])
     jax.block_until_ready(out["radiance"])
     dt = time.time() - t0
 

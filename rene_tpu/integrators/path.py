@@ -50,6 +50,185 @@ def max_depth_for(config: RenderConfig) -> int:
     return 50  # reference lib.rs:192
 
 
+def render_batch(buffers, config: RenderConfig, px, py, seed, num_samples,
+                 accel=None):
+    """Trace `num_samples` samples per pixel with path regeneration.
+
+    TPU-native persistent-lane design: each lane owns one pixel and streams
+    its samples back-to-back — when a path terminates, the lane immediately
+    starts the pixel's next sample (fresh camera ray, depth 0) instead of
+    idling until the whole wavefront drains. This removes the dead-lane tail
+    that dominates a naive bounce loop (with Russian roulette a 1M-lane
+    wavefront runs ~60 near-empty iterations per sample; regenerated lanes
+    stay ~100% utilized). Because a lane's pixel never changes, radiance
+    accumulates in registers — no film scatter.
+
+    Returns summed (not averaged) radiance/normal/albedo over the samples.
+    """
+    n = px.shape[0]
+    w = config.film.xresolution
+    pix_index = (py.astype(jnp.uint32) * jnp.uint32(w)
+                 + px.astype(jnp.uint32))
+    state = rng.pcg_init(pix_index ^ jnp.uint32(seed))
+
+    org, direction, state = generate_rays(buffers, config, px, py, state)
+
+    max_depth = max_depth_for(config)
+    num_emit = config.num_emit_objects
+    use_rr = max_depth > RR_START + 1
+
+    carry = {
+        "state": state,
+        "org": org,
+        "dir": direction,
+        "color": jnp.ones((n, 3), jnp.float32),
+        "depth": jnp.zeros((n,), jnp.int32),
+        "sample": jnp.zeros((n,), jnp.int32),  # index of the running sample
+        "radiance": jnp.zeros((n, 3), jnp.float32),
+        "aov_normal": jnp.zeros((n, 3), jnp.float32),
+        "aov_albedo": jnp.zeros((n, 3), jnp.float32),
+        "rays": jnp.zeros((), jnp.float32),
+    }
+
+    def cond(c):
+        return jnp.any(c["sample"] < num_samples)
+
+    def body(c):
+        state = c["state"]
+        active = c["sample"] < num_samples
+        color = c["color"]
+        radiance = c["radiance"]
+        depth = c["depth"]
+        rays = c["rays"] + jnp.sum(active.astype(jnp.float32)) \
+            * (1.0 + config.num_lights + (1.0 if num_emit > 0 else 0.0))
+
+        hit = I.trace(buffers, config, c["org"], c["dir"], TMIN, TMAX,
+                      accel=accel)
+
+        # -- miss: background (lib.rs:209-211)
+        bg = background_radiance(buffers, c["dir"], config)
+        miss = active & ~hit["hit"]
+        radiance = radiance + jnp.where(miss[:, None], color * bg, 0.0)
+        path_alive = active & hit["hit"]
+
+        # -- surface setup
+        wo = -m3.normalize(c["dir"])
+        normal = m3.normalize(hit["normal"])
+        position = hit["position"]
+        uv = hit["uv"]
+        inst = hit["inst"]
+        mat_idx = buffers["inst_material"][inst]
+        al_idx = buffers["inst_area_light"][inst]
+
+        onb = m3.onb_from_w(normal)
+        lobes = B.compute_bsdf(buffers, mat_idx, uv, config)
+
+        # -- emitter hit (one-sided)
+        al_color = buffers["area_color"][al_idx]
+        al_on = (buffers["area_type"][al_idx] != T.AREA_NULL) \
+            & (m3.dot(wo, normal) > 0.0)
+        radiance = radiance + jnp.where(
+            (path_alive & al_on)[:, None], color * al_color, 0.0)
+
+        # -- AOVs at per-path depth 0, accumulated over samples
+        first = path_alive & (depth == 0)
+        albedo = B.material_albedo(buffers, mat_idx, uv, config)
+        aov_normal = c["aov_normal"] + jnp.where(first[:, None], normal, 0.0)
+        aov_albedo = c["aov_albedo"] + jnp.where(first[:, None], albedo, 0.0)
+
+        # -- NEE for distant lights
+        for li in range(config.num_lights):
+            ldir = buffers["light_dir"][li]
+            lcol = buffers["light_color"][li]
+            wi_l = jnp.broadcast_to(ldir, position.shape)
+            shadowed = I.occluded(buffers, config, position, wi_l, TMIN,
+                                  TMAX, accel=accel)
+            f_l = B.bsdf_f(lobes, onb, normal, wo, wi_l, config)
+            contrib = (color * f_l
+                       * jnp.abs(m3.dot(wi_l, normal))[:, None] * lcol)
+            radiance = radiance + jnp.where(
+                (path_alive & ~shadowed)[:, None], contrib, 0.0)
+
+        # -- scatter: MIS mixture or plain BSDF sampling
+        swi, sf, spdf, state = B.bsdf_sample_f(lobes, onb, wo, state, config)
+        if num_emit > 0:
+            coin, state = rng.next_f32(state)
+            ls_wi, state = sample_emit_object(buffers, config, position,
+                                              state)
+            take_light = coin > 0.5
+            use_mis = B.bsdf_contains(lobes, T.KIND_DIFFUSE)
+            wi = jnp.where((use_mis & take_light)[:, None], ls_wi, swi)
+            f = jnp.where((use_mis & take_light)[:, None],
+                          B.bsdf_f(lobes, onb, normal, wo, ls_wi, config),
+                          sf)
+            pdf_b = jnp.where(use_mis & take_light,
+                              B.bsdf_pdf(lobes, onb, wo, ls_wi, config),
+                              spdf)
+            light_pdf = I.trace_emissive_pdf(
+                buffers, config, position, wi, TMIN, TMAX,
+                accel=accel) / num_emit
+            pdf = jnp.where(use_mis, 0.5 * pdf_b + 0.5 * light_pdf, spdf)
+            f = jnp.where(use_mis[:, None], f, sf)
+            wi = jnp.where(use_mis[:, None], wi, swi)
+        else:
+            wi, f, pdf = swi, sf, spdf
+
+        path_alive = path_alive & (pdf >= 1e-5)
+        color = color * f * jnp.abs(m3.dot(normal, wi))[:, None] \
+            / jnp.maximum(pdf, 1e-20)[:, None]
+        path_alive = path_alive & jnp.any(color != 0.0, axis=-1)
+
+        # -- Russian roulette (per-lane depth)
+        if use_rr:
+            rr, state = rng.next_f32(state)
+            p_cont = jnp.clip(jnp.max(color, axis=-1), 0.0, 1.0)
+            do_rr = depth > RR_START
+            path_alive = path_alive & (~do_rr | (rr <= p_cont))
+            color = jnp.where((do_rr & path_alive)[:, None],
+                              color / jnp.maximum(p_cont, 1e-20)[:, None],
+                              color)
+
+        depth = depth + 1
+        path_alive = path_alive & (depth < max_depth)
+
+        # -- regeneration: terminated lanes start their next sample
+        finished = active & ~path_alive
+        sample = c["sample"] + finished.astype(jnp.int32)
+        still_active = sample < num_samples
+        regen = finished & still_active
+        cam_org, cam_dir, state = generate_rays(buffers, config, px, py,
+                                                state)
+        new_org = jnp.where(regen[:, None], cam_org,
+                            jnp.where(path_alive[:, None], position,
+                                      c["org"]))
+        new_dir = jnp.where(regen[:, None], cam_dir,
+                            jnp.where(path_alive[:, None], wi, c["dir"]))
+        color = jnp.where(regen[:, None], 1.0,
+                          jnp.where(path_alive[:, None], color, c["color"]))
+        depth = jnp.where(regen, 0, jnp.where(path_alive, depth, c["depth"]))
+
+        return {
+            "state": state,
+            "org": new_org,
+            "dir": new_dir,
+            "color": color,
+            "depth": depth,
+            "sample": sample,
+            "radiance": radiance,
+            "aov_normal": aov_normal,
+            "aov_albedo": aov_albedo,
+            "rays": rays,
+        }
+
+    out = jax.lax.while_loop(cond, body, carry)
+    return {
+        "radiance": out["radiance"],
+        "normal": out["aov_normal"],
+        "albedo": out["aov_albedo"],
+        "rays": out["rays"],
+    }
+
+
 def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
     """Trace one sample for rays at integer pixel coords (px, py).
 

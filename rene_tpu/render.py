@@ -45,6 +45,31 @@ def _sample_fn(config: RenderConfig, accel=None):
     return run
 
 
+def _batch_fn(config: RenderConfig, accel=None):
+    """Jitted multi-sample kernel with path regeneration (path integrator);
+    volpath falls back to one-sample calls per chunk."""
+    import jax
+
+    if config.integrator == "volpath":
+        from .integrators.volpath import render_sample
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run(buffers, px, py, seed, num_samples):
+            outs = render_sample(buffers, config, px, py, seed, accel=accel)
+            return outs
+
+        return run, 1  # chunk size 1 sample
+
+    from .integrators.path import render_batch
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def run(buffers, px, py, seed, num_samples):
+        return render_batch(buffers, config, px, py, seed, num_samples,
+                            accel=accel)
+
+    return run, LOG_EVERY
+
+
 def render(scene: FlatScene, spp: int = DEFAULT_SPP,
            seed: int = 0, tile_rays: int = 1 << 18,
            checkpoint: Optional[str] = None,
@@ -72,7 +97,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     px_all = jnp.asarray(xs.reshape(-1).astype(np.int32))
     py_all = jnp.asarray(ys.reshape(-1).astype(np.int32))
 
-    run = _sample_fn(config, accel=accel)
+    run, max_chunk = _batch_fn(config, accel=accel)
 
     accum = {
         "radiance": np.zeros((n, 3), np.float32),
@@ -88,33 +113,36 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
             log.info("resumed from %s at sample %d", checkpoint, start_sample)
 
     host_rng = np.random.default_rng(seed)
-    # skip the seeds already consumed when resuming
-    for _ in range(start_sample):
+    # consume the seeds of completed chunks when resuming
+    consumed = 0
+    while consumed < start_sample:
         host_rng.integers(0, 2 ** 32, dtype=np.uint32)
+        consumed += min(max_chunk, start_sample - consumed)
 
     tiles = [(s, min(s + tile_rays, n)) for s in range(0, n, tile_rays)]
     total_rays = 0.0
     t_batch = time.time()
     t_start = time.time()
-    for s in range(start_sample, spp):
-        sample_seed = np.uint32(host_rng.integers(0, 2 ** 32,
-                                                  dtype=np.uint32))
+    done = start_sample
+    while done < spp:
+        chunk = min(max_chunk, spp - done)
+        chunk_seed = np.uint32(host_rng.integers(0, 2 ** 32,
+                                                 dtype=np.uint32))
         for lo, hi in tiles:
             out = run(buffers, px_all[lo:hi], py_all[lo:hi],
-                      jnp.uint32(sample_seed))
+                      jnp.uint32(chunk_seed), chunk)
             for k in accum:
                 accum[k][lo:hi] += np.asarray(out[k])
             total_rays += float(out["rays"])
-        done = s + 1
-        if done % LOG_EVERY == 0 or done == spp:
-            dt = (time.time() - t_batch) * 1000.0
-            log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
-            t_batch = time.time()
-            if progress:
-                progress(done, spp, dt)
-            if checkpoint:
-                from .utils.checkpoint import save_checkpoint
-                save_checkpoint(checkpoint, accum, done)
+        done += chunk
+        dt = (time.time() - t_batch) * 1000.0
+        log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
+        t_batch = time.time()
+        if progress:
+            progress(done, spp, dt)
+        if checkpoint:
+            from .utils.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint, accum, done)
 
     color = accum["radiance"] / max(spp, 1)
     normal = accum["normal"] / max(spp, 1)
