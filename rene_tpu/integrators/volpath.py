@@ -114,6 +114,14 @@ def _tr_march(buffers, config, org, direction, med_idx, accel=None,
 
 
 def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
+    return render_batch(buffers, config, px, py, seed, 1, accel=accel)
+
+
+def render_batch(buffers, config: RenderConfig, px, py, seed, num_samples,
+                 accel=None):
+    """volpath with path regeneration (see path.render_batch): each lane
+    streams `num_samples` samples of its own pixel; returns summed outputs.
+    """
     n = px.shape[0]
     w = config.film.xresolution
     pix_index = (py.astype(jnp.uint32) * jnp.uint32(w)
@@ -125,13 +133,13 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
     num_emit = config.num_emit_objects
 
     carry = {
-        "i": jnp.int32(0),
         "state": state,
         "org": org,
         "dir": direction,
         "color": jnp.ones((n, 3), jnp.float32),
+        "depth": jnp.zeros((n,), jnp.int32),
+        "sample": jnp.zeros((n,), jnp.int32),
         "radiance": jnp.zeros((n, 3), jnp.float32),
-        "alive": jnp.ones((n,), bool),
         "med": jnp.zeros((n,), jnp.int32),
         "aov_normal": jnp.zeros((n, 3), jnp.float32),
         "aov_albedo": jnp.zeros((n, 3), jnp.float32),
@@ -139,14 +147,15 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
     }
 
     def cond(c):
-        return (c["i"] < max_depth) & jnp.any(c["alive"])
+        return jnp.any(c["sample"] < num_samples)
 
     def body(c):
         state = c["state"]
-        alive = c["alive"]
+        alive = c["sample"] < num_samples
         color = c["color"]
         radiance = c["radiance"]
         med = c["med"]
+        depth = c["depth"]
 
         rays = c["rays"] + jnp.sum(alive.astype(jnp.float32)) \
             * (1.0 + config.num_lights + (1.0 if num_emit > 0 else 0.0))
@@ -210,10 +219,10 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
         radiance = radiance + jnp.where((surf & al_on)[:, None],
                                         color * al_color, 0.0)
 
-        first = surf & (c["i"] == 0)
+        first = surf & (depth == 0)
         albedo = B.material_albedo(buffers, mat_idx, uv, config)
-        aov_normal = jnp.where(first[:, None], normal, c["aov_normal"])
-        aov_albedo = jnp.where(first[:, None], albedo, c["aov_albedo"])
+        aov_normal = c["aov_normal"] + jnp.where(first[:, None], normal, 0.0)
+        aov_albedo = c["aov_albedo"] + jnp.where(first[:, None], albedo, 0.0)
 
         surf_scatter = surf & ~mat_none
         for li in range(config.num_lights):
@@ -270,15 +279,34 @@ def render_sample(buffers, config: RenderConfig, px, py, seed, accel=None):
 
         alive = alive & jnp.any(color != 0.0, axis=-1)
 
+        depth = depth + 1
+        alive = alive & (depth < max_depth)
+
+        # -- regeneration: terminated lanes start their next sample
+        active = c["sample"] < num_samples
+        finished = active & ~alive
+        sample = c["sample"] + finished.astype(jnp.int32)
+        regen = finished & (sample < num_samples)
+        cam_org, cam_dir, state = generate_rays(buffers, config, px, py,
+                                                state)
+        out_org = jnp.where(regen[:, None], cam_org,
+                            jnp.where(alive[:, None], new_org, c["org"]))
+        out_dir = jnp.where(regen[:, None], cam_dir,
+                            jnp.where(alive[:, None], new_dir, c["dir"]))
+        out_color = jnp.where(regen[:, None], 1.0,
+                              jnp.where(alive[:, None], color, c["color"]))
+        out_depth = jnp.where(regen, 0, jnp.where(alive, depth, c["depth"]))
+        out_med = jnp.where(regen, 0, jnp.where(alive, new_med, med))
+
         return {
-            "i": c["i"] + 1,
             "state": state,
-            "org": jnp.where(alive[:, None], new_org, c["org"]),
-            "dir": jnp.where(alive[:, None], new_dir, c["dir"]),
-            "color": jnp.where(alive[:, None], color, c["color"]),
+            "org": out_org,
+            "dir": out_dir,
+            "color": out_color,
+            "depth": out_depth,
+            "sample": sample,
             "radiance": radiance,
-            "alive": alive,
-            "med": jnp.where(alive, new_med, med),
+            "med": out_med,
             "aov_normal": aov_normal,
             "aov_albedo": aov_albedo,
             "rays": rays,

@@ -51,16 +51,9 @@ def _batch_fn(config: RenderConfig, accel=None):
     import jax
 
     if config.integrator == "volpath":
-        from .integrators.volpath import render_sample
-
-        @functools.partial(jax.jit, static_argnums=(4,))
-        def run(buffers, px, py, seed, num_samples):
-            outs = render_sample(buffers, config, px, py, seed, accel=accel)
-            return outs
-
-        return run, 1  # chunk size 1 sample
-
-    from .integrators.path import render_batch
+        from .integrators.volpath import render_batch
+    else:
+        from .integrators.path import render_batch
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def run(buffers, px, py, seed, num_samples):

@@ -89,13 +89,25 @@ def main():
 
     timeit("emissive pdf trace", pdf_trace, buffers, org, d)
 
-    from rene_tpu.render import _sample_fn
-    run = _sample_fn(config)
-    dt = timeit("full sample (all bounces)", run, buffers, px, py,
-                jnp.uint32(1), iters=3)
-    out = run(buffers, px, py, jnp.uint32(1))
-    rays = float(out["rays"])
-    print(f"  -> rays/sample={rays:.0f}, {rays / dt / 1e6:.1f} Mrays/s")
+    from rene_tpu.ops.accel import make_accel
+    from rene_tpu.render import _batch_fn
+    accel = make_accel(buffers_np, config)
+
+    @jax.jit
+    def tr_mxu(buffers, org, d):
+        return I.trace(buffers, config, org, d, 1e-3, 1e5, accel=accel)
+
+    hitm = tr_mxu(buffers, org, d)
+    dtm = timeit("trace (MXU accel)", tr_mxu, buffers, org, d)
+    print(f"  -> {n / dtm / 1e6:.1f} Mrays/s trace-only (MXU)")
+
+    run, _ = _batch_fn(config, accel=accel)
+    for s in (4, 16):
+        dt = timeit(f"batch {s} samples (regen)", run, buffers, px, py,
+                    jnp.uint32(1), s, iters=2)
+        out = run(buffers, px, py, jnp.uint32(1), s)
+        rays = float(out["rays"])
+        print(f"  -> rays={rays:.0f}, {rays / dt / 1e6:.1f} Mrays/s")
 
 
 if __name__ == "__main__":
