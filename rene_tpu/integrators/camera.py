@@ -1,21 +1,22 @@
-"""Perspective camera ray generation.
+"""Perspective camera ray generation (component-SoA).
 
-Port of PerspectiveCamera::get_ray (rene-shader/src/camera.rs:77-90): push the
-jittered NDC point through the inverse projection (glam transform_point3a
-semantics — no perspective divide) and the camera-to-world transform.
-Pixel jitter follows the raygen shader: u=(x+xi)/(W-1), v=(y+xi)/(H-1)
-(lib.rs:178-179); the film row flip happens at accumulation (film.py).
+Port of PerspectiveCamera::get_ray (rene-shader/src/camera.rs:77-90): push
+the jittered NDC point through the inverse projection (glam
+transform_point3a semantics — no perspective divide) and the camera-to-world
+transform. Pixel jitter follows the raygen shader: u=(x+xi)/(W-1),
+v=(y+xi)/(H-1) (lib.rs:178-179); the film row flip happens at accumulation.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops import math3d as m3
 from ..ops import rng
+from ..ops.vec3 import V3
 
 
 def generate_rays(buffers, config, px, py, state):
-    """px, py: (N,) int32 pixel coordinates. Returns (org, dir, state)."""
+    """px, py: (N,) int32 pixel coordinates. Returns (org V3, dir V3, state).
+    """
     w = config.film.xresolution
     h = config.film.yresolution
     ju, state = rng.next_f32(state)
@@ -23,12 +24,24 @@ def generate_rays(buffers, config, px, py, state):
     u = (px.astype(jnp.float32) + ju) / jnp.float32(max(w - 1, 1))
     v = (py.astype(jnp.float32) + jv) / jnp.float32(max(h - 1, 1))
 
-    ndc = jnp.stack([u * 2.0 - 1.0, v * 2.0 - 1.0, jnp.ones_like(u)], -1)
-    target_cam = m3.mat4_point_no_divide(buffers["camera_proj_inv"], ndc)
+    proj = buffers["camera_proj_inv"]
     c2w = buffers["camera_to_world"]
-    origin = m3.mat4_point_no_divide(
-        c2w, jnp.zeros((1, 3), jnp.float32))[0]
-    target = m3.mat4_point_no_divide(c2w, target_cam)
-    direction = m3.normalize(target - origin[None, :])
-    org = jnp.broadcast_to(origin, direction.shape)
-    return org, direction, state
+    ndc = V3(u * 2.0 - 1.0, v * 2.0 - 1.0, jnp.ones_like(u))
+    # glam transform_point3a: xyz of M @ (p, 1), no perspective divide
+    tc = V3(proj[0, 0] * ndc.x + proj[0, 1] * ndc.y + proj[0, 2] * ndc.z
+            + proj[0, 3],
+            proj[1, 0] * ndc.x + proj[1, 1] * ndc.y + proj[1, 2] * ndc.z
+            + proj[1, 3],
+            proj[2, 0] * ndc.x + proj[2, 1] * ndc.y + proj[2, 2] * ndc.z
+            + proj[2, 3])
+    target = V3(c2w[0, 0] * tc.x + c2w[0, 1] * tc.y + c2w[0, 2] * tc.z
+                + c2w[0, 3],
+                c2w[1, 0] * tc.x + c2w[1, 1] * tc.y + c2w[1, 2] * tc.z
+                + c2w[1, 3],
+                c2w[2, 0] * tc.x + c2w[2, 1] * tc.y + c2w[2, 2] * tc.z
+                + c2w[2, 3])
+    origin = V3(jnp.broadcast_to(c2w[0, 3], u.shape),
+                jnp.broadcast_to(c2w[1, 3], u.shape),
+                jnp.broadcast_to(c2w[2, 3], u.shape))
+    direction = (target - origin).normalized()
+    return origin, direction, state

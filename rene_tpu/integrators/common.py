@@ -3,23 +3,32 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops import math3d as m3
 from ..ops import rng
+from ..ops import vec3 as v3
 from ..ops.texture import tex_color
+from ..ops.vec3 import V3
 from ..scene import types as T
 
 
-def background_radiance(buffers, direction, config=None):
-    """Infinite-light radiance for escaped rays (main_miss, lib.rs:120-139)."""
-    n = direction.shape[0]
-    d = m3.normalize(m3.mat4_vector(buffers["background_matrix"], direction))
-    uv = m3.sphere_uv(d)
+def background_radiance(buffers, direction: V3, config=None) -> V3:
+    """Infinite-light radiance for escaped rays (main_miss, lib.rs:120-139).
+    """
+    n = direction.x.shape[0]
+    m = buffers["background_matrix"]
+    d = V3(m[0, 0] * direction.x + m[0, 1] * direction.y
+           + m[0, 2] * direction.z,
+           m[1, 0] * direction.x + m[1, 1] * direction.y
+           + m[1, 2] * direction.z,
+           m[2, 0] * direction.x + m[2, 1] * direction.y
+           + m[2, 2] * direction.z).normalized()
+    u, v = v3.sphere_uv(d)
     tex_idx = jnp.broadcast_to(buffers["background_texture"], (n,))
-    tex = tex_color(buffers, tex_idx, uv, config)
-    return buffers["background_color"][None, :] * tex
+    tex = tex_color(buffers, tex_idx, (u, v), config)
+    bg = buffers["background_color"]
+    return tex * V3(bg[0], bg[1], bg[2])
 
 
-def sample_emit_object(buffers, config, position, state):
+def sample_emit_object(buffers, config, position: V3, state):
     """Uniformly pick an emissive object and a point on it; return the
     direction from `position` (EnumSurfaceSample::sample,
     surface_sample.rs:74-117 — triangles already world-space here).
@@ -30,25 +39,42 @@ def sample_emit_object(buffers, config, position, state):
     kind = buffers["eo_kind"][eo]
     tri_start = buffers["eo_tri_start"][eo]
     prim_count = buffers["eo_prim_count"][eo]
-    matrix = buffers["eo_matrix"][eo]
 
     # triangle: uniform primitive, uniform barycentric point
     u_prim, state = rng.next_u32(state)
     prim = (u_prim % prim_count.astype(jnp.uint32)).astype(jnp.int32)
-    tri_id = jnp.clip(tri_start + prim, 0,
-                      max(config.num_triangles - 1, 0))
-    p = buffers["tri_p"][tri_id]
+    tri_id = jnp.clip(tri_start + prim, 0, max(config.num_triangles - 1, 0))
+    g = jnp.take(buffers["tri_pT"], tri_id, axis=1)  # (9, N)
     r, state = rng.next_f32(state)
     s, state = rng.next_f32(state)
     flip = (r + s) > 1.0
     r = jnp.where(flip, 1.0 - r, r)
     s = jnp.where(flip, 1.0 - s, s)
-    tri_pt = (p[:, 0] * (1.0 - r - s)[:, None] + p[:, 1] * r[:, None]
-              + p[:, 2] * s[:, None])
+    w0 = 1.0 - r - s
+    tri_pt = V3(g[0] * w0 + g[3] * r + g[6] * s,
+                g[1] * w0 + g[4] * r + g[7] * s,
+                g[2] * w0 + g[5] * r + g[8] * s)
 
-    # sphere: random unit vector through the instance matrix
-    v, state = m3.random_unit_vector(state)
-    sph_pt = m3.affine_point(matrix, v)
+    if config.num_emit_spheres > 0:
+        # sphere: random unit vector through the instance matrix
+        vdir, state = random_unit_vector(state)
+        m = jnp.take(buffers["eo_matrixT"], eo, axis=1)
+        sph_pt = V3(m[0] * vdir.x + m[1] * vdir.y + m[2] * vdir.z + m[3],
+                    m[4] * vdir.x + m[5] * vdir.y + m[6] * vdir.z + m[7],
+                    m[8] * vdir.x + m[9] * vdir.y + m[10] * vdir.z + m[11])
+        point = v3.where(kind == T.KIND_SPHERE, sph_pt, tri_pt)
+    else:
+        point = tri_pt
+    return (point - position).normalized(), state
 
-    point = jnp.where((kind == T.KIND_SPHERE)[:, None], sph_pt, tri_pt)
-    return m3.normalize(point - position), state
+
+def random_unit_vector(state):
+    """Uniform direction on the sphere (replaces the reference's rejection
+    sampling with a closed form, math.rs:8-20)."""
+    import math
+    u1, state = rng.next_f32(state)
+    u2, state = rng.next_f32(state)
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * math.pi * u2
+    return V3(r * jnp.cos(phi), r * jnp.sin(phi), z), state

@@ -1,13 +1,14 @@
-"""Fresnel terms: dielectric, conductor, no-op — vectorized.
+"""Fresnel terms: dielectric, conductor, no-op — component-SoA.
 
 Port of rene-shader/src/reflection/fresnel.rs and the `fr_dielectric`
-helper (reflection/bxdf.rs:138-165).
+helper (reflection/bxdf.rs:138-165); per-channel math on (N,) arrays.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from ..scene import types as T
+from .vec3 import V3
 
 
 def fr_dielectric(cos_theta_i, eta_i, eta_t):
@@ -28,14 +29,7 @@ def fr_dielectric(cos_theta_i, eta_i, eta_t):
     return jnp.where(sin_t >= 1.0, 1.0, f)
 
 
-def fr_conductor(cos_theta_i, eta_i, eta_t, k):
-    """Conductor Fresnel, per-channel (fresnel.rs:78-102). Inputs:
-    cos (N,), eta_i/eta_t/k (N,3). Returns (N,3)."""
-    c = jnp.clip(cos_theta_i, -1.0, 1.0)[..., None]
-    eta = eta_t / jnp.maximum(eta_i, 1e-20)
-    eta_k = k / jnp.maximum(eta_i, 1e-20)
-    c2 = c * c
-    s2 = 1.0 - c2
+def _fr_conductor_channel(c2, s2, eta, eta_k, c):
     eta2 = eta * eta
     eta_k2 = eta_k * eta_k
     t0 = eta2 - eta_k2 - s2
@@ -50,13 +44,29 @@ def fr_conductor(cos_theta_i, eta_i, eta_t, k):
     return 0.5 * (rp + rs)
 
 
-def evaluate(fr_type, eta_i, eta_t, k, cos_i):
-    """EnumFresnel::evaluate (fresnel.rs:161-171). Shapes: fr_type (N,),
-    eta_i/eta_t/k (N,3), cos_i (N,). Returns (N,3)."""
-    cond = fr_conductor(jnp.abs(cos_i), eta_i, eta_t, k)
-    diel = fr_dielectric(cos_i, eta_i[..., 0], eta_t[..., 0])[..., None]
-    out = jnp.where((fr_type == T.FRESNEL_CONDUCTOR)[..., None], cond,
-                    jnp.ones_like(cond))
-    out = jnp.where((fr_type == T.FRESNEL_DIELECTRIC)[..., None],
-                    jnp.broadcast_to(diel, cond.shape), out)
+def fr_conductor(cos_theta_i, eta_i: V3, eta_t: V3, k: V3) -> V3:
+    """Conductor Fresnel, per-channel (fresnel.rs:78-102)."""
+    c = jnp.clip(cos_theta_i, -1.0, 1.0)
+    c2 = c * c
+    s2 = 1.0 - c2
+    eta = eta_t / eta_i.map(lambda v: jnp.maximum(v, 1e-20))
+    eta_k = k / eta_i.map(lambda v: jnp.maximum(v, 1e-20))
+    return V3(_fr_conductor_channel(c2, s2, eta.x, eta_k.x, c),
+              _fr_conductor_channel(c2, s2, eta.y, eta_k.y, c),
+              _fr_conductor_channel(c2, s2, eta.z, eta_k.z, c))
+
+
+def evaluate(fr_type, eta_i: V3, eta_t: V3, k: V3, cos_i,
+             types_present=(T.FRESNEL_CONDUCTOR, T.FRESNEL_NOOP,
+                            T.FRESNEL_DIELECTRIC)) -> V3:
+    """EnumFresnel::evaluate (fresnel.rs:161-171), variant-pruned."""
+    from . import vec3 as v3
+    out = V3.ones(cos_i.shape)
+    if T.FRESNEL_CONDUCTOR in types_present:
+        cond = fr_conductor(jnp.abs(cos_i), eta_i, eta_t, k)
+        out = v3.where(fr_type == T.FRESNEL_CONDUCTOR, cond, out)
+    if T.FRESNEL_DIELECTRIC in types_present:
+        diel = fr_dielectric(cos_i, eta_i.x, eta_t.x)
+        out = v3.where(fr_type == T.FRESNEL_DIELECTRIC,
+                       V3(diel, diel, diel), out)
     return out

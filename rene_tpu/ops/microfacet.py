@@ -1,8 +1,9 @@
-"""Trowbridge–Reitz (GGX) microfacet distribution, vectorized.
+"""Trowbridge–Reitz (GGX) microfacet distribution, component-SoA.
 
 Port of rene-shader/src/reflection/microfacet.rs (itself pbrt-v3) to
-branch-free jnp over lobe arrays: `d`, Smith `lambda`/`g`/`g1`,
-visible-normal sampling `sample_wh`, `pdf`, and `roughness_to_alpha`.
+branch-free jnp over (N,) component arrays (see vec3.py for the layout
+rationale): `d`, Smith `lambda`/`g`/`g1`, visible-normal sampling
+`sample_wh`, `pdf`, and `roughness_to_alpha`.
 
 Deviation (documented): the reference's `trowbridge_reitz_sample11`
 mis-parenthesizes the G1 term (`2/(2+1/|a|)` instead of pbrt's
@@ -11,9 +12,15 @@ sampling; we use the correct pbrt formula.
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-from . import math3d as m3
+from . import vec3 as v3
+from .vec3 import V3
+
+PI = math.pi
+TWO_PI = 2.0 * math.pi
 
 
 def roughness_to_alpha(roughness):
@@ -24,54 +31,50 @@ def roughness_to_alpha(roughness):
             + 0.000640711 * x ** 4)
 
 
-def tr_d(alpha, wh):
+def tr_d(ax, ay, wh: V3):
     """GGX normal distribution (microfacet.rs:141-155)."""
-    ax = alpha[..., 0]
-    ay = alpha[..., 1]
-    tan2 = m3.tan2_theta(wh)
-    cos4 = m3.cos2_theta(wh) ** 2
-    e = (m3.cos2_phi(wh) / jnp.maximum(ax * ax, 1e-20)
-         + m3.sin2_phi(wh) / jnp.maximum(ay * ay, 1e-20)) * tan2
-    d = 1.0 / (m3.PI * ax * ay * cos4 * (1.0 + e) ** 2)
+    tan2 = v3.tan2_theta(wh)
+    cos4 = v3.cos2_theta(wh) ** 2
+    e = (v3.cos2_phi(wh) / jnp.maximum(ax * ax, 1e-20)
+         + v3.sin2_phi(wh) / jnp.maximum(ay * ay, 1e-20)) * tan2
+    d = 1.0 / jnp.maximum(PI * ax * ay * cos4 * (1.0 + e) ** 2, 1e-30)
     return jnp.where(jnp.isfinite(tan2) & jnp.isfinite(d), d, 0.0)
 
 
-def tr_lambda(alpha, w):
+def tr_lambda(ax, ay, w: V3):
     """Smith lambda (microfacet.rs:157-174)."""
-    abs_tan = jnp.abs(m3.tan_theta(w))
-    alpha2 = jnp.sqrt(m3.cos2_phi(w) * alpha[..., 0] ** 2
-                      + m3.sin2_phi(w) * alpha[..., 1] ** 2)
+    abs_tan = jnp.abs(v3.tan_theta(w))
+    alpha2 = jnp.sqrt(v3.cos2_phi(w) * ax * ax + v3.sin2_phi(w) * ay * ay)
     a = 1.0 / jnp.maximum(alpha2 * abs_tan, 1e-20)
     lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
-    lam = jnp.where((a >= 1.6) | ~jnp.isfinite(abs_tan), 0.0, lam)
-    return lam
+    return jnp.where((a >= 1.6) | ~jnp.isfinite(abs_tan), 0.0, lam)
 
 
-def tr_g(alpha, wo, wi):
-    return 1.0 / (1.0 + tr_lambda(alpha, wo) + tr_lambda(alpha, wi))
+def tr_g(ax, ay, wo: V3, wi: V3):
+    return 1.0 / (1.0 + tr_lambda(ax, ay, wo) + tr_lambda(ax, ay, wi))
 
 
-def tr_g1(alpha, w):
-    return 1.0 / (1.0 + tr_lambda(alpha, w))
+def tr_g1(ax, ay, w: V3):
+    return 1.0 / (1.0 + tr_lambda(ax, ay, w))
 
 
 def _sample11(cos_theta, u1, u2):
     """Visible-normal slope sampling (pbrt TrowbridgeReitzSample11)."""
-    # normal-incidence special case
     r_s = jnp.sqrt(u1 / jnp.maximum(1.0 - u1, 1e-9))
-    phi_s = m3.TWO_PI * u2
-    special = (r_s * jnp.cos(phi_s), r_s * jnp.sin(phi_s))
+    phi_s = TWO_PI * u2
+    special_x = r_s * jnp.cos(phi_s)
+    special_y = r_s * jnp.sin(phi_s)
 
     c = jnp.clip(cos_theta, -1.0, 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
-    tan_theta = sin_theta / jnp.maximum(c, 1e-9)
-    a0 = 1.0 / jnp.maximum(tan_theta, 1e-9)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    tan_t = sin_t / jnp.maximum(c, 1e-9)
+    a0 = 1.0 / jnp.maximum(tan_t, 1e-9)
     g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / (a0 * a0)))
 
     a = 2.0 * u1 / jnp.maximum(g1, 1e-9) - 1.0
     tmp = jnp.minimum(1.0 / jnp.where(jnp.abs(a * a - 1.0) > 1e-12,
                                       a * a - 1.0, 1e-12), 1e10)
-    b = tan_theta
+    b = tan_t
     d = jnp.sqrt(jnp.maximum(b * b * tmp * tmp - (a * a - b * b) * tmp, 0.0))
     slope_x_1 = b * tmp - d
     slope_x_2 = b * tmp + d
@@ -84,31 +87,25 @@ def _sample11(cos_theta, u1, u2):
     slope_y = s * z * jnp.sqrt(1.0 + slope_x * slope_x)
 
     take_special = cos_theta > 0.9999
-    return (jnp.where(take_special, special[0], slope_x),
-            jnp.where(take_special, special[1], slope_y))
+    return (jnp.where(take_special, special_x, slope_x),
+            jnp.where(take_special, special_y, slope_y))
 
 
-def tr_sample_wh(alpha, wo, u1, u2):
+def tr_sample_wh(ax, ay, wo: V3, u1, u2) -> V3:
     """Sample a visible microfacet normal (microfacet.rs:124-190)."""
-    flip = wo[..., 2] < 0.0
-    w = jnp.where(flip[..., None], -wo, wo)
-    ax = alpha[..., 0]
-    ay = alpha[..., 1]
-    stretched = m3.normalize(jnp.stack(
-        [ax * w[..., 0], ay * w[..., 1], w[..., 2]], axis=-1))
-    sx, sy = _sample11(m3.cos_theta(stretched), u1, u2)
-    cp = m3.cos_phi(stretched)
-    sp = m3.sin_phi(stretched)
-    slope_x = cp * sx - sp * sy
-    slope_y = sp * sx + cp * sy
-    slope_x = ax * slope_x
-    slope_y = ay * slope_y
-    wh = m3.normalize(jnp.stack(
-        [-slope_x, -slope_y, jnp.ones_like(slope_x)], axis=-1))
-    return jnp.where(flip[..., None], -wh, wh)
+    flip = wo.z < 0.0
+    w = v3.where(flip, -wo, wo)
+    stretched = V3(ax * w.x, ay * w.y, w.z).normalized()
+    sx, sy = _sample11(v3.cos_theta(stretched), u1, u2)
+    cp = v3.cos_phi(stretched)
+    sp = v3.sin_phi(stretched)
+    slope_x = ax * (cp * sx - sp * sy)
+    slope_y = ay * (sp * sx + cp * sy)
+    wh = V3(-slope_x, -slope_y, jnp.ones_like(slope_x)).normalized()
+    return v3.where(flip, -wh, wh)
 
 
-def tr_pdf(alpha, wo, wh):
+def tr_pdf(ax, ay, wo: V3, wh: V3):
     """Visible-normal pdf of wh (microfacet.rs:192-194)."""
-    return (tr_d(alpha, wh) * tr_g1(alpha, wo) * jnp.abs(m3.dot(wo, wh))
-            / jnp.maximum(m3.abs_cos_theta(wo), 1e-9))
+    return (tr_d(ax, ay, wh) * tr_g1(ax, ay, wo) * jnp.abs(wo.dot(wh))
+            / jnp.maximum(v3.abs_cos_theta(wo), 1e-9))

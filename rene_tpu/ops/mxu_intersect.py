@@ -70,20 +70,30 @@ class MXUIntersector:
         return self
 
     def intersect(self, org, direction, tmin, tmax, want_bary=False):
-        """Closest hit: returns (t, prim_id[, u, v])."""
+        """Closest hit: returns (t, prim_id[, u, v]).
+
+        org/direction: V3 component vectors (or (N,3) arrays).
+        """
         import jax
         import jax.numpy as jnp
+
+        from .vec3 import V3
 
         if self._device is None:
             self.to_device()
         d = self._device
         C = self.padded
-        n = org.shape[0]
+        if not isinstance(org, V3):
+            org = V3.from_array(org)
+            direction = V3.from_array(direction)
+        n = org.x.shape[0]
 
-        w = jnp.cross(org, direction)
-        feat = jnp.concatenate([direction, w], axis=1)       # (N,6)
-        o1 = jnp.concatenate([org, jnp.ones((n, 1), org.dtype)], axis=1)
-        featp = jnp.concatenate([o1, direction], axis=1)     # (N,8)
+        w = org.cross(direction)
+        feat = jnp.stack([direction.x, direction.y, direction.z,
+                          w.x, w.y, w.z], axis=1)            # (N,6)
+        featp = jnp.stack([org.x, org.y, org.z, jnp.ones_like(org.x),
+                           direction.x, direction.y, direction.z],
+                          axis=1)                            # (N,7)
 
         s = jnp.dot(feat, d["B"], preferred_element_type=jnp.float32)
         s0 = s[:, :C]

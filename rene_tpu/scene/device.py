@@ -264,6 +264,24 @@ def build_device_scene(scene: FlatScene):
                "inst_kind"):
         pad_nonempty(nm, (), np.int32)
 
+    # transposed component tables for lane-tiled gathers (see ops/vec3.py):
+    # gathering rows of (K, T) along axis 1 yields (K, N) results whose
+    # minor dim is the ray dim — fully utilized VPU lanes.
+    buffers["tri_pT"] = np.ascontiguousarray(
+        buffers["tri_p"].reshape(-1, 9).T)
+    buffers["tri_nT"] = np.ascontiguousarray(
+        buffers["tri_n"].reshape(-1, 9).T)
+    buffers["tri_uvT"] = np.ascontiguousarray(
+        buffers["tri_uv"].reshape(-1, 6).T)
+    buffers["img_atlasT"] = np.ascontiguousarray(buffers["img_atlas"].T)
+    buffers["tex_v0T"] = np.ascontiguousarray(buffers["tex_v0"].T)
+    buffers["sph_w2oT"] = np.ascontiguousarray(
+        buffers["sph_w2o"].reshape(-1, 12).T)
+    buffers["sph_o2wT"] = np.ascontiguousarray(
+        buffers["sph_o2w"].reshape(-1, 12).T)
+    buffers["eo_matrixT"] = np.ascontiguousarray(
+        buffers["eo_matrix"].reshape(-1, 12).T)
+
     return buffers, config
 
 

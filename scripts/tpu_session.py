@@ -18,7 +18,6 @@ import numpy as np
 from rene_tpu.integrators.camera import generate_rays
 from rene_tpu.ops import bsdf as B
 from rene_tpu.ops import intersect as I
-from rene_tpu.ops import math3d as m3
 from rene_tpu.ops import rng
 from rene_tpu.ops.accel import make_accel
 from rene_tpu.render import _batch_fn
@@ -59,19 +58,21 @@ def main():
     py = jnp.asarray(ys.reshape(-1).astype(np.int32))
     state0 = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32))
 
+    from rene_tpu.ops import vec3 as v3
+
     @jax.jit
     def piece(buffers, px, py, state):
         org, d, state = generate_rays(buffers, config, px, py, state)
         hit = I.trace(buffers, config, org, d, 1e-3, 1e5, accel=accel)
-        wo = -m3.normalize(d)
-        normal = m3.normalize(hit["normal"])
+        wo = -d.normalized()
+        normal = hit["normal"].normalized()
         mat_idx = buffers["inst_material"][hit["inst"]]
-        onb = m3.onb_from_w(normal)
+        onb = v3.Onb.from_w(normal)
         lobes = B.compute_bsdf(buffers, mat_idx, hit["uv"], config)
         wi, f, pdf, state = B.bsdf_sample_f(lobes, onb, wo, state, config)
         lpdf = I.trace_emissive_pdf(buffers, config, hit["position"], wi,
                                     1e-3, 1e5, accel=accel)
-        return wi, f, pdf, lpdf, hit["t"]
+        return wi.to_array(), f.to_array(), pdf, lpdf, hit["t"]
 
     dt = timeit("one full bounce (trace+shade+pdf)", piece, buffers, px, py,
                 state0)

@@ -5,7 +5,8 @@ import pytest
 
 from rene_tpu.ops import bsdf as B
 from rene_tpu.ops import fresnel as fr
-from rene_tpu.ops import math3d as m3
+from rene_tpu.ops import vec3 as v3
+from rene_tpu.ops.vec3 import V3
 from rene_tpu.ops import microfacet as mf
 from rene_tpu.ops import rng
 from rene_tpu.scene import types as T
@@ -34,10 +35,12 @@ def make_buffers(mat_type, u0=(0, 0, 0, 0), u1=(0, 0, 0, 0),
         "tex_u0": jnp.zeros((ntex, 4), jnp.int32),
         "tex_v0": jnp.asarray([list(c) + [0.0] for c in tex_colors],
                               jnp.float32),
-        "img_atlas": jnp.zeros((1, 4), jnp.float32),
+        "img_atlasT": jnp.zeros((4, 1), jnp.float32),
         "img_offset": jnp.zeros((1,), jnp.int32),
         "img_width": jnp.ones((1,), jnp.int32),
         "img_height": jnp.ones((1,), jnp.int32),
+        "tex_v0T": jnp.asarray([list(c) + [0.0] for c in tex_colors],
+                               jnp.float32).T,
     }
 
 
@@ -49,8 +52,9 @@ def lobes_for(buffers, n):
 
 
 def default_frame(n):
-    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
-    return m3.onb_from_w(normal), normal
+    z = jnp.zeros((n,))
+    normal = V3(z, z, jnp.ones((n,)))
+    return v3.Onb.from_w(normal), normal
 
 
 def test_matte_single_lambertian_lobe():
@@ -58,10 +62,10 @@ def test_matte_single_lambertian_lobe():
                            tex_colors=((0.7, 0.2, 0.2),))
     lobes, cfg = lobes_for(buffers, 1)
     assert int(B.bsdf_num_lobes(lobes)[0]) == 1
-    assert int(lobes["type"][0, 0]) == T.BXDF_LAMBERTIAN
+    assert int(lobes[0]["type"][0]) == T.BXDF_LAMBERTIAN
     assert bool(B.bsdf_contains(lobes, T.KIND_DIFFUSE)[0])
-    np.testing.assert_allclose(np.asarray(lobes["v0"][0, 0]), [0.7, 0.2, 0.2],
-                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lobes[0]["v0"].to_array()[0]),
+                               [0.7, 0.2, 0.2], rtol=1e-6)
 
 
 def test_uber_lobe_count():
@@ -84,10 +88,11 @@ def test_lambertian_furnace():
     buffers = make_buffers(T.MAT_MATTE, tex_colors=(albedo,))
     lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
-    wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.8]), (n, 3)))
+    wo = V3.from_array(jnp.broadcast_to(
+        jnp.asarray([0.3, 0.1, 0.8]), (n, 3))).normalized()
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32))
     wi, f, pdf, state = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
-    weight = f * jnp.abs(m3.dot(wi, normal))[:, None] / pdf[:, None]
+    weight = (f * (jnp.abs(wi.dot(normal)) / pdf)).to_array()
     est = np.asarray(jnp.mean(weight, axis=0))
     np.testing.assert_allclose(est, albedo, rtol=0.02)
 
@@ -98,11 +103,12 @@ def test_lambertian_pdf_integrates_to_one():
     buffers = make_buffers(T.MAT_MATTE)
     lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
-    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    wo = V3(jnp.zeros((n,)), jnp.zeros((n,)), jnp.ones((n,)))
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 99)
-    wi, state = m3.random_unit_vector(state)
+    from rene_tpu.integrators.common import random_unit_vector
+    wi, state = random_unit_vector(state)
     pdf = B.bsdf_pdf(lobes, onb, wo, wi, cfg)
-    integral = float(jnp.mean(pdf) * 4.0 * m3.PI)
+    integral = float(jnp.mean(pdf) * 4.0 * np.pi)
     assert integral == pytest.approx(1.0, rel=0.02)
 
 
@@ -114,13 +120,13 @@ def test_microfacet_furnace_bounded():
         tex_colors=((1.0, 1.0, 1.0), (0.2, 0.2, 0.2)))  # eta=k tex, rough=0.2
     lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
-    wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.4, 0.0, 0.9]), (n, 3)))
+    wo = V3.from_array(jnp.broadcast_to(
+        jnp.asarray([0.4, 0.0, 0.9]), (n, 3))).normalized()
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 7)
     wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
     ok = pdf > 1e-6
-    weight = jnp.where(ok[:, None],
-                       f * jnp.abs(m3.dot(wi, normal))[:, None]
-                       / jnp.maximum(pdf, 1e-6)[:, None], 0.0)
+    weight = v3.where(ok, f * (jnp.abs(wi.dot(normal))
+                               / jnp.maximum(pdf, 1e-6)), 0.0).to_array()
     est = np.asarray(jnp.mean(weight, axis=0))
     assert np.all(est <= 1.05)
     # eta=1, k=1 conductor: F0 = ((eta-1)^2+k^2)/((eta+1)^2+k^2) = 0.2
@@ -145,17 +151,17 @@ def test_fresnel_dielectric_tir():
 def test_ggx_d_projected_integral():
     """Integral of D(wh) cos(wh) over hemisphere ~= 1."""
     n = 400000
-    alpha = jnp.broadcast_to(jnp.asarray([0.3, 0.3]), (n, 2))
+    ax = jnp.full((n,), 0.3)
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 13)
     u1, state = rng.next_f32(state)
     u2, state = rng.next_f32(state)
     # uniform hemisphere
     z = u1
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    phi = m3.TWO_PI * u2
-    wh = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
-    d = mf.tr_d(alpha, wh) * z
-    integral = float(jnp.mean(d) * m3.TWO_PI)
+    phi = 2.0 * np.pi * u2
+    wh = V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+    d = mf.tr_d(ax, ax, wh) * z
+    integral = float(jnp.mean(d) * 2.0 * np.pi)
     assert integral == pytest.approx(1.0, rel=0.05)
 
 
@@ -165,13 +171,13 @@ def test_glass_energy_conservation():
     buffers = make_buffers(T.MAT_GLASS, v0=(1.5, 0, 0, 0))
     lobes, cfg = lobes_for(buffers, n)
     onb, normal = default_frame(n)
-    wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.0, 0.95]), (n, 3)))
+    wo = V3.from_array(jnp.broadcast_to(
+        jnp.asarray([0.3, 0.0, 0.95]), (n, 3))).normalized()
     state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 5)
     wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
     ok = pdf > 1e-6
-    weight = jnp.where(ok[:, None],
-                       f * jnp.abs(m3.dot(wi, normal))[:, None]
-                       / jnp.maximum(pdf, 1e-6)[:, None], 0.0)
+    weight = v3.where(ok, f * (jnp.abs(wi.dot(normal))
+                               / jnp.maximum(pdf, 1e-6)), 0.0).to_array()
     est = np.asarray(jnp.mean(weight, axis=0))
     np.testing.assert_allclose(est, [1.0, 1.0, 1.0], rtol=0.02)
 
@@ -180,13 +186,13 @@ def test_mirror_sample():
     buffers = make_buffers(T.MAT_MIRROR, tex_colors=((0.9, 0.9, 0.9),))
     lobes, cfg = lobes_for(buffers, 4)
     onb, normal = default_frame(4)
-    wo = m3.normalize(jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.5]), (4, 3)))
+    wo = V3.from_array(jnp.broadcast_to(
+        jnp.asarray([0.5, 0.0, 0.5]), (4, 3))).normalized()
     state = rng.pcg_init(jnp.arange(4, dtype=jnp.uint32))
     wi, f, pdf, _ = B.bsdf_sample_f(lobes, onb, wo, state, cfg)
-    expected = m3.normalize(jnp.asarray([[-0.5, 0.0, 0.5]]))
-    np.testing.assert_allclose(np.asarray(wi), np.broadcast_to(expected,
-                                                               (4, 3)),
-                               atol=1e-5)
+    e = np.asarray([-0.5, 0.0, 0.5]) / np.linalg.norm([-0.5, 0.0, 0.5])
+    np.testing.assert_allclose(np.asarray(wi.to_array()),
+                               np.broadcast_to(e, (4, 3)), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pdf), 1.0)
 
 

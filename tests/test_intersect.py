@@ -43,17 +43,27 @@ def test_triangle_backface_hits():
 
 
 def test_sphere_roots():
+    import dataclasses
+
+    from rene_tpu.ops.vec3 import V3
+
+    @dataclasses.dataclass
+    class Cfg:
+        num_spheres: int = 1
+
     # unit sphere at origin; ray from +3z towards origin
-    w2o = jnp.eye(3, 4)[None]
-    org = jnp.asarray([[0.0, 0, 3.0]])
-    d = jnp.asarray([[0.0, 0, -1.0]])
-    t, sid = I.intersect_spheres(org, d, jnp.asarray([0.001]),
-                                 jnp.asarray([100.0]), w2o)
+    buffers = {"sph_w2o": jnp.eye(3, 4)[None]}
+    org = V3.from_array(jnp.asarray([[0.0, 0, 3.0]]))
+    d = V3.from_array(jnp.asarray([[0.0, 0, -1.0]]))
+    t, sid = I.intersect_spheres_v3(buffers, Cfg(), org, d,
+                                    jnp.asarray([0.001]),
+                                    jnp.asarray([100.0]))
     assert float(t[0]) == pytest.approx(2.0, rel=1e-5)
     # from inside: far root
-    org2 = jnp.asarray([[0.0, 0, 0.0]])
-    t2, _ = I.intersect_spheres(org2, d, jnp.asarray([0.001]),
-                                jnp.asarray([100.0]), w2o)
+    org2 = V3.from_array(jnp.asarray([[0.0, 0, 0.0]]))
+    t2, _ = I.intersect_spheres_v3(buffers, Cfg(), org2, d,
+                                   jnp.asarray([0.001]),
+                                   jnp.asarray([100.0]))
     assert float(t2[0]) == pytest.approx(1.0, rel=1e-5)
 
 
