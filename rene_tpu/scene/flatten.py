@@ -326,8 +326,15 @@ class FlatScene:
                 raise SceneError(f"unknown world IR {kind}")
 
 
-def create_scene(scene_stmts, base_dir: str) -> FlatScene:
-    """AST -> FlatScene (reference Scene::create, scene.rs:100-168)."""
+def create_scene(scene_stmts, base_dir: str,
+                 color_space: str = "linear") -> FlatScene:
+    """AST -> FlatScene (reference Scene::create, scene.rs:100-168).
+
+    color_space: "linear" (pbrt/reference semantics) or "srgb" (decode rgb
+    values like the original Tungsten scenes behind the shipped goldens).
+    """
+    from .intermediate import set_color_space
+    set_color_space(color_space)
     scene = FlatScene()
     world_to_camera = np.eye(4, dtype=np.float32)
     fov = 0.5 * math.pi
@@ -366,7 +373,7 @@ def create_scene(scene_stmts, base_dir: str) -> FlatScene:
     return scene
 
 
-def load_scene(path: str) -> FlatScene:
+def load_scene(path: str, color_space: str = "linear") -> FlatScene:
     """Parse + flatten a .pbrt file from disk."""
     import os
 
@@ -375,4 +382,4 @@ def load_scene(path: str) -> FlatScene:
     with open(path) as f:
         text = f.read()
     text = expand_include(text, base_dir)
-    return create_scene(parse_pbrt(text), base_dir)
+    return create_scene(parse_pbrt(text), base_dir, color_space=color_space)
