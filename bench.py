@@ -48,29 +48,42 @@ def main():
     scene.film.yresolution = res
 
     buffers_np, config = build_device_scene(scene)
-    buffers = to_jax(buffers_np)
-    from rene_tpu.ops.accel import make_accel
-    run, _ = _batch_fn(config, accel=make_accel(buffers_np, config))
+    engine = "xla"
+    pallas_run = None
+    if jax.devices()[0].platform == "tpu":
+        from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+        pallas_run = make_pallas_batch_fn(buffers_np, config)
+        if pallas_run is not None:
+            engine = "pallas"
 
-    n = res * res
-    ys, xs = np.mgrid[0:res, 0:res]
-    px = jnp.asarray(xs.reshape(-1).astype(np.int32))
-    py = jnp.asarray(ys.reshape(-1).astype(np.int32))
-
-    # warmup / compile (same static sample count as the timed run)
-    out = run(buffers, px, py, jnp.uint32(0), timed_samples)
-    jax.block_until_ready(out["radiance"])
-
-    t0 = time.time()
-    out = run(buffers, px, py, jnp.uint32(1), timed_samples)
-    total_rays = float(out["rays"])
-    jax.block_until_ready(out["radiance"])
-    dt = time.time() - t0
+    if pallas_run is not None:
+        out = pallas_run(0, timed_samples)  # warmup / compile
+        jax.block_until_ready(out["radiance"])
+        t0 = time.time()
+        out = pallas_run(1, timed_samples)
+        total_rays = float(out["rays"])
+        jax.block_until_ready(out["radiance"])
+        dt = time.time() - t0
+    else:
+        buffers = to_jax(buffers_np)
+        from rene_tpu.ops.accel import make_accel
+        run, _ = _batch_fn(config, accel=make_accel(buffers_np, config))
+        n = res * res
+        ys, xs = np.mgrid[0:res, 0:res]
+        px = jnp.asarray(xs.reshape(-1).astype(np.int32))
+        py = jnp.asarray(ys.reshape(-1).astype(np.int32))
+        out = run(buffers, px, py, jnp.uint32(0), timed_samples)
+        jax.block_until_ready(out["radiance"])
+        t0 = time.time()
+        out = run(buffers, px, py, jnp.uint32(1), timed_samples)
+        total_rays = float(out["rays"])
+        jax.block_until_ready(out["radiance"])
+        dt = time.time() - t0
 
     mrays = total_rays / dt / 1e6
     print(json.dumps({
         "metric": f"Mrays/s cornell-box @{res}x{res} "
-                  f"({jax.devices()[0].platform})",
+                  f"({jax.devices()[0].platform}/{engine})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),

@@ -68,9 +68,15 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
            checkpoint: Optional[str] = None,
            resume: bool = False,
            progress: Optional[Callable[[int, int, float], None]] = None,
-           use_bvh: Optional[bool] = None):
+           use_bvh: Optional[bool] = None,
+           engine: str = "auto"):
     """Render a scene; returns dict of (H,W,3) float32 arrays:
-    color (averaged), normal, albedo."""
+    color (averaged), normal, albedo.
+
+    engine: "auto" uses the Pallas megakernel on TPU for eligible scenes,
+    "pallas" forces it (errors if ineligible), "xla" forces the wavefront
+    XLA pipeline.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +84,20 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
 
     buffers_np, config = build_device_scene(scene)
     buffers = to_jax(buffers_np)
+
+    pallas_run = None
+    if engine in ("auto", "pallas"):
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu or engine == "pallas":
+            from .integrators.pallas_path import make_pallas_batch_fn
+            pallas_run = make_pallas_batch_fn(buffers_np, config,
+                                              interpret=not on_tpu)
+            if pallas_run is None and engine == "pallas":
+                raise ValueError("scene not eligible for the pallas engine")
+    if pallas_run is not None:
+        log.info("engine: pallas megakernel")
+        return _render_pallas(pallas_run, config, spp, seed, checkpoint,
+                              resume, progress)
 
     from .ops.accel import make_accel
     force = {None: None, True: "bvh", False: None}[use_bvh]
@@ -144,6 +164,62 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
         "color": rays_to_image(color, w, h),
         "normal": rays_to_image(normal, w, h),
         "albedo": rays_to_image(albedo, w, h),
+        "config": config,
+        "total_rays": total_rays,
+        "wall_time": time.time() - t_start,
+    }
+
+
+def _render_pallas(run, config, spp, seed, checkpoint, resume, progress):
+    """Driver loop for the pallas full-frame megakernel."""
+    w = config.film.xresolution
+    h = config.film.yresolution
+    n = w * h
+    accum = {
+        "radiance": np.zeros((n, 3), np.float32),
+        "normal": np.zeros((n, 3), np.float32),
+        "albedo": np.zeros((n, 3), np.float32),
+    }
+    start_sample = 0
+    if checkpoint and resume:
+        from .utils.checkpoint import load_checkpoint
+        loaded = load_checkpoint(checkpoint)
+        if loaded is not None:
+            accum, start_sample = loaded
+            log.info("resumed from %s at sample %d", checkpoint,
+                     start_sample)
+
+    host_rng = np.random.default_rng(seed)
+    consumed = 0
+    while consumed < start_sample:
+        host_rng.integers(0, 2 ** 31, dtype=np.int32)
+        consumed += min(LOG_EVERY, start_sample - consumed)
+
+    total_rays = 0.0
+    t_start = time.time()
+    t_batch = time.time()
+    done = start_sample
+    while done < spp:
+        chunk = min(LOG_EVERY, spp - done)
+        chunk_seed = int(host_rng.integers(0, 2 ** 31, dtype=np.int32))
+        out = run(chunk_seed, chunk)
+        for k in accum:
+            accum[k] += np.asarray(out[k])
+        total_rays += float(out["rays"])
+        done += chunk
+        dt = (time.time() - t_batch) * 1000.0
+        log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
+        t_batch = time.time()
+        if progress:
+            progress(done, spp, dt)
+        if checkpoint:
+            from .utils.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint, accum, done)
+
+    return {
+        "color": rays_to_image(accum["radiance"] / max(spp, 1), w, h),
+        "normal": rays_to_image(accum["normal"] / max(spp, 1), w, h),
+        "albedo": rays_to_image(accum["albedo"] / max(spp, 1), w, h),
         "config": config,
         "total_rays": total_rays,
         "wall_time": time.time() - t_start,
