@@ -811,9 +811,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             active = c["sample"] < num_samples
             cr, cg, cb = c["cr"], c["cg"], c["cb"]
             depth = c["depth"]
-            rays = c["rays"] + jnp.sum(
-                jnp.where(active, 1.0, 0.0)) * (1.0 + len(ps.lights)
-                                                + (1.0 if E > 0 else 0.0))
+            rays = c["rays"] + jnp.where(active, 1.0, 0.0) \
+                * (1.0 + len(ps.lights) + (1.0 if E > 0 else 0.0))
 
             t, attr = trace_closest(c["ox"], c["oy"], c["oz"],
                                     c["dx"], c["dy"], c["dz"], TMIN)
@@ -989,7 +988,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             "anz": jnp.zeros(SHAPE),
             "aar": jnp.zeros(SHAPE), "aag": jnp.zeros(SHAPE),
             "aab": jnp.zeros(SHAPE),
-            "rays": jnp.zeros((), jnp.float32),
+            "rays": jnp.zeros(SHAPE, jnp.float32),
             "st": st0,
         }
         out = jax.lax.while_loop(cond, body, carry)
@@ -1002,7 +1001,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         aa_r[:] = out["aar"]
         aa_g[:] = out["aag"]
         aa_b[:] = out["aab"]
-        rays_out[0] = out["rays"]
+        rays_out[:] = out["rays"]
 
     return kernel
 
@@ -1041,12 +1040,9 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                             memory_space=pltpu.VMEM)] * 2,
             out_specs=tuple(
                 [pl.BlockSpec((TILE_SUB, 128), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * 9
-                + [pl.BlockSpec((1,), lambda i: (i,),
-                                memory_space=pltpu.SMEM)]),
+                              memory_space=pltpu.VMEM)] * 10),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 9
-                + [jax.ShapeDtypeStruct((n_tiles,), jnp.float32)]),
+                [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 10),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), px, py)
         rad = jnp.stack([o.reshape(-1)[:npix] for o in outs[0:3]], axis=-1)
