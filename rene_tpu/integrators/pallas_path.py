@@ -974,21 +974,21 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             }
             return out
 
+        # derive all constant-valued carries from loaded data: Mosaic
+        # rejects relayouts of replicated splat constants in while-carries
+        zero = pxf * 0.0
+        one = zero + 1.0
+        izero = zero.astype(jnp.int32)
         carry = {
-            "ox": jnp.full(SHAPE, cam_ox), "oy": jnp.full(SHAPE, cam_oy),
-            "oz": jnp.full(SHAPE, cam_oz),
+            "ox": zero + cam_ox, "oy": zero + cam_oy, "oz": zero + cam_oz,
             "dx": dx0, "dy": dy0, "dz": dz0,
-            "cr": jnp.ones(SHAPE), "cg": jnp.ones(SHAPE),
-            "cb": jnp.ones(SHAPE),
-            "depth": jnp.zeros(SHAPE, jnp.int32),
-            "sample": jnp.zeros(SHAPE, jnp.int32),
-            "rr": jnp.zeros(SHAPE), "rg": jnp.zeros(SHAPE),
-            "rb": jnp.zeros(SHAPE),
-            "anx": jnp.zeros(SHAPE), "any": jnp.zeros(SHAPE),
-            "anz": jnp.zeros(SHAPE),
-            "aar": jnp.zeros(SHAPE), "aag": jnp.zeros(SHAPE),
-            "aab": jnp.zeros(SHAPE),
-            "rays": jnp.zeros(SHAPE, jnp.float32),
+            "cr": one, "cg": one, "cb": one,
+            "depth": izero,
+            "sample": izero,
+            "rr": zero, "rg": zero, "rb": zero,
+            "anx": zero, "any": zero, "anz": zero,
+            "aar": zero, "aag": zero, "aab": zero,
+            "rays": zero,
             "st": st0,
         }
         out = jax.lax.while_loop(cond, body, carry)
