@@ -28,7 +28,7 @@ def main():
     import numpy as np
 
     res = int(os.environ.get("RENE_BENCH_RES", "1024"))
-    timed_samples = int(os.environ.get("RENE_BENCH_SAMPLES", "8"))
+    timed_samples = int(os.environ.get("RENE_BENCH_SAMPLES", "32"))
     scene_path = os.environ.get(
         "RENE_BENCH_SCENE",
         "/root/reference/sample_scenes/cornell-box/scene.pbrt")
