@@ -1,0 +1,76 @@
+"""Pallas megakernel tests (interpret mode on CPU) vs the XLA integrator."""
+import numpy as np
+import pytest
+
+from rene_tpu.pbrt import parse_pbrt
+from rene_tpu.scene import create_scene, load_scene
+from rene_tpu.scene.device import build_device_scene
+from rene_tpu.integrators.pallas_path import (make_pallas_batch_fn,
+                                              pallas_eligible, pack_scene)
+
+
+def test_eligibility(sample_scenes):
+    cornell = load_scene(str(sample_scenes / "cornell-box/scene.pbrt"))
+    bn, config = build_device_scene(cornell)
+    assert pallas_eligible(bn, config)
+
+    veach = load_scene(str(sample_scenes / "veach-mis/scene.pbrt"))
+    bn, config = build_device_scene(veach)
+    assert pallas_eligible(bn, config)
+
+    teapot = load_scene(str(sample_scenes / "teapot/scene.pbrt"))
+    bn, config = build_device_scene(teapot)
+    assert not pallas_eligible(bn, config)  # too many triangles + checker
+
+
+def test_pack_scene_records(sample_scenes):
+    scene = load_scene(str(sample_scenes / "cornell-box/scene.pbrt"))
+    bn, config = build_device_scene(scene)
+    ps = pack_scene(bn, config)
+    assert len(ps.tris) == config.num_triangles
+    emissive = [t for t in ps.tris if t["emissive"]]
+    assert len(emissive) == 2
+    np.testing.assert_allclose(emissive[0]["emit"], [17, 12, 4])
+    assert ps.num_emit == 1
+    assert ps.max_depth == 65  # honors the scene's maxdepth
+
+
+@pytest.mark.slow
+def test_matches_xla_integrator(sample_scenes):
+    """Interpret-mode pallas render statistically matches the XLA path."""
+    scene = load_scene(str(sample_scenes / "cornell-box/scene.pbrt"))
+    scene.film.xresolution = 32
+    scene.film.yresolution = 32
+    scene.max_depth_hint = 6
+    bn, config = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 24
+    out = run(3, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=64, seed=5, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.12)
+    # AOVs too (mean |component| is flip/cancellation-invariant)
+    n_mean = np.abs(np.asarray(out["normal"]) / spp).mean(axis=0)
+    xn_mean = np.abs(xla["normal"]).mean(axis=(0, 1))
+    assert np.abs(n_mean - xn_mean).max() < 0.1
+
+
+def test_sphere_scene_pallas(sample_scenes):
+    """Background + matte sphere through the megakernel."""
+    scene = load_scene(str(sample_scenes / "sphere.pbrt"))
+    scene.film.xresolution = 32
+    scene.film.yresolution = 24
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 4
+    out = run(1, spp)
+    img = np.asarray(out["radiance"]).reshape(24, 32, 3) / spp
+    # corner = background color
+    np.testing.assert_allclose(img[0, 0], [0.4, 0.45, 0.5], atol=0.02)
+    # center = red-ish sphere
+    c = img[12, 16]
+    assert c[0] > c[1] and c[0] > c[2]
