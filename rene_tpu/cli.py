@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if present")
     p.add_argument("--bvh", choices=["auto", "on", "off"], default="auto")
+    p.add_argument("--engine", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="auto: pallas megakernel on TPU for eligible "
+                        "scenes, XLA wavefront otherwise")
+    p.add_argument("--color-space", choices=["linear", "srgb",
+                                             "srgb-lights"],
+                   default="linear",
+                   help="rgb value interpretation; srgb-lights matches the "
+                        "shipped Tungsten goldens")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -54,7 +63,7 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     from .scene import load_scene
-    scene = load_scene(args.scene)
+    scene = load_scene(args.scene, color_space=args.color_space)
     log.info("scene compiled in %.2fs", time.time() - t0)
 
     if args.dump_module:
@@ -78,7 +87,7 @@ def main(argv=None) -> int:
     use_bvh = {"auto": None, "on": True, "off": False}[args.bvh]
     out = render(scene, spp=spp, seed=args.seed, tile_rays=args.tile_rays,
                  checkpoint=args.checkpoint, resume=args.resume,
-                 use_bvh=use_bvh)
+                 use_bvh=use_bvh, engine=args.engine)
 
     color = out["color"]
     if args.denoiser != "none":

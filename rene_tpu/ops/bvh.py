@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 LEAF_SIZE = 4
-MAX_DEPTH_STACK = 64
+MAX_DEPTH_STACK = 40  # SAH depth over <=1M tris is ~2*log2(N/4)
 
 
 class BVH:

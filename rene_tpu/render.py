@@ -102,6 +102,11 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     from .ops.accel import make_accel
     force = {None: None, True: "bvh", False: None}[use_bvh]
     accel = make_accel(buffers_np, config, force=force)
+    from .ops.bvh import BVH
+    if isinstance(accel.main, BVH):
+        # bound the traversal working set (per-lane stacks) — large tiles
+        # can exhaust device memory through the runtime's per-op buffers
+        tile_rays = min(tile_rays, 1 << 16)
 
     w = config.film.xresolution
     h = config.film.yresolution
