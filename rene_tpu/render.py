@@ -103,10 +103,12 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     force = {None: None, True: "bvh", False: None}[use_bvh]
     accel = make_accel(buffers_np, config, force=force)
     from .ops.bvh import BVH
+    xla_max_chunk = LOG_EVERY
     if isinstance(accel.main, BVH):
-        # bound the traversal working set (per-lane stacks) — large tiles
-        # can exhaust device memory through the runtime's per-op buffers
+        # bound the traversal working set and per-call device time — the
+        # runtime watchdog kills executions that run for minutes
         tile_rays = min(tile_rays, 1 << 16)
+        xla_max_chunk = 4
 
     w = config.film.xresolution
     h = config.film.yresolution
@@ -116,6 +118,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     py_all = jnp.asarray(ys.reshape(-1).astype(np.int32))
 
     run, max_chunk = _batch_fn(config, accel=accel)
+    max_chunk = min(max_chunk, xla_max_chunk)
 
     accum = {
         "radiance": np.zeros((n, 3), np.float32),
