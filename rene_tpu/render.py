@@ -107,7 +107,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     if isinstance(accel.main, BVH):
         # bound the traversal working set and per-call device time — the
         # runtime watchdog kills executions that run for minutes
-        tile_rays = min(tile_rays, 1 << 16)
+        tile_rays = min(tile_rays, 1 << 14)
         xla_max_chunk = 4
 
     w = config.film.xresolution
