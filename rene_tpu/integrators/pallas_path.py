@@ -44,8 +44,26 @@ MAX_TRIS = 512
 MAX_SPHERES = 8
 TILE_SUB = 64          # ray tile = (TILE_SUB, 128) lanes
 TILE = TILE_SUB * 128
+MESH_TILE_SUB = 8      # smaller tiles for cluster scenes: tighter ray beams
 RR_START = 12
 TMIN = 1e-3
+
+# -- clustered big-mesh path ------------------------------------------------
+# Scenes over MAX_TRIS triangles can't be baked as immediates. Instead the
+# non-emissive mesh lives in VMEM as one transposed f32 table of
+# (MESH_ROWS, n_clusters*128): a cluster is 128 Morton-ordered triangles,
+# marched by a fori_loop whose body slab-tests the cluster AABB and only
+# runs the (statically unrolled) 128 Moller-Trumbore tests under a lax.cond
+# when any lane's ray enters the box. Mosaic constraints that force this
+# shape: no per-lane gathers, no dynamic scalar VMEM indexing (only dynamic
+# *slices* of 128-lane blocks with static in-block reads).
+CLUSTER = 128
+MESH_MAX_TRIS = 1 << 18
+# table rows: v0(3), e1(3), e2(3), matid(1), n0(3), dn1(3), dn2(3),
+# cluster AABB (lanes 0..5 of one spare row)
+ROW_V0, ROW_E1, ROW_E2, ROW_MID = 0, 3, 6, 9
+ROW_N0, ROW_D1, ROW_D2, ROW_BOX = 10, 13, 16, 19
+MESH_ROWS = 20
 
 
 # ---------------------------------------------------------------------------
@@ -66,12 +84,22 @@ class PallasScene:
     height: int
     max_depth: int
     num_emit: int
+    # clustered big-mesh tables (None / 0 when all tris fit as immediates)
+    mesh_geom: Optional[np.ndarray] = None   # (MESH_ROWS, n_clusters*128)
+    mesh_mats: Optional[List[dict]] = None   # matid -> material record
+    n_clusters: int = 0
+
+
+def _emissive_tri_mask(buffers_np) -> np.ndarray:
+    """(T,) bool: triangle belongs to an area light."""
+    al = buffers_np["inst_area_light"][buffers_np["tri_inst"]]
+    return buffers_np["area_type"][al] != T.AREA_NULL
 
 
 def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     if config.integrator != "path":
         return False
-    if config.num_triangles > MAX_TRIS or config.num_spheres > MAX_SPHERES:
+    if config.num_spheres > MAX_SPHERES:
         return False
     if config.num_lights > 4:
         return False
@@ -81,6 +109,13 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
         return False
     if tuple(config.tex_types) != (T.TEX_SOLID,):
         return False
+    if config.num_triangles > MAX_TRIS:
+        # clustered path: emissive tris stay immediates, the rest go to the
+        # VMEM cluster table
+        if config.num_triangles > MESH_MAX_TRIS:
+            return False
+        if int(_emissive_tri_mask(buffers_np).sum()) > MAX_TRIS:
+            return False
     return True
 
 
@@ -120,9 +155,79 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
     return rec
 
 
+def _morton3(xi: np.ndarray, yi: np.ndarray, zi: np.ndarray) -> np.ndarray:
+    """Interleave three 10-bit grid coordinates into a 30-bit Morton code."""
+    def part(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+    return part(xi) | (part(yi) << np.uint64(1)) | (part(zi) << np.uint64(2))
+
+
+def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
+    """Build the (MESH_ROWS, C*128) cluster table + matid material list.
+
+    Triangles are Morton-ordered by centroid so consecutive 128-tri clusters
+    are spatially tight (the SIMD analogue of the reference's BVH leaves,
+    main.rs:2417-2908: here the "hierarchy" is one level of AABBs marched by
+    every lane in lock-step). Padding slots are degenerate (e1=e2=0 -> MT
+    det=0 -> miss); padding clusters carry an inverted AABB and are skipped.
+    """
+    p = buffers_np["tri_p"][mesh_idx].astype(np.float64)   # (M,3,3)
+    n = buffers_np["tri_n"][mesh_idx].astype(np.float64)
+    mat_rows = buffers_np["inst_material"][
+        buffers_np["tri_inst"][mesh_idx]]
+    uniq, inv = np.unique(mat_rows, return_inverse=True)
+    mesh_mats = [_mat_record(buffers_np, int(m)) for m in uniq]
+
+    c = p.mean(axis=1)
+    lo_all = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo_all, 1e-12)
+    g = np.clip(((c - lo_all) / ext * 1023.0), 0, 1023).astype(np.uint64)
+    order = np.argsort(_morton3(g[:, 0], g[:, 1], g[:, 2]), kind="stable")
+    p, n, inv = p[order], n[order], inv[order]
+
+    m = p.shape[0]
+    n_clusters = (m + CLUSTER - 1) // CLUSTER
+    slots = n_clusters * CLUSTER
+    geom = np.zeros((MESH_ROWS, slots), np.float32)
+    v0, v1, v2 = p[:, 0], p[:, 1], p[:, 2]
+    geom[ROW_V0:ROW_V0 + 3, :m] = v0.T
+    geom[ROW_E1:ROW_E1 + 3, :m] = (v1 - v0).T
+    geom[ROW_E2:ROW_E2 + 3, :m] = (v2 - v0).T
+    geom[ROW_MID, :m] = inv.astype(np.float32)
+    geom[ROW_N0:ROW_N0 + 3, :m] = n[:, 0].T
+    geom[ROW_D1:ROW_D1 + 3, :m] = (n[:, 1] - n[:, 0]).T
+    geom[ROW_D2:ROW_D2 + 3, :m] = (n[:, 2] - n[:, 0]).T
+    # per-cluster AABB in lanes 0..5 of ROW_BOX
+    tlo = np.full((slots, 3), 3e38, np.float32)
+    thi = np.full((slots, 3), -3e38, np.float32)
+    tlo[:m] = p.min(axis=1)
+    thi[:m] = p.max(axis=1)
+    clo = tlo.reshape(n_clusters, CLUSTER, 3).min(axis=1)
+    chi = thi.reshape(n_clusters, CLUSTER, 3).max(axis=1)
+    box = geom[ROW_BOX].reshape(n_clusters, CLUSTER)
+    box[:, 0:3] = clo
+    box[:, 3:6] = chi
+    return geom, mesh_mats, n_clusters
+
+
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
+    ntri = config.num_triangles
+    if ntri > MAX_TRIS:
+        em = _emissive_tri_mask(buffers_np)[:ntri]
+        imm_idx = np.nonzero(em)[0]
+        mesh_geom, mesh_mats, n_clusters = _pack_mesh(
+            buffers_np, np.nonzero(~em)[0])
+    else:
+        imm_idx = np.arange(ntri)
+        mesh_geom, mesh_mats, n_clusters = None, None, 0
+
     tris = []
-    for i in range(config.num_triangles):
+    for i in imm_idx:
         p = buffers_np["tri_p"][i].astype(np.float64)
         n = buffers_np["tri_n"][i].astype(np.float64)
         inst = int(buffers_np["tri_inst"][i])
@@ -193,7 +298,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         cam_proj_inv=np.asarray(buffers_np["camera_proj_inv"], np.float64),
         cam_to_world=np.asarray(buffers_np["camera_to_world"], np.float64),
         width=config.film.xresolution, height=config.film.yresolution,
-        max_depth=max_depth_for(config), num_emit=config.num_emit_objects)
+        max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
+        mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +312,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    SHAPE = (TILE_SUB, 128)
+    SHAPE = ((MESH_TILE_SUB if ps.n_clusters else TILE_SUB), 128)
     W = ps.width
     H = ps.height
     NPIX = W * H
@@ -244,8 +350,109 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
         return x * inv, y * inv, z * inv
 
+    # ---- clustered big-mesh march (see module constants for the layout)
+    NC = ps.n_clusters
+
+    def _inv_dir(dx, dy, dz):
+        tiny = 1e-20
+        def inv(d):
+            return 1.0 / jnp.where(jnp.abs(d) > tiny, d,
+                                   jnp.where(d >= 0, tiny, -tiny))
+        return inv(dx), inv(dy), inv(dz)
+
+    def _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, tfar):
+        """Slab test of the cluster AABB (scalars in ROW_BOX lanes 0..5)."""
+        t0x = (blk[ROW_BOX, 0] - ox) * ix
+        t1x = (blk[ROW_BOX, 3] - ox) * ix
+        t0y = (blk[ROW_BOX, 1] - oy) * iy
+        t1y = (blk[ROW_BOX, 4] - oy) * iy
+        t0z = (blk[ROW_BOX, 2] - oz) * iz
+        t1z = (blk[ROW_BOX, 5] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
+
+    def _mt_test(blk, k, ox, oy, oz, dx, dy, dz):
+        """Moller-Trumbore vs triangle slot k of the sliced cluster block;
+        returns (t, u, v, ok_geom) — caller applies its own t bounds."""
+        v0x, v0y, v0z = blk[ROW_V0, k], blk[ROW_V0 + 1, k], blk[ROW_V0 + 2, k]
+        e1x, e1y, e1z = blk[ROW_E1, k], blk[ROW_E1 + 1, k], blk[ROW_E1 + 2, k]
+        e2x, e2y, e2z = blk[ROW_E2, k], blk[ROW_E2 + 1, k], blk[ROW_E2 + 2, k]
+        px_ = dy * e2z - dz * e2y
+        py_ = dz * e2x - dx * e2z
+        pz_ = dx * e2y - dy * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        invd = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px_ + ty * py_ + tz * pz_) * invd
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * invd
+        t = (e2x * qx + e2y * qy + e2z * qz) * invd
+        ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0))
+        return t, u, v, ok
+
+    def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, t_init):
+        """Closest hit over all clusters: (t, nx, ny, nz, matid)."""
+        ix, iy, iz = _inv_dir(dx, dy, dz)
+        zero = ox * 0.0
+
+        def cl_body(ci, carry):
+            blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
+            enter = _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, carry[0])
+
+            def do(carry):
+                t_b, nx, ny, nz, mid = carry
+                for k in range(CLUSTER):
+                    t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
+                    ok = okg & (t >= tmin) & (t < t_b)
+                    t_b = jnp.where(ok, t, t_b)
+                    nx = jnp.where(ok, blk[ROW_N0, k] + u * blk[ROW_D1, k]
+                                   + v * blk[ROW_D2, k], nx)
+                    ny = jnp.where(ok, blk[ROW_N0 + 1, k]
+                                   + u * blk[ROW_D1 + 1, k]
+                                   + v * blk[ROW_D2 + 1, k], ny)
+                    nz = jnp.where(ok, blk[ROW_N0 + 2, k]
+                                   + u * blk[ROW_D1 + 2, k]
+                                   + v * blk[ROW_D2 + 2, k], nz)
+                    mid = jnp.where(ok, blk[ROW_MID, k], mid)
+                return (t_b, nx, ny, nz, mid)
+
+            return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
+
+        return jax.lax.fori_loop(
+            0, NC, cl_body, (t_init, zero, zero, zero, zero - 1.0))
+
+    def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit0):
+        """Any-hit over all clusters; skips clusters once a lane set is
+        fully occluded."""
+        ix, iy, iz = _inv_dir(dx, dy, dz)
+
+        def cl_body(ci, hit):
+            blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
+            enter = _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, tmax)
+
+            def do(hit):
+                for k in range(CLUSTER):
+                    t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
+                    hit = hit | (okg & (t >= tmin) & (t <= tmax))
+                return hit
+
+            return jax.lax.cond(jnp.any(enter & ~hit), do,
+                                lambda h: h, hit)
+
+        return jax.lax.fori_loop(0, NC, cl_body, hit0)
+
     # ---- closest hit: unrolled over primitives; returns t + shading record
-    def trace_closest(ox, oy, oz, dx, dy, dz, tmin):
+    def trace_closest(ox, oy, oz, dx, dy, dz, tmin, mref=None):
         wx = oy * dz - oz * dy
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
@@ -333,10 +540,33 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
+        if NC:
+            tm, mnx, mny, mnz, mid = mesh_closest(
+                mref, ox, oy, oz, dx, dy, dz, tmin, t_best)
+            win = tm < t_best
+            t_best = jnp.where(win, tm, t_best)
+            attr["nx"] = jnp.where(win, mnx, attr["nx"])
+            attr["ny"] = jnp.where(win, mny, attr["ny"])
+            attr["nz"] = jnp.where(win, mnz, attr["nz"])
+            for key in ("alr", "alg", "alb"):  # mesh tris are non-emissive
+                attr[key] = jnp.where(win, 0.0, attr[key])
+            for mi, rec in enumerate(ps.mesh_mats):
+                sel = win & (mid == float(mi))
+                vals = {"abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                        "abb": rec["albedo"][2],
+                        "etar": rec["eta"][0], "etag": rec["eta"][1],
+                        "etab": rec["eta"][2],
+                        "kr": rec["k"][0], "kg": rec["k"][1],
+                        "kb": rec["k"][2],
+                        "ax": rec["alpha"][0], "ay": rec["alpha"][1],
+                        "ir": rec["ir"], "mat": float(rec["mat_type"])}
+                for key, val in vals.items():
+                    attr[key] = jnp.where(sel, val, attr[key])
+
         return t_best, attr
 
     # ---- occlusion: any hit below tmax
-    def trace_any(ox, oy, oz, dx, dy, dz, tmin, tmax):
+    def trace_any(ox, oy, oz, dx, dy, dz, tmin, tmax, mref=None):
         wx = oy * dz - oz * dy
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
@@ -372,6 +602,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             t = jnp.where(okd & (r0 >= tmin), r0,
                           jnp.where(okd & (r1 >= tmin), r1, BIG))
             hit = hit | (t <= tmax)
+        if NC:
+            hit = mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit)
         return hit
 
     # ---- emissive-only pdf trace (lib.rs:964-1066)
@@ -476,7 +708,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
     # ---- BSDF (local frame; scene-specialized material set)
     mats_present = sorted({r["mat_type"] for r in ps.tris}
-                          | {r["mat_type"] for r in ps.spheres})
+                          | {r["mat_type"] for r in ps.spheres}
+                          | {r["mat_type"] for r in (ps.mesh_mats or [])})
     has_matte = T.MAT_MATTE in mats_present
     has_metal = T.MAT_METAL in mats_present
     has_mirror = T.MAT_MIRROR in mats_present
@@ -778,9 +1011,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         return dx, dy, dz
 
     # ------------------------------------------------------------------
-    def kernel(seed_ref, px_ref, py_ref, rad_r, rad_g, rad_b,
-               an_x, an_y, an_z, aa_r, aa_g, aa_b, rays_out):
+    def kernel(seed_ref, *refs):
         import jax.numpy as jnp
+        if NC:
+            mref, refs = refs[0], refs[1:]
+        else:
+            mref = None
+        (px_ref, py_ref, rad_r, rad_g, rad_b,
+         an_x, an_y, an_z, aa_r, aa_g, aa_b, rays_out) = refs
         pid = pl.program_id(0)
         if not interpret:
             pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(65537))
@@ -815,7 +1053,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 * (1.0 + len(ps.lights) + (1.0 if E > 0 else 0.0))
 
             t, attr = trace_closest(c["ox"], c["oy"], c["oz"],
-                                    c["dx"], c["dy"], c["dz"], TMIN)
+                                    c["dx"], c["dy"], c["dz"], TMIN, mref)
             hit = t < BIG
             miss = active & ~hit
             rr_ = c["rr"] + jnp.where(miss, cr * ps.background[0], 0.0)
@@ -858,7 +1096,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 shadowed = trace_any(hx, hy, hz,
                                      jnp.full(SHAPE, ldx),
                                      jnp.full(SHAPE, ldy),
-                                     jnp.full(SHAPE, ldz), TMIN, 1e5)
+                                     jnp.full(SHAPE, ldz), TMIN, 1e5, mref)
                 lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
                                          nx, ny, nz,
                                          jnp.full(SHAPE, ldx),
@@ -1018,14 +1256,25 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     from jax.experimental.pallas import tpu as pltpu
 
     ps = pack_scene(buffers_np, config)
+    tile_sub = MESH_TILE_SUB if ps.n_clusters else TILE_SUB
+    tile = tile_sub * 128
     npix = ps.width * ps.height
-    n_tiles = (npix + TILE - 1) // TILE
-    rows = n_tiles * TILE_SUB
+    n_tiles = (npix + tile - 1) // tile
+    rows = n_tiles * tile_sub
 
     lanes = np.arange(rows * 128, dtype=np.int64)
     pix = np.minimum(lanes, npix - 1)
     px_host = (pix % ps.width).astype(np.float32).reshape(rows, 128)
     py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
+
+    mesh_specs = []
+    mesh_args = []
+    if ps.n_clusters:
+        # one resident VMEM table shared by every grid step (constant
+        # block index -> fetched once, not per tile)
+        mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        mesh_args = [jnp.asarray(ps.mesh_geom)]
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(seed, num_samples):
@@ -1035,16 +1284,16 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         outs = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec((TILE_SUB, 128), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + mesh_specs
+            + [pl.BlockSpec((tile_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)] * 2,
             out_specs=tuple(
-                [pl.BlockSpec((TILE_SUB, 128), lambda i: (i, 0),
+                [pl.BlockSpec((tile_sub, 128), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * 10),
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 10),
             interpret=interpret,
-        )(jnp.asarray([seed], jnp.int32), px, py)
+        )(jnp.asarray([seed], jnp.int32), *mesh_args, px, py)
         rad = jnp.stack([o.reshape(-1)[:npix] for o in outs[0:3]], axis=-1)
         nrm = jnp.stack([o.reshape(-1)[:npix] for o in outs[3:6]], axis=-1)
         alb = jnp.stack([o.reshape(-1)[:npix] for o in outs[6:9]], axis=-1)

@@ -1,0 +1,122 @@
+"""Clustered big-mesh pallas path (scenes over the immediates limit).
+
+Validates the VMEM cluster-table march (Morton-ordered 128-tri clusters,
+AABB-gated unrolled Moller-Trumbore) against the XLA wavefront integrator
+on a synthetic >MAX_TRIS scene. CLUSTER is monkeypatched down to 16 so the
+interpret-mode XLA-on-CPU compile of the unrolled cluster body stays fast;
+the kernel code path is identical at any cluster width.
+"""
+import numpy as np
+import pytest
+
+from rene_tpu.integrators import pallas_path as pp
+from rene_tpu.pbrt import parse_pbrt
+from rene_tpu.scene import create_scene
+from rene_tpu.scene.device import build_device_scene
+
+
+def uv_sphere(nu=24, nv=14, r=0.6, cy=0.6):
+    verts, idx = [], []
+    for j in range(nv + 1):
+        th = np.pi * j / nv
+        for i in range(nu):
+            ph = 2 * np.pi * i / nu
+            verts.append((r * np.sin(th) * np.cos(ph),
+                          cy + r * np.cos(th),
+                          r * np.sin(th) * np.sin(ph)))
+
+    def vid(i, j):
+        return j * nu + (i % nu)
+
+    for j in range(nv):
+        for i in range(nu):
+            a, b = vid(i, j), vid(i + 1, j)
+            c, d = vid(i + 1, j + 1), vid(i, j + 1)
+            if j > 0:
+                idx += [a, b, c]
+            if j < nv - 1:
+                idx += [a, c, d]
+    return verts, idx
+
+
+def big_mesh_scene():
+    verts, idx = uv_sphere()
+    p = " ".join(f"{x:.5f} {y:.5f} {z:.5f}" for x, y, z in verts)
+    i = " ".join(map(str, idx))
+    # ceiling light normal points down ([0 1 2] winding, one-sided emitter)
+    txt = f"""
+Integrator "path" "integer maxdepth" [5]
+LookAt 0 1.2 -3.2  0 0.6 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [24] "integer yresolution" [16]
+WorldBegin
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [12 11 9]
+  Shape "trianglemesh" "point P" [ -0.7 2.2 -0.7  0.7 2.2 -0.7  0.7 2.2 0.7
+    -0.7 2.2 0.7 ] "integer indices" [ 0 1 2 0 2 3 ]
+AttributeEnd
+Material "matte" "rgb Kd" [0.75 0.25 0.2]
+Shape "trianglemesh" "point P" [ {p} ] "integer indices" [ {i} ]
+Material "matte" "rgb Kd" [0.5 0.5 0.5]
+Shape "trianglemesh" "point P" [ -6 0 -6  6 0 -6  6 0 6  -6 0 6 ]
+  "integer indices" [ 0 1 2 0 2 3 ]
+WorldEnd
+"""
+    return create_scene(parse_pbrt(txt), ".")
+
+
+def test_cluster_eligibility_and_packing():
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    assert cfg.num_triangles > pp.MAX_TRIS
+    assert pp.pallas_eligible(bn, cfg)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.n_clusters > 0
+    assert len(ps.tris) == 2                      # the 2 emissive quad tris
+    assert all(t["emissive"] for t in ps.tris)
+    assert len(ps.mesh_mats) == 2                 # sphere + floor matte
+    assert ps.mesh_geom.shape[0] == pp.MESH_ROWS
+    # cluster AABBs must cover their member triangles
+    box = ps.mesh_geom[pp.ROW_BOX].reshape(ps.n_clusters, pp.CLUSTER)
+    v0 = ps.mesh_geom[pp.ROW_V0:pp.ROW_V0 + 3]
+    real = (ps.mesh_geom[pp.ROW_E1:pp.ROW_E1 + 3] != 0).any(axis=0)
+    for c in range(ps.n_clusters):
+        sl = slice(c * pp.CLUSTER, (c + 1) * pp.CLUSTER)
+        m = real[sl]
+        if not m.any():
+            assert box[c, 0] > box[c, 3]          # inverted: skipped
+            continue
+        assert (v0[:, sl][:, m].min(axis=1) >= box[c, 0:3] - 1e-5).all()
+        assert (v0[:, sl][:, m].max(axis=1) <= box[c, 3:6] + 1e-5).all()
+
+
+def test_dragon_is_cluster_eligible(sample_scenes):
+    from rene_tpu.scene import load_scene
+    scene = load_scene(str(sample_scenes / "dragon/scene.pbrt"))
+    bn, cfg = build_device_scene(scene)
+    assert cfg.num_triangles > pp.MAX_TRIS
+    assert pp.pallas_eligible(bn, cfg)
+
+
+@pytest.mark.slow
+def test_cluster_matches_xla(monkeypatch):
+    """Interpret-mode cluster march statistically matches the XLA path."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(3, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=5, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+    # deterministic AOVs agree tightly
+    n_mean = np.abs(np.asarray(out["normal"]) / spp).mean(axis=0)
+    xn_mean = np.abs(xla["normal"]).mean(axis=(0, 1))
+    assert np.abs(n_mean - xn_mean).max() < 0.05
+    a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
+    xa_mean = np.abs(xla["albedo"]).mean(axis=(0, 1))
+    assert np.abs(a_mean - xa_mean).max() < 0.05
