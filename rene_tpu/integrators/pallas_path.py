@@ -433,23 +433,26 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit0):
         """Any-hit over all clusters; skips clusters once a lane set is
-        fully occluded."""
+        fully occluded. The carry is a 0/1 float mask — Mosaic cannot
+        carry i1 vectors through scf.for."""
         ix, iy, iz = _inv_dir(dx, dy, dz)
+        hf0 = jnp.where(hit0, ox * 0.0 + 1.0, ox * 0.0)
 
-        def cl_body(ci, hit):
+        def cl_body(ci, hf):
             blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
             enter = _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, tmax)
 
-            def do(hit):
+            def do(hf):
                 for k in range(CLUSTER):
                     t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
-                    hit = hit | (okg & (t >= tmin) & (t <= tmax))
-                return hit
+                    hf = jnp.where(okg & (t >= tmin) & (t <= tmax),
+                                   1.0, hf)
+                return hf
 
-            return jax.lax.cond(jnp.any(enter & ~hit), do,
-                                lambda h: h, hit)
+            return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
+                                lambda h: h, hf)
 
-        return jax.lax.fori_loop(0, NC, cl_body, hit0)
+        return jax.lax.fori_loop(0, NC, cl_body, hf0) > 0.5
 
     # ---- closest hit: unrolled over primitives; returns t + shading record
     def trace_closest(ox, oy, oz, dx, dy, dz, tmin, mref=None):
@@ -1259,13 +1262,35 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     tile_sub = MESH_TILE_SUB if ps.n_clusters else TILE_SUB
     tile = tile_sub * 128
     npix = ps.width * ps.height
-    n_tiles = (npix + tile - 1) // tile
-    rows = n_tiles * tile_sub
-
-    lanes = np.arange(rows * 128, dtype=np.int64)
-    pix = np.minimum(lanes, npix - 1)
-    px_host = (pix % ps.width).astype(np.float32).reshape(rows, 128)
-    py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
+    if ps.n_clusters:
+        # cluster scenes: one tile = a square 32x32 pixel block, so the
+        # tile's camera-ray beam stays tight and the any-lane AABB cull
+        # skips most clusters (a 1024-pixel scan-line strip crosses far
+        # more boxes than a square block)
+        bs = 32
+        bw = (ps.width + bs - 1) // bs
+        bh = (ps.height + bs - 1) // bs
+        n_tiles = bw * bh
+        rows = n_tiles * tile_sub
+        t_idx = np.arange(n_tiles)[:, None]
+        j = np.arange(tile)[None, :]
+        pxi = np.minimum((t_idx % bw) * bs + j % bs, ps.width - 1)
+        pyi = np.minimum((t_idx // bw) * bs + j // bs, ps.height - 1)
+        pix = (pyi * ps.width + pxi).reshape(-1)
+        # first lane owning each pixel (edge blocks duplicate clamped
+        # pixels; the output gather reads one representative lane)
+        inv_idx = np.zeros(npix, np.int64)
+        inv_idx[pix[::-1]] = np.arange(pix.size - 1, -1, -1)
+        px_host = pix.astype(np.float32).reshape(rows, 128) % ps.width
+        py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
+    else:
+        n_tiles = (npix + tile - 1) // tile
+        rows = n_tiles * tile_sub
+        lanes = np.arange(rows * 128, dtype=np.int64)
+        pix = np.minimum(lanes, npix - 1)
+        inv_idx = None
+        px_host = (pix % ps.width).astype(np.float32).reshape(rows, 128)
+        py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
 
     mesh_specs = []
     mesh_args = []
@@ -1294,9 +1319,16 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                 [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 10),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), *mesh_args, px, py)
-        rad = jnp.stack([o.reshape(-1)[:npix] for o in outs[0:3]], axis=-1)
-        nrm = jnp.stack([o.reshape(-1)[:npix] for o in outs[3:6]], axis=-1)
-        alb = jnp.stack([o.reshape(-1)[:npix] for o in outs[6:9]], axis=-1)
+        if inv_idx is not None:
+            sel = jnp.asarray(inv_idx)
+            def to_pix(o):
+                return o.reshape(-1)[sel]
+        else:
+            def to_pix(o):
+                return o.reshape(-1)[:npix]
+        rad = jnp.stack([to_pix(o) for o in outs[0:3]], axis=-1)
+        nrm = jnp.stack([to_pix(o) for o in outs[3:6]], axis=-1)
+        alb = jnp.stack([to_pix(o) for o in outs[6:9]], axis=-1)
         return {"radiance": rad, "normal": nrm, "albedo": alb,
                 "rays": jnp.sum(outs[9])}
 
