@@ -23,10 +23,14 @@ Design:
 * **Path regeneration** identical to integrators/path.py: each lane owns one
   pixel and streams `num_samples` samples back-to-back.
 
-Eligibility (`pallas_eligible`): path integrator, solid textures only,
-materials in {none, matte, metal, mirror, glass}, <=512 triangles,
-<=8 spheres, <=4 distant lights, constant background. Everything else uses
-the XLA path — same math, same estimators.
+Eligibility (`pallas_eligible`): path integrator, materials in {none,
+matte, metal, mirror, glass, substrate} with solid textures (matte may use
+a checker Kd), <=8 spheres, <=4 distant lights, constant background.
+Scenes up to MAX_TRIS triangles are fully baked as immediates; bigger
+scenes (up to 2^18 triangles, e.g. teapot/dragon) keep emissive/textured
+tris as immediates and march the rest through a VMEM cluster table (see
+the cluster constants below). Everything else uses the XLA path — same
+math, same estimators.
 """
 from __future__ import annotations
 
@@ -96,6 +100,47 @@ def _emissive_tri_mask(buffers_np) -> np.ndarray:
     return buffers_np["area_type"][al] != T.AREA_NULL
 
 
+OK_MATS = {T.MAT_NONE, T.MAT_MATTE, T.MAT_METAL, T.MAT_MIRROR,
+           T.MAT_GLASS, T.MAT_SUBSTRATE}
+
+
+def _mat_tex_indices(buffers_np, mat_idx: int):
+    """Texture table indices a material row reads (payload slot map as in
+    ops/bsdf._MAT_FETCHES)."""
+    from ..ops.bsdf import _MAT_FETCHES
+    mt = int(buffers_np["mat_type"][mat_idx])
+    u0 = buffers_np["mat_u0"][mat_idx]
+    u1 = buffers_np["mat_u1"][mat_idx]
+    u1_slot = {4: 0, 5: 2, 6: 3}
+    return [int(u0[s]) if s < 4 else int(u1[u1_slot[s]])
+            for s in _MAT_FETCHES.get(mt, ())]
+
+
+def _mat_solid_only(buffers_np, mat_idx: int) -> bool:
+    return all(int(buffers_np["tex_type"][t]) == T.TEX_SOLID
+               for t in _mat_tex_indices(buffers_np, mat_idx))
+
+
+def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
+    """Material representable in the megakernel: a supported type whose
+    textures are solid, except matte may use a checker Kd with solid
+    sub-textures (evaluated per-hit from interpolated uv)."""
+    mt = int(buffers_np["mat_type"][mat_idx])
+    if mt not in OK_MATS:
+        return False
+    for slot, ti in enumerate(_mat_tex_indices(buffers_np, mat_idx)):
+        tt = int(buffers_np["tex_type"][ti])
+        if tt == T.TEX_SOLID:
+            continue
+        if (tt == T.TEX_CHECKER and mt == T.MAT_MATTE and slot == 0
+                and all(int(buffers_np["tex_type"][
+                    int(buffers_np["tex_u0"][ti, s])]) == T.TEX_SOLID
+                    for s in (0, 1))):
+            continue
+        return False
+    return True
+
+
 def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     if config.integrator != "path":
         return False
@@ -103,24 +148,50 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
         return False
     if config.num_lights > 4:
         return False
-    ok_mats = {T.MAT_NONE, T.MAT_MATTE, T.MAT_METAL, T.MAT_MIRROR,
-               T.MAT_GLASS}
-    if not set(config.mat_types) <= ok_mats:
+    n_mats = buffers_np["mat_type"].shape[0]
+    kernel_ok = [_mat_kernel_ok(buffers_np, m) for m in range(n_mats)]
+    used = set(buffers_np["inst_material"].tolist())
+    if not all(kernel_ok[m] for m in used):
         return False
-    if tuple(config.tex_types) != (T.TEX_SOLID,):
-        return False
+    # spheres have no uv in the kernel: solid textures only
+    for s in range(config.num_spheres):
+        inst = int(buffers_np["sph_inst"][s])
+        if not _mat_solid_only(buffers_np,
+                               int(buffers_np["inst_material"][inst])):
+            return False
     if config.num_triangles > MAX_TRIS:
-        # clustered path: emissive tris stay immediates, the rest go to the
-        # VMEM cluster table
+        # clustered path: emissive or checker-textured tris stay
+        # immediates, the rest go to the VMEM cluster table
         if config.num_triangles > MESH_MAX_TRIS:
             return False
-        if int(_emissive_tri_mask(buffers_np).sum()) > MAX_TRIS:
+        if int(_immediate_tri_mask(buffers_np).sum()) > MAX_TRIS:
             return False
     return True
 
 
+def _immediate_tri_mask(buffers_np) -> np.ndarray:
+    """(T,) bool: tris that must stay baked immediates (emissive, or a
+    material needing per-hit uv) when the scene uses the cluster table."""
+    em = _emissive_tri_mask(buffers_np)
+    n_mats = buffers_np["mat_type"].shape[0]
+    solid = np.array([_mat_solid_only(buffers_np, m)
+                      for m in range(n_mats)], bool)
+    tri_mat = buffers_np["inst_material"][buffers_np["tri_inst"]]
+    return em | ~solid[tri_mat]
+
+
+def _remap_rough(r: float) -> float:
+    """pbrt roughness->alpha polynomial (microfacet.rs)."""
+    r = max(r, 1e-3)
+    x = math.log(r)
+    return (1.62142 + 0.819955 * x + 0.1734 * x * x
+            + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
+
+
 def _mat_record(buffers_np, mat_idx: int) -> dict:
-    """Resolve a material row + its solid textures into plain floats."""
+    """Resolve a material row + its textures into plain floats. A matte
+    checker Kd becomes a ("checker", us, vs, rgb_even, rgb_odd) descriptor
+    evaluated per hit from interpolated uv."""
     mt = int(buffers_np["mat_type"][mat_idx])
     u0 = buffers_np["mat_u0"][mat_idx]
     u1 = buffers_np["mat_u1"][mat_idx]
@@ -131,25 +202,38 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
 
     rec = {"mat_type": mt, "albedo": (0.0, 0.0, 0.0),
            "eta": (1.0, 1.0, 1.0), "k": (0.0, 0.0, 0.0),
-           "alpha": (0.0, 0.0), "ir": 1.5}
+           "alpha": (0.0, 0.0), "ir": 1.5, "tex": ("solid",)}
     if mt == T.MAT_MATTE:
-        rec["albedo"] = tex_rgb(u0[0])
+        ti = int(u0[0])
+        if int(buffers_np["tex_type"][ti]) == T.TEX_CHECKER:
+            tv = buffers_np["tex_v0"][ti]
+            sub = buffers_np["tex_u0"][ti]
+            rec["tex"] = ("checker", float(tv[0]), float(tv[1]),
+                          tex_rgb(sub[0]), tex_rgb(sub[1]))
+            rec["albedo"] = tex_rgb(sub[0])
+        else:
+            rec["albedo"] = tex_rgb(ti)
     elif mt == T.MAT_MIRROR:
         rec["albedo"] = tex_rgb(u0[0])
     elif mt == T.MAT_GLASS:
         rec["ir"] = float(v0[0])
+    elif mt == T.MAT_SUBSTRATE:
+        # FresnelBlend: Kd -> albedo (diffuse + AOV), Ks -> k slots
+        # (material.rs:187-226)
+        rec["albedo"] = tex_rgb(u0[0])
+        rec["k"] = tex_rgb(u0[1])
+        ru = tex_rgb(u0[2])[0]
+        rv = tex_rgb(u0[3])[0]
+        if int(u1[0]):
+            ru, rv = _remap_rough(ru), _remap_rough(rv)
+        rec["alpha"] = (ru, rv)
     elif mt == T.MAT_METAL:
         rec["eta"] = tex_rgb(u0[0])
         rec["k"] = tex_rgb(u0[1])
         ru = tex_rgb(u0[2])[0]
         rv = tex_rgb(u0[3])[0]
         if int(u1[0]):
-            def remap(r):
-                r = max(r, 1e-3)
-                x = math.log(r)
-                return (1.62142 + 0.819955 * x + 0.1734 * x * x
-                        + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
-            ru, rv = remap(ru), remap(rv)
+            ru, rv = _remap_rough(ru), _remap_rough(rv)
         rec["alpha"] = (ru, rv)
         rec["albedo"] = rec["k"]  # AOV albedo (material.rs:309-317)
     return rec
@@ -218,10 +302,10 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     ntri = config.num_triangles
     if ntri > MAX_TRIS:
-        em = _emissive_tri_mask(buffers_np)[:ntri]
-        imm_idx = np.nonzero(em)[0]
+        imm = _immediate_tri_mask(buffers_np)[:ntri]
+        imm_idx = np.nonzero(imm)[0]
         mesh_geom, mesh_mats, n_clusters = _pack_mesh(
-            buffers_np, np.nonzero(~em)[0])
+            buffers_np, np.nonzero(~imm)[0])
     else:
         imm_idx = np.arange(ntri)
         mesh_geom, mesh_mats, n_clusters = None, None, 0
@@ -249,6 +333,9 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             "emissive": int(buffers_np["area_type"][al]) != T.AREA_NULL,
             "emit": tuple(float(x) for x in buffers_np["area_color"][al]),
             "v0": tuple(v0), "v1": tuple(v1), "v2": tuple(v2),
+            "uv0": tuple(float(x) for x in buffers_np["tri_uv"][i][0]),
+            "uv1": tuple(float(x) for x in buffers_np["tri_uv"][i][1]),
+            "uv2": tuple(float(x) for x in buffers_np["tri_uv"][i][2]),
         }
         rec.update(mat)
         tris.append(rec)
@@ -486,12 +573,28 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             nx = w0 * rec["n0"][0] + bu * rec["n1"][0] + bv * rec["n2"][0]
             ny = w0 * rec["n0"][1] + bu * rec["n1"][1] + bv * rec["n2"][1]
             nz = w0 * rec["n0"][2] + bu * rec["n1"][2] + bv * rec["n2"][2]
+            tex = rec.get("tex", ("solid",))
+            if tex[0] == "checker":
+                # checker Kd from interpolated uv (texture.rs:96-119; the
+                # floor-parity form matches i32 truncation for uv >= 0)
+                uu = (w0 * rec["uv0"][0] + bu * rec["uv1"][0]
+                      + bv * rec["uv2"][0])
+                vv = (w0 * rec["uv0"][1] + bu * rec["uv1"][1]
+                      + bv * rec["uv2"][1])
+                xs = uu * tex[1]
+                ys = vv * tex[2]
+                even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
+                        == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
+                ab_r = jnp.where(even, tex[3][0], tex[4][0])
+                ab_g = jnp.where(even, tex[3][1], tex[4][1])
+                ab_b = jnp.where(even, tex[3][2], tex[4][2])
+            else:
+                ab_r, ab_g, ab_b = rec["albedo"]
             vals = {"nx": nx, "ny": ny, "nz": nz,
                     "alr": rec["emit"][0] if rec["emissive"] else 0.0,
                     "alg": rec["emit"][1] if rec["emissive"] else 0.0,
                     "alb": rec["emit"][2] if rec["emissive"] else 0.0,
-                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
-                    "abb": rec["albedo"][2],
+                    "abr": ab_r, "abg": ab_g, "abb": ab_b,
                     "etar": rec["eta"][0], "etag": rec["eta"][1],
                     "etab": rec["eta"][2],
                     "kr": rec["k"][0], "kg": rec["k"][1], "kb": rec["k"][2],
@@ -717,6 +820,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     has_metal = T.MAT_METAL in mats_present
     has_mirror = T.MAT_MIRROR in mats_present
     has_glass = T.MAT_GLASS in mats_present
+    has_substrate = T.MAT_SUBSTRATE in mats_present
 
     def onb_from_w(nx, ny, nz):
         x_major = jnp.abs(nx) > jnp.abs(ny)
@@ -890,6 +994,47 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 / jnp.maximum(jnp.abs(woz), 1e-9)
             pdf = jnp.where(sel, pdf_wh / jnp.maximum(
                 4.0 * dot3(wox, woy, woz, hx, hy, hz), 1e-20), pdf)
+        if has_substrate:
+            # FresnelBlend::f / pdf (bxdf.rs:266-317): Kd in ab*, Ks in k*
+            sel = (mat == float(T.MAT_SUBSTRATE)) & same
+            awi = jnp.abs(wiz)
+            awo = jnp.abs(woz)
+
+            def pw5(x):
+                return (x * x) * (x * x) * x
+
+            dterm = ((28.0 / (23.0 * math.pi))
+                     * (1.0 - pw5(1.0 - 0.5 * awi))
+                     * (1.0 - pw5(1.0 - 0.5 * awo)))
+            hx0 = wox + wix
+            hy0 = woy + wiy
+            hz0 = woz + wiz
+            degen = (hx0 * hx0 + hy0 * hy0 + hz0 * hz0) < 1e-18
+            hx, hy, hz = normalize3(hx0, hy0, hz0)
+            cos_ih = dot3(wix, wiy, wiz, hx, hy, hz)
+            sch = pw5(jnp.clip(1.0 - cos_ih, 0.0, 1.0))
+            ax_ = attr["ax"]
+            ay_ = attr["ay"]
+            d = ggx_d(ax_, ay_, hx, hy, hz)
+            sden = jnp.maximum(4.0 * jnp.abs(cos_ih)
+                               * jnp.maximum(awi, awo), 1e-20)
+            sub_r = (attr["abr"] * (1.0 - attr["kr"]) * dterm
+                     + (attr["kr"] + (1.0 - attr["kr"]) * sch) * d / sden)
+            sub_g = (attr["abg"] * (1.0 - attr["kg"]) * dterm
+                     + (attr["kg"] + (1.0 - attr["kg"]) * sch) * d / sden)
+            sub_b = (attr["abb"] * (1.0 - attr["kb"]) * dterm
+                     + (attr["kb"] + (1.0 - attr["kb"]) * sch) * d / sden)
+            ok = sel & ~degen
+            f_r = jnp.where(ok, sub_r, f_r)
+            f_g = jnp.where(ok, sub_g, f_g)
+            f_b = jnp.where(ok, sub_b, f_b)
+            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
+            doh = dot3(wox, woy, woz, hx, hy, hz)
+            pdf_wh = d * g1o * jnp.abs(doh) \
+                / jnp.maximum(jnp.abs(woz), 1e-9)
+            p_sub = 0.5 * (awi * INV_PI
+                           + pdf_wh / jnp.maximum(4.0 * doh, 1e-20))
+            pdf = jnp.where(ok, p_sub, pdf)
         return f_r, f_g, f_b, pdf
 
     def bsdf_sample(attr, wox, woy, woz, u_coin, u1, u2):
@@ -941,6 +1086,37 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             f_g = jnp.where(sel & ~bad, fe_g, jnp.where(sel, 0.0, f_g))
             f_b = jnp.where(sel & ~bad, fe_b, jnp.where(sel, 0.0, f_b))
             pdf = jnp.where(sel & ~bad, p, jnp.where(sel, 0.0, pdf))
+        if has_substrate:
+            # FresnelBlend::sample_f (bxdf.rs:292-317): coin-flip between
+            # the cosine lobe and the GGX half-vector reflection, then
+            # evaluate the shared f/pdf mixture
+            sel = mat == float(T.MAT_SUBSTRATE)
+            zc = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+            phi = TWO_PI * u1
+            r2s = jnp.sqrt(u2)
+            cx = jnp.cos(phi) * r2s
+            cy = jnp.sin(phi) * r2s
+            cz = jnp.where(woz < 0.0, -zc, zc)
+            hx, hy, hz = ggx_sample_wh(attr["ax"], attr["ay"],
+                                       wox, woy, woz, u1, u2)
+            doh = dot3(wox, woy, woz, hx, hy, hz)
+            spx = -wox + 2.0 * doh * hx
+            spy = -woy + 2.0 * doh * hy
+            spz = -woz + 2.0 * doh * hz
+            take_cos = u_coin < 0.5
+            bwx = jnp.where(take_cos, cx, spx)
+            bwy = jnp.where(take_cos, cy, spy)
+            bwz = jnp.where(take_cos, cz, spz)
+            fe_r, fe_g, fe_b, fe_pdf = bsdf_eval(
+                {**attr, "mat": jnp.full(SHAPE, float(T.MAT_SUBSTRATE))},
+                wox, woy, woz, bwx, bwy, bwz)
+            wix = jnp.where(sel, bwx, wix)
+            wiy = jnp.where(sel, bwy, wiy)
+            wiz = jnp.where(sel, bwz, wiz)
+            f_r = jnp.where(sel, fe_r, f_r)
+            f_g = jnp.where(sel, fe_g, f_g)
+            f_b = jnp.where(sel, fe_b, f_b)
+            pdf = jnp.where(sel, fe_pdf, pdf)
         if has_mirror:
             sel = mat == float(T.MAT_MIRROR)
             inv_c = 1.0 / jnp.maximum(jnp.abs(woz), 1e-9)
@@ -984,7 +1160,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         return wix, wiy, wiz, f_r, f_g, f_b, pdf
 
     diffuse_mats = [m for m in mats_present
-                    if m in (T.MAT_MATTE, T.MAT_METAL)]
+                    if m in (T.MAT_MATTE, T.MAT_METAL, T.MAT_SUBSTRATE)]
 
     def is_diffuse(mat):
         d = jnp.zeros(SHAPE, bool)

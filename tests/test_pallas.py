@@ -18,9 +18,10 @@ def test_eligibility(sample_scenes):
     bn, config = build_device_scene(veach)
     assert pallas_eligible(bn, config)
 
+    # teapot: 126k tris (cluster table) + substrate + checker floor
     teapot = load_scene(str(sample_scenes / "teapot/scene.pbrt"))
     bn, config = build_device_scene(teapot)
-    assert not pallas_eligible(bn, config)  # too many triangles + checker
+    assert pallas_eligible(bn, config)
 
 
 def test_pack_scene_records(sample_scenes):
