@@ -1508,4 +1508,13 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         return {"radiance": rad, "normal": nrm, "albedo": alb,
                 "rays": jnp.sum(outs[9])}
 
+    # samples per device call: the runtime watchdog kills executions that
+    # run for minutes, and cluster-march cost scales with tiles x clusters
+    # (~2e6 tile-cluster-samples ~= 30 s on one v5e chip, measured on
+    # teapot/dragon). Immediates scenes are orders of magnitude faster.
+    if ps.n_clusters:
+        run.chunk_hint = max(1, min(100, 2_000_000
+                                    // max(n_tiles * ps.n_clusters, 1)))
+    else:
+        run.chunk_hint = 100
     return run

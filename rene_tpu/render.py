@@ -197,18 +197,21 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress):
             log.info("resumed from %s at sample %d", checkpoint,
                      start_sample)
 
+    # cluster scenes cap samples per device call (watchdog; see
+    # make_pallas_batch_fn.chunk_hint)
+    max_chunk = min(LOG_EVERY, getattr(run, "chunk_hint", LOG_EVERY))
     host_rng = np.random.default_rng(seed)
     consumed = 0
     while consumed < start_sample:
         host_rng.integers(0, 2 ** 31, dtype=np.int32)
-        consumed += min(LOG_EVERY, start_sample - consumed)
+        consumed += min(max_chunk, start_sample - consumed)
 
     total_rays = 0.0
     t_start = time.time()
     t_batch = time.time()
     done = start_sample
     while done < spp:
-        chunk = min(LOG_EVERY, spp - done)
+        chunk = min(max_chunk, spp - done)
         chunk_seed = int(host_rng.integers(0, 2 ** 31, dtype=np.int32))
         out = run(chunk_seed, chunk)
         for k in accum:
