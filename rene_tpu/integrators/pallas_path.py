@@ -64,10 +64,19 @@ TMIN = 1e-3
 CLUSTER = 128
 MESH_MAX_TRIS = 1 << 18
 # table rows: v0(3), e1(3), e2(3), matid(1), n0(3), dn1(3), dn2(3),
-# cluster AABB (lanes 0..5 of one spare row)
+# sub-cluster AABBs (ROW_BOX lanes s*6..s*6+5 for sub-block s; a cluster
+# is tested/skipped in SUB_TRIS-sized blocks so divergent bounce rays
+# don't force the whole 128-tri unroll)
 ROW_V0, ROW_E1, ROW_E2, ROW_MID = 0, 3, 6, 9
 ROW_N0, ROW_D1, ROW_D2, ROW_BOX = 10, 13, 16, 19
 MESH_ROWS = 20
+SUB_TRIS = 64
+
+
+def _sub_split(cluster: int):
+    """(n_sub, sub) block split of a cluster width (tests shrink CLUSTER)."""
+    n_sub = max(1, cluster // SUB_TRIS)
+    return n_sub, cluster // n_sub
 
 
 # ---------------------------------------------------------------------------
@@ -286,16 +295,20 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     geom[ROW_N0:ROW_N0 + 3, :m] = n[:, 0].T
     geom[ROW_D1:ROW_D1 + 3, :m] = (n[:, 1] - n[:, 0]).T
     geom[ROW_D2:ROW_D2 + 3, :m] = (n[:, 2] - n[:, 0]).T
-    # per-cluster AABB in lanes 0..5 of ROW_BOX
+    # per-sub-block AABBs in lanes s*6..s*6+5 of ROW_BOX
+    n_sub, sub = _sub_split(CLUSTER)
     tlo = np.full((slots, 3), 3e38, np.float32)
     thi = np.full((slots, 3), -3e38, np.float32)
     tlo[:m] = p.min(axis=1)
     thi[:m] = p.max(axis=1)
-    clo = tlo.reshape(n_clusters, CLUSTER, 3).min(axis=1)
-    chi = thi.reshape(n_clusters, CLUSTER, 3).max(axis=1)
+    clo = tlo.reshape(n_clusters * n_sub, sub, 3).min(axis=1) \
+        .reshape(n_clusters, n_sub, 3)
+    chi = thi.reshape(n_clusters * n_sub, sub, 3).max(axis=1) \
+        .reshape(n_clusters, n_sub, 3)
     box = geom[ROW_BOX].reshape(n_clusters, CLUSTER)
-    box[:, 0:3] = clo
-    box[:, 3:6] = chi
+    for s in range(n_sub):
+        box[:, s * 6:s * 6 + 3] = clo[:, s]
+        box[:, s * 6 + 3:s * 6 + 6] = chi[:, s]
     return geom, mesh_mats, n_clusters
 
 
@@ -447,14 +460,16 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                    jnp.where(d >= 0, tiny, -tiny))
         return inv(dx), inv(dy), inv(dz)
 
-    def _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, tfar):
-        """Slab test of the cluster AABB (scalars in ROW_BOX lanes 0..5)."""
-        t0x = (blk[ROW_BOX, 0] - ox) * ix
-        t1x = (blk[ROW_BOX, 3] - ox) * ix
-        t0y = (blk[ROW_BOX, 1] - oy) * iy
-        t1y = (blk[ROW_BOX, 4] - oy) * iy
-        t0z = (blk[ROW_BOX, 2] - oz) * iz
-        t1z = (blk[ROW_BOX, 5] - oz) * iz
+    N_SUB, SUB = _sub_split(CLUSTER)
+
+    def _box_enter(blk, s, ox, oy, oz, ix, iy, iz, tmin, tfar):
+        """Slab test of sub-block s's AABB (ROW_BOX lanes s*6..s*6+5)."""
+        t0x = (blk[ROW_BOX, s * 6 + 0] - ox) * ix
+        t1x = (blk[ROW_BOX, s * 6 + 3] - ox) * ix
+        t0y = (blk[ROW_BOX, s * 6 + 1] - oy) * iy
+        t1y = (blk[ROW_BOX, s * 6 + 4] - oy) * iy
+        t0z = (blk[ROW_BOX, s * 6 + 2] - oz) * iz
+        t1z = (blk[ROW_BOX, s * 6 + 5] - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -494,26 +509,32 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
         def cl_body(ci, carry):
             blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
-            enter = _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, carry[0])
+            for s in range(N_SUB):
+                enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
+                                   tmin, carry[0])
 
-            def do(carry):
-                t_b, nx, ny, nz, mid = carry
-                for k in range(CLUSTER):
-                    t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
-                    ok = okg & (t >= tmin) & (t < t_b)
-                    t_b = jnp.where(ok, t, t_b)
-                    nx = jnp.where(ok, blk[ROW_N0, k] + u * blk[ROW_D1, k]
-                                   + v * blk[ROW_D2, k], nx)
-                    ny = jnp.where(ok, blk[ROW_N0 + 1, k]
-                                   + u * blk[ROW_D1 + 1, k]
-                                   + v * blk[ROW_D2 + 1, k], ny)
-                    nz = jnp.where(ok, blk[ROW_N0 + 2, k]
-                                   + u * blk[ROW_D1 + 2, k]
-                                   + v * blk[ROW_D2 + 2, k], nz)
-                    mid = jnp.where(ok, blk[ROW_MID, k], mid)
-                return (t_b, nx, ny, nz, mid)
+                def do(carry, s=s):
+                    t_b, nx, ny, nz, mid = carry
+                    for k in range(s * SUB, (s + 1) * SUB):
+                        t, u, v, okg = _mt_test(blk, k, ox, oy, oz,
+                                                dx, dy, dz)
+                        ok = okg & (t >= tmin) & (t < t_b)
+                        t_b = jnp.where(ok, t, t_b)
+                        nx = jnp.where(ok, blk[ROW_N0, k]
+                                       + u * blk[ROW_D1, k]
+                                       + v * blk[ROW_D2, k], nx)
+                        ny = jnp.where(ok, blk[ROW_N0 + 1, k]
+                                       + u * blk[ROW_D1 + 1, k]
+                                       + v * blk[ROW_D2 + 1, k], ny)
+                        nz = jnp.where(ok, blk[ROW_N0 + 2, k]
+                                       + u * blk[ROW_D1 + 2, k]
+                                       + v * blk[ROW_D2 + 2, k], nz)
+                        mid = jnp.where(ok, blk[ROW_MID, k], mid)
+                    return (t_b, nx, ny, nz, mid)
 
-            return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
+                carry = jax.lax.cond(jnp.any(enter), do,
+                                     lambda c_: c_, carry)
+            return carry
 
         return jax.lax.fori_loop(
             0, NC, cl_body, (t_init, zero, zero, zero, zero - 1.0))
@@ -527,17 +548,21 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
         def cl_body(ci, hf):
             blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
-            enter = _box_enter(blk, ox, oy, oz, ix, iy, iz, tmin, tmax)
+            for s in range(N_SUB):
+                enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
+                                   tmin, tmax)
 
-            def do(hf):
-                for k in range(CLUSTER):
-                    t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
-                    hf = jnp.where(okg & (t >= tmin) & (t <= tmax),
-                                   1.0, hf)
-                return hf
+                def do(hf, s=s):
+                    for k in range(s * SUB, (s + 1) * SUB):
+                        t, _, _, okg = _mt_test(blk, k, ox, oy, oz,
+                                                dx, dy, dz)
+                        hf = jnp.where(okg & (t >= tmin) & (t <= tmax),
+                                       1.0, hf)
+                    return hf
 
-            return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
-                                lambda h: h, hf)
+                hf = jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
+                                  lambda h: h, hf)
+            return hf
 
         return jax.lax.fori_loop(0, NC, cl_body, hf0) > 0.5
 

@@ -76,18 +76,22 @@ def test_cluster_eligibility_and_packing():
     assert all(t["emissive"] for t in ps.tris)
     assert len(ps.mesh_mats) == 2                 # sphere + floor matte
     assert ps.mesh_geom.shape[0] == pp.MESH_ROWS
-    # cluster AABBs must cover their member triangles
+    # sub-block AABBs must cover their member triangles
     box = ps.mesh_geom[pp.ROW_BOX].reshape(ps.n_clusters, pp.CLUSTER)
     v0 = ps.mesh_geom[pp.ROW_V0:pp.ROW_V0 + 3]
     real = (ps.mesh_geom[pp.ROW_E1:pp.ROW_E1 + 3] != 0).any(axis=0)
+    n_sub, sub = pp._sub_split(pp.CLUSTER)
     for c in range(ps.n_clusters):
-        sl = slice(c * pp.CLUSTER, (c + 1) * pp.CLUSTER)
-        m = real[sl]
-        if not m.any():
-            assert box[c, 0] > box[c, 3]          # inverted: skipped
-            continue
-        assert (v0[:, sl][:, m].min(axis=1) >= box[c, 0:3] - 1e-5).all()
-        assert (v0[:, sl][:, m].max(axis=1) <= box[c, 3:6] + 1e-5).all()
+        for s in range(n_sub):
+            lo = c * pp.CLUSTER + s * sub
+            sl = slice(lo, lo + sub)
+            m = real[sl]
+            b = box[c, s * 6:s * 6 + 6]
+            if not m.any():
+                assert b[0] > b[3]                # inverted: skipped
+                continue
+            assert (v0[:, sl][:, m].min(axis=1) >= b[0:3] - 1e-5).all()
+            assert (v0[:, sl][:, m].max(axis=1) <= b[3:6] + 1e-5).all()
 
 
 def test_dragon_is_cluster_eligible(sample_scenes):
