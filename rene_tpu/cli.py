@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoiser", choices=["none", "atrous", "cnn"],
                    default="none",
                    help="AOV-guided denoiser (replaces optix/oidn)")
+    p.add_argument("--unet-weights", metavar="PATH",
+                   help="trained U-Net weights for --denoiser cnn (train "
+                        "with python -m rene_tpu.models.train_denoiser)")
     p.add_argument("--dump-module", action="store_true",
                    help="dump the lowered StableHLO of the render kernel "
                         "and exit (the reference dumps its SPIR-V)")
@@ -92,9 +95,13 @@ def main(argv=None) -> int:
     color = out["color"]
     if args.denoiser != "none":
         from .models.denoise import denoise
+        unet = None
+        if args.denoiser == "cnn" and args.unet_weights:
+            from .models.denoise import UNetDenoiser
+            unet = UNetDenoiser.load(args.unet_weights)
         t = time.time()
         color = denoise(color, out["normal"], out["albedo"],
-                        method=args.denoiser)
+                        method=args.denoiser, unet=unet)
         log.info("denoise (%s) in %.2fs", args.denoiser, time.time() - t)
 
     from .utils.film import save_png, to_aov8, to_aov_normal8, to_rgb8

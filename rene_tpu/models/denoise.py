@@ -105,7 +105,30 @@ class UNetDenoiser:
                                kernel_init=nn.initializers.zeros)(h)
 
         self.module = UNet(features, levels)
+        self.features = features
+        self.levels = levels
         self.params = None
+
+    def save(self, path: str):
+        """Persist params (flax msgpack) with the net shape prefixed."""
+        import flax.serialization as ser
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(bytes([self.features, self.levels]))
+            f.write(ser.to_bytes(self.params))
+
+    @classmethod
+    def load(cls, path: str) -> "UNetDenoiser":
+        import flax.serialization as ser
+        import jax
+        with open(path, "rb") as f:
+            head = f.read(2)
+            blob = f.read()
+        net = cls(features=head[0], levels=head[1])
+        template = net.init(jax.random.PRNGKey(0))
+        net.params = ser.from_bytes(template, blob)
+        return net
 
     def init(self, rng_key, height=64, width=64):
         import jax.numpy as jnp
