@@ -150,13 +150,6 @@ def test_exr_zip_roundtrip(tmp_path):
     np.testing.assert_allclose(img.data[..., 2], pb, rtol=1e-6)
 
 
-def test_exr_piz_unsupported_message(sample_scenes):
-    # the shipped goldens are PIZ-compressed; for now the reader reports
-    # that clearly (PNG goldens are used for SSIM)
-    with pytest.raises(ValueError, match="compression"):
-        load_exr(str(sample_scenes / "cornell-box/TungstenRender.exr"))
-
-
 def test_ldr_png_linearized(tmp_path):
     from PIL import Image as PILImage
     arr = np.zeros((2, 2, 3), np.uint8)
@@ -215,3 +208,24 @@ def test_loop_subdivision_smooths_towards_limit():
     r = np.linalg.norm(out.positions, axis=1)
     assert r.max() < 1.0  # strictly inside the control hull
     assert r.std() < 0.08  # nearly spherical
+
+
+@pytest.mark.slow
+def test_exr_piz_golden(sample_scenes):
+    """PIZ decode of the shipped Tungsten EXR golden: the cornell emitter
+    pixels must decode to the scene's exact L=[17,12,4], and the image must
+    correlate with the PNG golden (a different pass of the same frame)."""
+    from rene_tpu.scene.assets.images import load_exr
+    img = load_exr(str(sample_scenes / "cornell-box/TungstenRender.exr"))
+    exr = img.data[..., :3]
+    assert exr.shape == (1024, 1024, 3)
+    np.testing.assert_allclose(
+        [exr[..., c].max() for c in range(3)], [17.0, 12.0, 4.0])
+    from PIL import Image as PILImage
+    png = np.asarray(PILImage.open(
+        str(sample_scenes / "cornell-box/TungstenRender.png")).convert(
+        "RGB"), np.float32) / 255.0
+    x = np.clip(exr, 0, 1)
+    enc = np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+    corr = np.corrcoef(enc.ravel(), png.ravel())[0, 1]
+    assert corr > 0.99
