@@ -157,6 +157,12 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
         return False
     if config.num_lights > 4:
         return False
+    # the kernel bakes a constant background (miss shader lib.rs:120-139
+    # evaluates texture(background_matrix*dir) * background_color); only a
+    # solid background texture folds into that constant
+    bg_tex = int(buffers_np["background_texture"])
+    if int(buffers_np["tex_type"][bg_tex]) != T.TEX_SOLID:
+        return False
     n_mats = buffers_np["mat_type"].shape[0]
     kernel_ok = [_mat_kernel_ok(buffers_np, m) for m in range(n_mats)]
     used = set(buffers_np["inst_material"].tolist())
@@ -391,10 +397,16 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         })
 
     from .path import max_depth_for
+    # miss radiance = texture(background) * background_color; the texture is
+    # solid here (pallas_eligible), so fold its rgb into the constant
+    bg_tex = int(buffers_np["background_texture"])
+    bg_rgb = buffers_np["tex_v0"][bg_tex, :3].astype(np.float64)
+    background = tuple(float(bg_rgb[i] * buffers_np["background_color"][i])
+                       for i in range(3))
     return PallasScene(
         tris=tris, spheres=spheres, emit_objects=emit_objects,
         lights=lights,
-        background=tuple(float(x) for x in buffers_np["background_color"]),
+        background=background,
         cam_proj_inv=np.asarray(buffers_np["camera_proj_inv"], np.float64),
         cam_to_world=np.asarray(buffers_np["camera_to_world"], np.float64),
         width=config.film.xresolution, height=config.film.yresolution,

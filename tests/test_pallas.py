@@ -24,6 +24,44 @@ def test_eligibility(sample_scenes):
     assert pallas_eligible(bn, config)
 
 
+def test_imagemap_background_not_eligible(tmp_path):
+    """An env-mapped infinite light must NOT be pallas-eligible: the kernel
+    bakes a constant background (regression for the silent-wrong-render
+    hole; miss shader semantics lib.rs:120-139)."""
+    import struct
+    pfm = tmp_path / "env.pfm"
+    w, h = 2, 2
+    data = np.arange(w * h * 3, dtype="<f4")
+    with open(pfm, "wb") as f:
+        f.write(b"PF\n2 2\n-1.0\n")
+        f.write(data.tobytes())
+    src = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1] "string mapname" "env.pfm"
+Material "matte" "rgb Kd" [.5 .5 .5]
+Shape "sphere" "float radius" 1
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    bn, config = build_device_scene(scene)
+    assert not pallas_eligible(bn, config)
+
+
+def test_solid_background_texture_folded():
+    """A constant-color background folds texture * background_color into
+    the baked kernel constant."""
+    src = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+LightSource "infinite" "rgb L" [.5 .25 .125]
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    ps = pack_scene(bn, config)
+    np.testing.assert_allclose(ps.background, [0.5, 0.25, 0.125])
+
+
 def test_pack_scene_records(sample_scenes):
     scene = load_scene(str(sample_scenes / "cornell-box/scene.pbrt"))
     bn, config = build_device_scene(scene)
