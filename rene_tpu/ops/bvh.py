@@ -175,11 +175,32 @@ class BVH:
                 jnp.where(miss, 0, out["prim"]).astype(jnp.int32))
 
 
+def _tree_depth(left, right, is_leaf) -> int:
+    """Max root-to-leaf depth (root = depth 0), iterative BFS."""
+    depth = 0
+    frontier = [0] if left.shape[0] else []
+    d = 0
+    while frontier:
+        depth = d
+        nxt = []
+        for node in frontier:
+            if not is_leaf[node]:
+                nxt.append(int(left[node]))
+                nxt.append(int(right[node]))
+        frontier = nxt
+        d += 1
+    return depth
+
+
 def build_bvh(tri_p: np.ndarray, use_native: bool = True) -> BVH:
     """BVH build over (T,3,3) world-space triangles.
 
     Prefers the native C++ binned-SAH builder (native/bvh_builder.cpp via
-    ctypes); falls back to the numpy median-split builder below.
+    ctypes); falls back to the numpy median-split builder below. A native
+    tree deeper than the traversal stack (possible for pathological SAH
+    splits) would silently drop far children in `intersect`, so such trees
+    are rebuilt with median splits (depth <= ceil(log2(N/LEAF_SIZE)) + 1,
+    always well under MAX_DEPTH_STACK).
     """
     tri_p = np.asarray(tri_p, np.float32)
     if use_native and tri_p.shape[0] > 0:
@@ -187,8 +208,14 @@ def build_bvh(tri_p: np.ndarray, use_native: bool = True) -> BVH:
         out = native_build_bvh(tri_p, LEAF_SIZE)
         if out is not None:
             aabb_min, aabb_max, left, right, is_leaf, order = out
-            return _finish(tri_p, aabb_min, aabb_max, left, right, is_leaf,
-                           order.astype(np.int64))
+            # reserve one slot: traversal pushes at most depth-1 far children
+            if _tree_depth(left, right, is_leaf) < MAX_DEPTH_STACK:
+                return _finish(tri_p, aabb_min, aabb_max, left, right,
+                               is_leaf, order.astype(np.int64))
+            import logging
+            logging.getLogger("rene_tpu.bvh").warning(
+                "native SAH tree exceeds the %d-entry traversal stack; "
+                "rebuilding with median splits", MAX_DEPTH_STACK)
     return _build_median(tri_p)
 
 

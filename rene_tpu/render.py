@@ -94,10 +94,19 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
                                               interpret=not on_tpu)
             if pallas_run is None and engine == "pallas":
                 raise ValueError("scene not eligible for the pallas engine")
+    fingerprint = ""
+    if checkpoint:
+        # fingerprint on the *resolved* engine: pallas/XLA sample streams
+        # are not mutually resumable
+        from .utils.checkpoint import scene_fingerprint
+        fingerprint = scene_fingerprint(
+            buffers_np, config, seed,
+            "pallas" if pallas_run is not None else "xla")
+
     if pallas_run is not None:
         log.info("engine: pallas megakernel")
         return _render_pallas(pallas_run, config, spp, seed, checkpoint,
-                              resume, progress)
+                              resume, progress, fingerprint)
 
     from .ops.accel import make_accel
     force = {None: None, True: "bvh", False: None}[use_bvh]
@@ -128,7 +137,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     start_sample = 0
     if checkpoint and resume:
         from .utils.checkpoint import load_checkpoint
-        loaded = load_checkpoint(checkpoint)
+        loaded = load_checkpoint(checkpoint, fingerprint)
         if loaded is not None:
             accum, start_sample = loaded
             log.info("resumed from %s at sample %d", checkpoint, start_sample)
@@ -163,7 +172,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
             progress(done, spp, dt)
         if checkpoint:
             from .utils.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint, accum, done)
+            save_checkpoint(checkpoint, accum, done, fingerprint)
 
     color = accum["radiance"] / max(spp, 1)
     normal = accum["normal"] / max(spp, 1)
@@ -178,7 +187,8 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     }
 
 
-def _render_pallas(run, config, spp, seed, checkpoint, resume, progress):
+def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
+                   fingerprint=""):
     """Driver loop for the pallas full-frame megakernel."""
     w = config.film.xresolution
     h = config.film.yresolution
@@ -191,7 +201,7 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress):
     start_sample = 0
     if checkpoint and resume:
         from .utils.checkpoint import load_checkpoint
-        loaded = load_checkpoint(checkpoint)
+        loaded = load_checkpoint(checkpoint, fingerprint)
         if loaded is not None:
             accum, start_sample = loaded
             log.info("resumed from %s at sample %d", checkpoint,
@@ -225,7 +235,7 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress):
             progress(done, spp, dt)
         if checkpoint:
             from .utils.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint, accum, done)
+            save_checkpoint(checkpoint, accum, done, fingerprint)
 
     return {
         "color": rays_to_image(accum["radiance"] / max(spp, 1), w, h),

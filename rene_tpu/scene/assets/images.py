@@ -389,7 +389,9 @@ def load_exr(path: str) -> Image:
         data = buf[boff + 8:boff + 8 + dsize]
         nlines = min(lines_per_block, h - y0)
         want = bytes_per_line * nlines
-        if comp == 4:
+        # OpenEXR stores a block raw when compression does not shrink it
+        # (dsize == uncompressed size) — for ZIP and PIZ alike
+        if comp == 4 and dsize < want:
             data = _exr_unpiz(data, chans, w, nlines, psize)
         elif comp in (2, 3) and dsize < want:
             data = _exr_unzip(data, want)

@@ -95,6 +95,8 @@ class FlatScene:
         # uniform
         self.camera_to_world = np.eye(4, dtype=np.float32)
         self.camera_proj_inv = np.eye(4, dtype=np.float32)
+        self.camera_fov = 0.5 * math.pi
+        self.camera_world_to_camera = np.eye(4, dtype=np.float32)
         self.background_color = np.zeros(3, dtype=np.float32)
         self.background_texture = 0
         self.background_matrix = np.eye(4, dtype=np.float32)
@@ -108,6 +110,25 @@ class FlatScene:
         self.med_sigma_s.append(np.zeros(3, dtype=np.float32))
         self.med_g.append(0.0)
         self._push_texture(T.TEX_SOLID, [0, 0, 0, 0], [1.0, 1.0, 1.0, 0.0])
+
+    def set_film_resolution(self, xres: int, yres: int) -> None:
+        """Set the film size and recompute the camera matrices (aspect +
+        portrait-fov fix, reference scene.rs:155-165). Use this instead of
+        mutating `film.xresolution` so non-uniform resizes keep correct
+        primary rays."""
+        self.film.xresolution = xres
+        self.film.yresolution = yres
+        fov = self.camera_fov
+        aspect = xres / yres
+        if yres > xres:
+            # reference portrait-fov fix (scene.rs:156-162)
+            fov = 2.0 * math.atan(math.tan(fov * 0.5) / xres * yres)
+        proj = mat_perspective_lh(fov, aspect, 0.01, 1000.0)
+        self.camera_proj_inv = np.linalg.inv(
+            proj.astype(np.float64)).astype(np.float32)
+        self.camera_to_world = np.linalg.inv(
+            self.camera_world_to_camera.astype(np.float64)).astype(
+                np.float32)
 
     # -- table builders ------------------------------------------------------
     def _push_texture(self, ttype, u0, v0) -> int:
@@ -333,43 +354,41 @@ def create_scene(scene_stmts, base_dir: str,
     color_space: "linear" (pbrt/reference semantics) or "srgb" (decode rgb
     values like the original Tungsten scenes behind the shipped goldens).
     """
-    from .intermediate import set_color_space
-    set_color_space(color_space)
-    scene = FlatScene()
-    world_to_camera = np.eye(4, dtype=np.float32)
-    fov = 0.5 * math.pi
+    from .intermediate import reset_color_space, set_color_space
+    token = set_color_space(color_space)
+    try:
+        scene = FlatScene()
+        world_to_camera = np.eye(4, dtype=np.float32)
+        fov = 0.5 * math.pi
 
-    for stmt in scene_stmts:
-        kind, payload = scene_to_ir(stmt, base_dir)
-        if kind in ("sampler", "pixel_filter"):
-            continue
-        if kind == "integrator":
-            scene.integrator, scene.max_depth_hint = payload
-        elif kind == "film":
-            scene.film = payload
-        elif kind == "matrix":
-            world_to_camera = (world_to_camera @ payload).astype(np.float32)
-        elif kind == "transform":
-            world_to_camera = np.asarray(payload, dtype=np.float32)
-        elif kind == "camera":
-            fov = payload
-        elif kind == "world":
-            state = WorldState()
-            state.coord_system["camera"] = world_to_camera.copy()
-            scene.append_world(state, payload)
-        else:
-            raise SceneError(f"unknown scene IR {kind}")
+        for stmt in scene_stmts:
+            kind, payload = scene_to_ir(stmt, base_dir)
+            if kind in ("sampler", "pixel_filter"):
+                continue
+            if kind == "integrator":
+                scene.integrator, scene.max_depth_hint = payload
+            elif kind == "film":
+                scene.film = payload
+            elif kind == "matrix":
+                world_to_camera = (world_to_camera
+                                   @ payload).astype(np.float32)
+            elif kind == "transform":
+                world_to_camera = np.asarray(payload, dtype=np.float32)
+            elif kind == "camera":
+                fov = payload
+            elif kind == "world":
+                state = WorldState()
+                state.coord_system["camera"] = world_to_camera.copy()
+                scene.append_world(state, payload)
+            else:
+                raise SceneError(f"unknown scene IR {kind}")
+    finally:
+        reset_color_space(token)
 
-    xres, yres = scene.film.xresolution, scene.film.yresolution
-    aspect = xres / yres
-    if yres > xres:
-        # reference portrait-fov fix (scene.rs:156-162)
-        fov = 2.0 * math.atan(math.tan(fov * 0.5) / xres * yres)
-    proj = mat_perspective_lh(fov, aspect, 0.01, 1000.0)
-    scene.camera_proj_inv = np.linalg.inv(
-        proj.astype(np.float64)).astype(np.float32)
-    scene.camera_to_world = np.linalg.inv(
-        world_to_camera.astype(np.float64)).astype(np.float32)
+    scene.camera_fov = fov
+    scene.camera_world_to_camera = world_to_camera
+    scene.set_film_resolution(scene.film.xresolution,
+                              scene.film.yresolution)
     return scene
 
 

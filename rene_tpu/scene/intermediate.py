@@ -255,16 +255,27 @@ def transform_point_no_divide(m: np.ndarray, p: np.ndarray) -> np.ndarray:
 # srgb_decode(pbrt value) (verified on the cornell-box light and walls).
 # "srgb" mode reproduces that interpretation for golden comparisons;
 # values > 1 are decoded relative to their max channel.
-_COLOR_SPACE = "linear"
+#
+# A ContextVar (not a module global) so two scene loads with different
+# --color-space values in one process — or in concurrent threads — cannot
+# leak the mode into each other; create_scene sets and restores it.
+import contextvars as _contextvars
+
+_COLOR_SPACE = _contextvars.ContextVar("rene_tpu_color_space",
+                                       default="linear")
 
 
-def set_color_space(mode: str) -> None:
+def set_color_space(mode: str):
     """linear: pbrt/reference semantics. srgb: decode every rgb value.
     srgb-lights: decode only emitter radiance (empirically the closest match
-    to the shipped Tungsten goldens)."""
-    global _COLOR_SPACE
+    to the shipped Tungsten goldens). Returns a reset token for
+    `reset_color_space`."""
     assert mode in ("linear", "srgb", "srgb-lights")
-    _COLOR_SPACE = mode
+    return _COLOR_SPACE.set(mode)
+
+
+def reset_color_space(token) -> None:
+    _COLOR_SPACE.reset(token)
 
 
 def _decode(v: np.ndarray) -> np.ndarray:
@@ -277,7 +288,7 @@ def _decode(v: np.ndarray) -> np.ndarray:
 
 
 def _decode_rgb(v: np.ndarray) -> np.ndarray:
-    if _COLOR_SPACE != "srgb":
+    if _COLOR_SPACE.get() != "srgb":
         return v
     return _decode(v)
 
@@ -285,7 +296,7 @@ def _decode_rgb(v: np.ndarray) -> np.ndarray:
 def decode_light_rgb(v: np.ndarray) -> np.ndarray:
     """Applied to emitter radiance values (AreaLightSource / LightSource L).
     """
-    if _COLOR_SPACE == "linear":
+    if _COLOR_SPACE.get() == "linear":
         return v
     return _decode(v)
 

@@ -141,3 +141,9 @@ WorldEnd"""
     R.render(scene, spp=100, seed=9, checkpoint=ckpt)
     resumed = R.render(scene, spp=200, seed=9, checkpoint=ckpt, resume=True)
     np.testing.assert_allclose(resumed["color"], full["color"], atol=1e-5)
+
+    # resuming with a different seed must refuse the stale checkpoint
+    # (fingerprint mismatch) instead of blending mismatched sample sums
+    other = R.render(scene, spp=100, seed=10, checkpoint=ckpt, resume=True)
+    fresh = R.render(scene, spp=100, seed=10)
+    np.testing.assert_allclose(other["color"], fresh["color"], atol=1e-5)
