@@ -101,6 +101,9 @@ class PallasScene:
     mesh_geom: Optional[np.ndarray] = None   # (MESH_ROWS, n_clusters*128)
     mesh_mats: Optional[List[dict]] = None   # matid -> material record
     n_clusters: int = 0
+    # volpath: integrator tag + homogeneous-medium records (index 0 = vacuum)
+    integrator: str = "path"
+    media: Optional[List[dict]] = None
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -151,7 +154,11 @@ def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
 
 
 def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
-    if config.integrator != "path":
+    if config.integrator not in ("path", "volpath"):
+        return False
+    if config.integrator == "volpath" and config.num_triangles > MAX_TRIS:
+        # the cluster table carries no medium-interface / None-material
+        # metadata; volpath scenes must fit as immediates
         return False
     if config.num_spheres > MAX_SPHERES:
         return False
@@ -355,6 +362,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             "uv0": tuple(float(x) for x in buffers_np["tri_uv"][i][0]),
             "uv1": tuple(float(x) for x in buffers_np["tri_uv"][i][1]),
             "uv2": tuple(float(x) for x in buffers_np["tri_uv"][i][2]),
+            "imed": int(buffers_np["inst_interior"][inst]),
+            "emed": int(buffers_np["inst_exterior"][inst]),
         }
         rec.update(mat)
         tris.append(rec)
@@ -369,6 +378,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             "o2w": buffers_np["sph_o2w"][s].astype(float).tolist(),
             "emissive": int(buffers_np["area_type"][al]) != T.AREA_NULL,
             "emit": tuple(float(x) for x in buffers_np["area_color"][al]),
+            "imed": int(buffers_np["inst_interior"][inst]),
+            "emed": int(buffers_np["inst_exterior"][inst]),
         }
         rec.update(mat)
         spheres.append(rec)
@@ -396,7 +407,23 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             "color": tuple(float(x) for x in buffers_np["light_color"][li]),
         })
 
-    from .path import max_depth_for
+    if config.integrator == "volpath":
+        from .volpath import max_depth_for
+    else:
+        from .path import max_depth_for
+
+    # homogeneous-medium records (medium.rs); index 0 is always vacuum
+    media = []
+    for mi in range(buffers_np["med_type"].shape[0]):
+        media.append({
+            "vacuum": int(buffers_np["med_type"][mi]) == T.MEDIUM_VACUUM,
+            "sigma_a": tuple(float(x)
+                             for x in buffers_np["med_sigma_a"][mi]),
+            "sigma_s": tuple(float(x)
+                             for x in buffers_np["med_sigma_s"][mi]),
+            "g": float(buffers_np["med_g"][mi]),
+        })
+
     # miss radiance = texture(background) * background_color; the texture is
     # solid here (pallas_eligible), so fold its rgb into the constant
     bg_tex = int(buffers_np["background_texture"])
@@ -411,7 +438,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         cam_to_world=np.asarray(buffers_np["camera_to_world"], np.float64),
         width=config.film.xresolution, height=config.film.yresolution,
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
-        mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters)
+        mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
+        integrator=config.integrator, media=media)
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +458,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     NPIX = W * H
     MAXD = ps.max_depth
     E = ps.num_emit
-    use_rr = MAXD > RR_START + 1
+    VOL = ps.integrator == "volpath"
+    # Russian roulette is disabled in the reference volpath (lib.rs:787-799)
+    use_rr = (MAXD > RR_START + 1) and not VOL
     INV_PI = 1.0 / math.pi
     TWO_PI = 2.0 * math.pi
     BIG = 3e38
@@ -589,6 +619,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 ("nx", "ny", "nz", "alr", "alg", "alb", "abr", "abg", "abb",
                  "etar", "etag", "etab", "kr", "kg", "kb", "ax", "ay", "ir")}
         attr["mat"] = jnp.zeros(SHAPE)
+        if VOL:
+            attr["imed"] = jnp.zeros(SHAPE)
+            attr["emed"] = jnp.zeros(SHAPE)
 
         for rec in ps.tris:
             s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
@@ -637,6 +670,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                     "kr": rec["k"][0], "kg": rec["k"][1], "kb": rec["k"][2],
                     "ax": rec["alpha"][0], "ay": rec["alpha"][1],
                     "ir": rec["ir"], "mat": float(rec["mat_type"])}
+            if VOL:
+                vals["imed"] = float(rec["imed"])
+                vals["emed"] = float(rec["emed"])
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -680,6 +716,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                     "kr": rec["k"][0], "kg": rec["k"][1], "kb": rec["k"][2],
                     "ax": rec["alpha"][0], "ay": rec["alpha"][1],
                     "ir": rec["ir"], "mat": float(rec["mat_type"])}
+            if VOL:
+                vals["imed"] = float(rec["imed"])
+                vals["emed"] = float(rec["emed"])
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -807,6 +846,157 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             p = 1.0 / jnp.maximum(TWO_PI * (1.0 - cos_max), 1e-20)
             pdf = jnp.where(ok, p, pdf)
         return jnp.where(t_best < BIG, pdf, 0.0)
+
+    # ---- homogeneous media (medium.rs; scene-baked records, index 0 =
+    # vacuum). Directions are unit vectors throughout the kernel, so the
+    # reference's `direction.length()` factor is 1.
+    scatter_media = [(mi, m) for mi, m in enumerate(ps.media or [])
+                     if not m["vacuum"]]
+
+    def med_consts(med):
+        """Per-lane (sigma_t rgb, sigma_s rgb, g, in_medium mask)."""
+        zero = med * 0.0
+        st = [zero, zero, zero]
+        ss = [zero, zero, zero]
+        g = zero
+        vac = jnp.ones(SHAPE, bool)
+        for mi, m in scatter_media:
+            sel = med == float(mi)
+            for ch in range(3):
+                st[ch] = jnp.where(
+                    sel, m["sigma_a"][ch] + m["sigma_s"][ch], st[ch])
+                ss[ch] = jnp.where(sel, m["sigma_s"][ch], ss[ch])
+            g = jnp.where(sel, m["g"], g)
+            vac = vac & ~sel
+        return st, ss, g, vac
+
+    def med_tr(med, t):
+        """Transmittance rgb along unit-direction distance t
+        (medium.rs:106-108); vacuum -> 1."""
+        st, _, _, vac = med_consts(med)
+        return tuple(jnp.where(vac, 1.0, jnp.exp(-st[ch] * t))
+                     for ch in range(3))
+
+    def med_sample(med, t_max, st_rng):
+        """Per-channel distance sampling (medium.rs:110-133).
+        Returns (sampled, t_med, weight rgb, rng)."""
+        st, ss, _, vac = med_consts(med)
+        u_ch, st_rng = uniform(st_rng)
+        u, st_rng = uniform(st_rng)
+        ch_f = jnp.floor(u_ch * 3.0)
+        sig_ch = jnp.where(ch_f == 0.0, st[0],
+                           jnp.where(ch_f == 1.0, st[1], st[2]))
+        dist = -jnp.log(jnp.maximum(1.0 - u, 1e-10)) \
+            / jnp.maximum(sig_ch, 1e-20)
+        sampled = dist < t_max
+        t = jnp.minimum(dist, t_max)
+        tr = [jnp.exp(-st[ch] * t) for ch in range(3)]
+        dens = [jnp.where(sampled, st[ch] * tr[ch], tr[ch])
+                for ch in range(3)]
+        pdf = (dens[0] + dens[1] + dens[2]) * (1.0 / 3.0)
+        pdf = jnp.where(pdf == 0.0, 1.0, pdf)
+        w = [jnp.where(sampled, tr[ch] * ss[ch], tr[ch]) / pdf
+             for ch in range(3)]
+        return (sampled & ~vac, jnp.where(vac, 0.0, t),
+                tuple(jnp.where(vac, 1.0, w[ch]) for ch in range(3)),
+                st_rng)
+
+    def med_phase(med, cos_theta):
+        """Henyey-Greenstein (medium.rs:135-140); vacuum -> 0."""
+        _, _, g, vac = med_consts(med)
+        denom = 1.0 + g * g + 2.0 * g * cos_theta
+        hg = (1.0 / (4.0 * math.pi)) * (1.0 - g * g) / jnp.maximum(
+            denom * jnp.sqrt(jnp.maximum(denom, 1e-20)), 1e-20)
+        return jnp.where(vac, 0.0, hg)
+
+    def med_sample_p(med, wox, woy, woz, st_rng):
+        """HG-sampled scatter direction about wo (medium.rs:142-157)."""
+        _, _, g, _ = med_consts(med)
+        u0, st_rng = uniform(st_rng)
+        u1, st_rng = uniform(st_rng)
+        iso = 1.0 - 2.0 * u0
+        sqr = (1.0 - g * g) / jnp.maximum(1.0 + g - 2.0 * g * u0, 1e-9)
+        aniso = -(1.0 + g * g - sqr * sqr) / jnp.where(
+            jnp.abs(g) < 1e-9, 1e-9, 2.0 * g)
+        cos_t = jnp.where(jnp.abs(g) < 1e-3, iso, aniso)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = TWO_PI * u1
+        # basis about wo (math.rs coordinate_system == onb_from_w)
+        ux, uy, uz, vx, vy, vz = onb_from_w(wox, woy, woz)
+        cp = jnp.cos(phi) * sin_t
+        sp = jnp.sin(phi) * sin_t
+        return (ux * cp + vx * sp + wox * cos_t,
+                uy * cp + vy * sp + woy * cos_t,
+                uz * cp + vz * sp + woz * cos_t, st_rng)
+
+    MAX_TR_MARCH = 32
+
+    def tr_march(ox, oy, oz, dx, dy, dz, med0, want_emit, mref=None):
+        """tr / tr_emit (lib.rs:359-468): march transmittance through
+        None-material boundaries, switching interior/exterior media.
+        Returns rgb transmittance (or emitter radiance for tr_emit).
+        Carries use 0/1 float masks (Mosaic can't carry i1 vectors)."""
+        zero = ox * 0.0
+        one = zero + 1.0
+
+        def cond(c):
+            return jnp.any(c["live"] > 0.5) & (c["k"] < MAX_TR_MARCH)
+
+        def body(c):
+            live = c["live"] > 0.5
+            t, a = trace_closest(c["ox"], c["oy"], c["oz"],
+                                 dx, dy, dz, TMIN, mref)
+            hit = t < BIG
+            mat_none = a["mat"] == float(T.MAT_NONE)
+            out_r, out_g, out_b = c["outr"], c["outg"], c["outb"]
+            if want_emit:
+                emissive = ((a["alr"] != 0.0) | (a["alg"] != 0.0)
+                            | (a["alb"] != 0.0))
+                nx, ny, nz = normalize3(a["nx"], a["ny"], a["nz"])
+                front = (-(dx * nx + dy * ny + dz * nz)) > 0.0
+                take = live & hit & emissive
+                out_r = out_r + jnp.where(take & front,
+                                          c["trr"] * a["alr"], 0.0)
+                out_g = out_g + jnp.where(take & front,
+                                          c["trg"] * a["alg"], 0.0)
+                out_b = out_b + jnp.where(take & front,
+                                          c["trb"] * a["alb"], 0.0)
+                stop = ~hit | emissive | ~mat_none
+            else:
+                take = live & ~hit
+                out_r = out_r + jnp.where(take, c["trr"], 0.0)
+                out_g = out_g + jnp.where(take, c["trg"], 0.0)
+                out_b = out_b + jnp.where(take, c["trb"], 0.0)
+                stop = ~hit | ~mat_none
+            seg = med_tr(c["med"], jnp.minimum(t, 1e20))
+            cont = live & ~stop
+            trr = jnp.where(cont, c["trr"] * seg[0], c["trr"])
+            trg = jnp.where(cont, c["trg"] * seg[1], c["trg"])
+            trb = jnp.where(cont, c["trb"] * seg[2], c["trb"])
+            crossing_out = (dx * a["nx"] + dy * a["ny"]
+                            + dz * a["nz"]) > 0.0
+            med = jnp.where(cont,
+                            jnp.where(crossing_out, a["emed"], a["imed"]),
+                            c["med"])
+            return {
+                "ox": jnp.where(cont, c["ox"] + t * dx, c["ox"]),
+                "oy": jnp.where(cont, c["oy"] + t * dy, c["oy"]),
+                "oz": jnp.where(cont, c["oz"] + t * dz, c["oz"]),
+                "med": med,
+                "trr": trr, "trg": trg, "trb": trb,
+                "outr": out_r, "outg": out_g, "outb": out_b,
+                "live": jnp.where(cont, one, zero),
+                "k": c["k"] + 1,
+            }
+
+        out = jax.lax.while_loop(cond, body, {
+            "ox": ox + zero, "oy": oy + zero, "oz": oz + zero,
+            "med": med0 + zero,
+            "trr": one, "trg": one, "trb": one,
+            "outr": zero, "outg": zero, "outb": zero,
+            "live": one, "k": jnp.int32(0),
+        })
+        return out["outr"], out["outg"], out["outb"]
 
     # ---- emitter surface sampling (surface_sample.rs)
     def sample_emit(px_, py_, pz_, u_obj, u_prim, r, s):
@@ -1428,6 +1618,230 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             }
             return out
 
+        def body_vol(c):
+            """volpath bounce (lib.rs:477-803 semantics, mirrors
+            integrators/volpath.py): medium distance sampling, phase NEE
+            through tr marching, surface NEE with transmittance, None-
+            material passthrough, medium-interface tracking, no RR."""
+            active = c["sample"] < num_samples
+            cr, cg, cb = c["cr"], c["cg"], c["cb"]
+            med = c["med"]
+            depth = c["depth"]
+            rays = c["rays"] + jnp.where(active, 1.0, 0.0) \
+                * (1.0 + len(ps.lights) + (1.0 if E > 0 else 0.0))
+
+            t, attr = trace_closest(c["ox"], c["oy"], c["oz"],
+                                    c["dx"], c["dy"], c["dz"], TMIN, mref)
+            hit = t < BIG
+            miss = active & ~hit
+            rr_ = c["rr"] + jnp.where(miss, cr * ps.background[0], 0.0)
+            rg_ = c["rg"] + jnp.where(miss, cg * ps.background[1], 0.0)
+            rb_ = c["rb"] + jnp.where(miss, cb * ps.background[2], 0.0)
+            alive = active & hit
+
+            hx = c["ox"] + t * c["dx"]
+            hy = c["oy"] + t * c["dy"]
+            hz = c["oz"] + t * c["dz"]
+            nx, ny, nz = normalize3(attr["nx"], attr["ny"], attr["nz"])
+            wox, woy, woz = -c["dx"], -c["dy"], -c["dz"]
+            ux, uy, uz, vx, vy, vz = onb_from_w(nx, ny, nz)
+            mat_none = attr["mat"] == float(T.MAT_NONE)
+
+            # -- medium sampling along the segment (lib.rs:561-565)
+            st = c["st"]
+            sampled, t_med, mw, st = med_sample(med, t, st)
+            sampled = sampled & alive
+            cr = jnp.where(alive, cr * mw[0], cr)
+            cg = jnp.where(alive, cg * mw[1], cg)
+            cb = jnp.where(alive, cb * mw[2], cb)
+            mpx = c["ox"] + t_med * c["dx"]
+            mpy = c["oy"] + t_med * c["dy"]
+            mpz = c["oz"] + t_med * c["dz"]
+
+            # ======== medium interaction ========
+            for lt in ps.lights:
+                ldx, ldy, ldz = lt["dir"]
+                trv = tr_march(mpx, mpy, mpz,
+                               jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
+                               jnp.full(SHAPE, ldz), med, False, mref)
+                cosw = wox * ldx + woy * ldy + woz * ldz
+                phase = med_phase(med, cosw)
+                rr_ = rr_ + jnp.where(sampled,
+                                      cr * trv[0] * phase * lt["color"][0],
+                                      0.0)
+                rg_ = rg_ + jnp.where(sampled,
+                                      cg * trv[1] * phase * lt["color"][1],
+                                      0.0)
+                rb_ = rb_ + jnp.where(sampled,
+                                      cb * trv[2] * phase * lt["color"][2],
+                                      0.0)
+            m_dx, m_dy, m_dz, st = med_sample_p(med, wox, woy, woz, st)
+            if E > 0:
+                ue1, st = uniform(st)
+                ue2, st = uniform(st)
+                ue3, st = uniform(st)
+                ue4, st = uniform(st)
+                ls_x, ls_y, ls_z = sample_emit(mpx, mpy, mpz,
+                                               ue1, ue2, ue3, ue4)
+                epdf = trace_emit_pdf(mpx, mpy, mpz,
+                                      ls_x, ls_y, ls_z) / float(E)
+                tr_e = tr_march(mpx, mpy, mpz, ls_x, ls_y, ls_z,
+                                med, True, mref)
+                cosw = wox * ls_x + woy * ls_y + woz * ls_z
+                phase_e = med_phase(med, cosw) \
+                    / jnp.maximum(epdf, 1e-5)
+                ok_e = sampled & (epdf > 1e-5)
+                rr_ = rr_ + jnp.where(ok_e, cr * tr_e[0] * phase_e, 0.0)
+                rg_ = rg_ + jnp.where(ok_e, cg * tr_e[1] * phase_e, 0.0)
+                rb_ = rb_ + jnp.where(ok_e, cb * tr_e[2] * phase_e, 0.0)
+
+            # ======== surface interaction ========
+            surf = alive & ~sampled
+            al_on = surf & ((attr["alr"] != 0.0) | (attr["alg"] != 0.0)
+                            | (attr["alb"] != 0.0)) \
+                & (dot3(wox, woy, woz, nx, ny, nz) > 0.0)
+            rr_ = rr_ + jnp.where(al_on, cr * attr["alr"], 0.0)
+            rg_ = rg_ + jnp.where(al_on, cg * attr["alg"], 0.0)
+            rb_ = rb_ + jnp.where(al_on, cb * attr["alb"], 0.0)
+
+            first = surf & (depth == 0)
+            anx = c["anx"] + jnp.where(first, nx, 0.0)
+            any_ = c["any"] + jnp.where(first, ny, 0.0)
+            anz = c["anz"] + jnp.where(first, nz, 0.0)
+            aar = c["aar"] + jnp.where(first, attr["abr"], 0.0)
+            aag = c["aag"] + jnp.where(first, attr["abg"], 0.0)
+            aab = c["aab"] + jnp.where(first, attr["abb"], 0.0)
+
+            lox_, loy_, loz_ = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                        wox, woy, woz)
+            surf_scatter = surf & ~mat_none
+
+            # surface NEE with transmittance (occlusion by a non-None
+            # surface ends the march with tr contribution 0)
+            for lt in ps.lights:
+                ldx, ldy, ldz = lt["dir"]
+                trv = tr_march(hx, hy, hz,
+                               jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
+                               jnp.full(SHAPE, ldz), med, False, mref)
+                lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                         jnp.full(SHAPE, ldx),
+                                         jnp.full(SHAPE, ldy),
+                                         jnp.full(SHAPE, ldz))
+                fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
+                                                lwx, lwy, lwz)
+                cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
+                rr_ = rr_ + jnp.where(surf_scatter, cr * trv[0] * fe_r
+                                      * cosl * lt["color"][0], 0.0)
+                rg_ = rg_ + jnp.where(surf_scatter, cg * trv[1] * fe_g
+                                      * cosl * lt["color"][1], 0.0)
+                rb_ = rb_ + jnp.where(surf_scatter, cb * trv[2] * fe_b
+                                      * cosl * lt["color"][2], 0.0)
+
+            # scatter with emitter MIS (same estimator as the path body)
+            u_coin, st = uniform(st)
+            u1, st = uniform(st)
+            u2, st = uniform(st)
+            swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
+                attr, lox_, loy_, loz_, u_coin, u1, u2)
+            swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                     swx, swy, swz)
+            if E > 0:
+                coin, st = uniform(st)
+                ue1, st = uniform(st)
+                ue2, st = uniform(st)
+                ue3, st = uniform(st)
+                ue4, st = uniform(st)
+                ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
+                                                  ue3, ue4)
+                take_light = (coin > 0.5) & is_diffuse(attr["mat"])
+                wx_ = jnp.where(take_light, ls_wx, swx)
+                wy_ = jnp.where(take_light, ls_wy, swy)
+                wz_ = jnp.where(take_light, ls_wz, swz)
+                llx, lly, llz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                         ls_wx, ls_wy, ls_wz)
+                fe_r, fe_g, fe_b, fe_pdf = bsdf_eval(attr, lox_, loy_, loz_,
+                                                     llx, lly, llz)
+                f_r = jnp.where(take_light, fe_r, sfr)
+                f_g = jnp.where(take_light, fe_g, sfg)
+                f_b = jnp.where(take_light, fe_b, sfb)
+                pdf_b = jnp.where(take_light, fe_pdf, spdf)
+                lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+                mis = is_diffuse(attr["mat"])
+                pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
+                f_r = jnp.where(mis, f_r, sfr)
+                f_g = jnp.where(mis, f_g, sfg)
+                f_b = jnp.where(mis, f_b, sfb)
+                wx_ = jnp.where(mis, wx_, swx)
+                wy_ = jnp.where(mis, wy_, swy)
+                wz_ = jnp.where(mis, wz_, swz)
+            else:
+                wx_, wy_, wz_, f_r, f_g, f_b, pdf = (swx, swy, swz, sfr,
+                                                     sfg, sfb, spdf)
+
+            cosw = jnp.abs(wx_ * nx + wy_ * ny + wz_ * nz)
+            scale = cosw / jnp.maximum(pdf, 1e-20)
+            sc_r = cr * f_r * scale
+            sc_g = cg * f_g * scale
+            sc_b = cb * f_b * scale
+
+            # next ray per lane kind
+            new_ox = jnp.where(sampled, mpx, jnp.where(surf, hx, c["ox"]))
+            new_oy = jnp.where(sampled, mpy, jnp.where(surf, hy, c["oy"]))
+            new_oz = jnp.where(sampled, mpz, jnp.where(surf, hz, c["oz"]))
+            new_dx = jnp.where(sampled, m_dx,
+                               jnp.where(surf_scatter, wx_, c["dx"]))
+            new_dy = jnp.where(sampled, m_dy,
+                               jnp.where(surf_scatter, wy_, c["dy"]))
+            new_dz = jnp.where(sampled, m_dz,
+                               jnp.where(surf_scatter, wz_, c["dz"]))
+            cr = jnp.where(surf_scatter, sc_r, cr)
+            cg = jnp.where(surf_scatter, sc_g, cg)
+            cb = jnp.where(surf_scatter, sc_b, cb)
+            alive = alive & (sampled | (surf & (mat_none | (pdf >= 1e-5))))
+
+            # medium interface crossing at surfaces (lib.rs:775-779)
+            crossing_out = dot3(wox, woy, woz, nx, ny, nz) < 0.0
+            new_med = jnp.where(
+                surf, jnp.where(crossing_out, attr["emed"], attr["imed"]),
+                med)
+
+            alive = alive & ((cr != 0.0) | (cg != 0.0) | (cb != 0.0))
+            depth = depth + 1
+            alive = alive & (depth < MAXD)
+
+            # regeneration
+            finished = active & ~alive
+            sample = c["sample"] + jnp.where(finished, 1, 0)
+            regen = finished & (sample < num_samples)
+            cj1, st = uniform(st)
+            cj2, st = uniform(st)
+            cdx, cdy, cdz = camera_ray(pxf, pyf, cj1, cj2)
+
+            def pick3(a1, a2, b2c):
+                return jnp.where(regen, a1, jnp.where(alive, a2, b2c))
+
+            return {
+                "ox": pick3(jnp.full(SHAPE, cam_ox), new_ox, c["ox"]),
+                "oy": pick3(jnp.full(SHAPE, cam_oy), new_oy, c["oy"]),
+                "oz": pick3(jnp.full(SHAPE, cam_oz), new_oz, c["oz"]),
+                "dx": pick3(cdx, new_dx, c["dx"]),
+                "dy": pick3(cdy, new_dy, c["dy"]),
+                "dz": pick3(cdz, new_dz, c["dz"]),
+                "cr": pick3(jnp.ones(SHAPE), cr, c["cr"]),
+                "cg": pick3(jnp.ones(SHAPE), cg, c["cg"]),
+                "cb": pick3(jnp.ones(SHAPE), cb, c["cb"]),
+                "depth": jnp.where(regen, 0, jnp.where(alive, depth,
+                                                       c["depth"])),
+                "sample": sample,
+                "med": jnp.where(regen, 0.0,
+                                 jnp.where(alive, new_med, med)),
+                "rr": rr_, "rg": rg_, "rb": rb_,
+                "anx": anx, "any": any_, "anz": anz,
+                "aar": aar, "aag": aag, "aab": aab,
+                "rays": rays,
+                "st": st,
+            }
+
         # derive all constant-valued carries from loaded data: Mosaic
         # rejects relayouts of replicated splat constants in while-carries
         zero = pxf * 0.0
@@ -1445,7 +1859,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             "rays": zero,
             "st": st0,
         }
-        out = jax.lax.while_loop(cond, body, carry)
+        if VOL:
+            carry["med"] = zero
+        out = jax.lax.while_loop(cond, body_vol if VOL else body, carry)
         rad_r[:] = out["rr"]
         rad_g[:] = out["rg"]
         rad_b[:] = out["rb"]

@@ -97,6 +97,67 @@ def test_matches_xla_integrator(sample_scenes):
     assert np.abs(n_mean - xn_mean).max() < 0.1
 
 
+FOG_SCENE = """
+LookAt 0 -5 0  0 0 0  0 0 1
+Camera "perspective" "float fov" 45
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "volpath" "integer maxdepth" 6
+WorldBegin
+LightSource "infinite" "rgb L" [.6 .6 .6]
+LightSource "distant" "rgb L" [2 2 2] "point from" [0 -1 1] "point to" [0 0 0]
+AttributeBegin
+  MakeNamedMedium "fog" "rgb sigma_a" [.2 .25 .3] "rgb sigma_s" [.8 .7 .6]
+    "float g" 0.2
+  MediumInterface "fog" ""
+  Shape "sphere" "float radius" 1.5
+AttributeEnd
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [6 4 2]
+  Material "matte" "rgb Kd" [0 0 0]
+  Translate 0 0 2.5
+  Shape "sphere" "float radius" 0.4
+AttributeEnd
+AttributeBegin
+  Material "matte" "rgb Kd" [.6 .5 .4]
+  Translate 0 2.5 0
+  Shape "sphere" "float radius" 1
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_volpath_eligible_and_packs():
+    scene = create_scene(parse_pbrt(FOG_SCENE), "/tmp")
+    bn, config = build_device_scene(scene)
+    assert config.integrator == "volpath"
+    assert pallas_eligible(bn, config)
+    ps = pack_scene(bn, config)
+    assert ps.integrator == "volpath"
+    assert len(ps.media) == 2 and not ps.media[1]["vacuum"]
+    np.testing.assert_allclose(ps.media[1]["sigma_s"], [.8, .7, .6])
+    # fog sphere records carry the interior medium index
+    assert any(s["imed"] == 1 for s in ps.spheres)
+
+
+@pytest.mark.slow
+def test_volpath_matches_xla_integrator():
+    """Interpret-mode pallas volpath statistically matches the XLA
+    volpath integrator (medium sampling, tr marching, interface
+    tracking)."""
+    scene = create_scene(parse_pbrt(FOG_SCENE), "/tmp")
+    bn, config = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    assert run is not None
+    spp = 32
+    out = run(7, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=48, seed=3, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+
+
 def test_sphere_scene_pallas(sample_scenes):
     """Background + matte sphere through the megakernel."""
     scene = load_scene(str(sample_scenes / "sphere.pbrt"))
