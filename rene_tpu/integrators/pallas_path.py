@@ -113,7 +113,7 @@ def _emissive_tri_mask(buffers_np) -> np.ndarray:
 
 
 OK_MATS = {T.MAT_NONE, T.MAT_MATTE, T.MAT_METAL, T.MAT_MIRROR,
-           T.MAT_GLASS, T.MAT_SUBSTRATE}
+           T.MAT_GLASS, T.MAT_SUBSTRATE, T.MAT_UBER, T.MAT_PLASTIC}
 
 
 def _mat_tex_indices(buffers_np, mat_idx: int):
@@ -175,12 +175,8 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     used = set(buffers_np["inst_material"].tolist())
     if not all(kernel_ok[m] for m in used):
         return False
-    # spheres have no uv in the kernel: solid textures only
-    for s in range(config.num_spheres):
-        inst = int(buffers_np["sph_inst"][s])
-        if not _mat_solid_only(buffers_np,
-                               int(buffers_np["inst_material"][inst])):
-            return False
+    # spheres compute spherical uv in the kernel (lib.rs:874-880), so the
+    # same material set as triangles qualifies (solid + matte checker Kd)
     if config.num_triangles > MAX_TRIS:
         # clustered path: emissive or checker-textured tris stay
         # immediates, the rest go to the VMEM cluster table
@@ -224,7 +220,9 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
 
     rec = {"mat_type": mt, "albedo": (0.0, 0.0, 0.0),
            "eta": (1.0, 1.0, 1.0), "k": (0.0, 0.0, 0.0),
-           "alpha": (0.0, 0.0), "ir": 1.5, "tex": ("solid",)}
+           "alpha": (0.0, 0.0), "ir": 1.5, "tex": ("solid",),
+           "op": (0.0, 0.0, 0.0), "kr2": (0.0, 0.0, 0.0),
+           "kt2": (0.0, 0.0, 0.0)}
     if mt == T.MAT_MATTE:
         ti = int(u0[0])
         if int(buffers_np["tex_type"][ti]) == T.TEX_CHECKER:
@@ -258,6 +256,35 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
             ru, rv = _remap_rough(ru), _remap_rough(rv)
         rec["alpha"] = (ru, rv)
         rec["albedo"] = rec["k"]  # AOV albedo (material.rs:309-317)
+    elif mt == T.MAT_PLASTIC:
+        # lambert(Kd) + microfacet(Ks, dielectric 1.5->1.0)
+        # (material.rs:679-707); roughness texture u0.w, remap flag u1.z
+        rec["albedo"] = tex_rgb(u0[0])
+        rec["k"] = tex_rgb(u0[1])
+        r = tex_rgb(u0[3])[0]
+        if int(u1[2]):
+            r = _remap_rough(r)
+        rec["alpha"] = (r, r)
+    elif mt == T.MAT_UBER:
+        # up to 5 conditional lobes (material.rs:578-630): opacity
+        # spec-transmission, lambert(Kd), microfacet(Ks, dielectric
+        # 1->eta), spec-reflection(op*Kr), spec-transmission(op*Kt, eta)
+        kd = tex_rgb(u0[0])
+        ks = tex_rgb(u0[1])
+        kr = tex_rgb(u0[2])
+        kt = tex_rgb(u0[3])
+        op = tex_rgb(u1[0])
+        rec["albedo"] = kd
+        rec["k"] = ks
+        rec["op"] = tuple(1.0 - c for c in op)  # transmission weight
+        rec["kr2"] = tuple(op[i] * kr[i] for i in range(3))
+        rec["kt2"] = tuple(op[i] * kt[i] for i in range(3))
+        rec["ir"] = float(v0[0])
+        ru = tex_rgb(u1[2])[0]
+        rv = tex_rgb(u1[3])[0]
+        if int(u1[1]):
+            ru, rv = _remap_rough(ru), _remap_rough(rv)
+        rec["alpha"] = (ru, rv)
     return rec
 
 
@@ -492,6 +519,41 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
         return x * inv, y * inv, z * inv
 
+    _all_recs = ps.tris + ps.spheres + (ps.mesh_mats or [])
+    MATSET = {r["mat_type"] for r in _all_recs}
+    HAS_UBER = T.MAT_UBER in MATSET
+
+    def atan2_approx(y, x):
+        """Vectorized atan2 (Mosaic has no atan2/acos primitive): octant
+        reduction + the Cephes atanf core poly on [0, tan(pi/8)]."""
+        ax_ = jnp.abs(x)
+        ay_ = jnp.abs(y)
+        swap = ay_ > ax_
+        num = jnp.minimum(ax_, ay_)
+        den = jnp.maximum(jnp.maximum(ax_, ay_), 1e-30)
+        t = num / den
+        hi = t > 0.41421356237
+        t = jnp.where(hi, (t - 1.0) / (t + 1.0), t)
+        z = t * t
+        w = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1
+        a = w * z * t + t
+        a = a + jnp.where(hi, math.pi / 4.0, 0.0)
+        a = jnp.where(swap, math.pi / 2.0 - a, a)
+        a = jnp.where(x < 0.0, math.pi - a, a)
+        return jnp.where(y < 0.0, -a, a)
+
+    def sphere_uv_of(lx, ly, lz):
+        """Spherical uv of a unit-sphere local point (math.rs:70-76,
+        lib.rs:874-880)."""
+        nx_, ny_, nz_ = normalize3(lx, ly, lz)
+        # acos(z) = atan2(sqrt(1-z^2), z)
+        theta = atan2_approx(
+            jnp.sqrt(jnp.maximum(1.0 - nz_ * nz_, 0.0)), nz_)
+        phi = atan2_approx(ny_, nx_)
+        phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+        return phi * (0.5 / math.pi), (theta - math.pi) * (-1.0 / math.pi)
+
     # ---- clustered big-mesh march (see module constants for the layout)
     NC = ps.n_clusters
 
@@ -622,6 +684,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         if VOL:
             attr["imed"] = jnp.zeros(SHAPE)
             attr["emed"] = jnp.zeros(SHAPE)
+        if HAS_UBER:
+            for k in ("opr", "opg", "opb", "krr", "krg", "krb",
+                      "ktr", "ktg", "ktb"):
+                attr[k] = jnp.zeros(SHAPE)
 
         for rec in ps.tris:
             s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
@@ -673,6 +739,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             if VOL:
                 vals["imed"] = float(rec["imed"])
                 vals["emed"] = float(rec["emed"])
+            if HAS_UBER:
+                vals.update(opr=rec["op"][0], opg=rec["op"][1],
+                            opb=rec["op"][2], krr=rec["kr2"][0],
+                            krg=rec["kr2"][1], krb=rec["kr2"][2],
+                            ktr=rec["kt2"][0], ktg=rec["kt2"][1],
+                            ktb=rec["kt2"][2])
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -705,12 +777,24 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             nx = m[0][0] * px_ + m[1][0] * py_ + m[2][0] * pz_
             ny = m[0][1] * px_ + m[1][1] * py_ + m[2][1] * pz_
             nz = m[0][2] * px_ + m[1][2] * py_ + m[2][2] * pz_
+            tex = rec.get("tex", ("solid",))
+            if tex[0] == "checker":
+                # spherical uv from the object-space hit (lib.rs:874-880)
+                uu, vv = sphere_uv_of(px_, py_, pz_)
+                xs = uu * tex[1]
+                ys = vv * tex[2]
+                even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
+                        == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
+                ab_r = jnp.where(even, tex[3][0], tex[4][0])
+                ab_g = jnp.where(even, tex[3][1], tex[4][1])
+                ab_b = jnp.where(even, tex[3][2], tex[4][2])
+            else:
+                ab_r, ab_g, ab_b = rec["albedo"]
             vals = {"nx": nx, "ny": ny, "nz": nz,
                     "alr": rec["emit"][0] if rec["emissive"] else 0.0,
                     "alg": rec["emit"][1] if rec["emissive"] else 0.0,
                     "alb": rec["emit"][2] if rec["emissive"] else 0.0,
-                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
-                    "abb": rec["albedo"][2],
+                    "abr": ab_r, "abg": ab_g, "abb": ab_b,
                     "etar": rec["eta"][0], "etag": rec["eta"][1],
                     "etab": rec["eta"][2],
                     "kr": rec["k"][0], "kg": rec["k"][1], "kb": rec["k"][2],
@@ -719,6 +803,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             if VOL:
                 vals["imed"] = float(rec["imed"])
                 vals["emed"] = float(rec["emed"])
+            if HAS_UBER:
+                vals.update(opr=rec["op"][0], opg=rec["op"][1],
+                            opb=rec["op"][2], krr=rec["kr2"][0],
+                            krg=rec["kr2"][1], krb=rec["kr2"][2],
+                            ktr=rec["kt2"][0], ktg=rec["kt2"][1],
+                            ktb=rec["kt2"][2])
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -742,6 +832,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                         "kb": rec["k"][2],
                         "ax": rec["alpha"][0], "ay": rec["alpha"][1],
                         "ir": rec["ir"], "mat": float(rec["mat_type"])}
+                if HAS_UBER:
+                    vals.update(opr=rec["op"][0], opg=rec["op"][1],
+                                opb=rec["op"][2], krr=rec["kr2"][0],
+                                krg=rec["kr2"][1], krb=rec["kr2"][2],
+                                ktr=rec["kt2"][0], ktg=rec["kt2"][1],
+                                ktb=rec["kt2"][2])
                 for key, val in vals.items():
                     attr[key] = jnp.where(sel, val, attr[key])
 
@@ -1040,14 +1136,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         return normalize3(tx - px_, ty - py_, tz - pz_)
 
     # ---- BSDF (local frame; scene-specialized material set)
-    mats_present = sorted({r["mat_type"] for r in ps.tris}
-                          | {r["mat_type"] for r in ps.spheres}
-                          | {r["mat_type"] for r in (ps.mesh_mats or [])})
+    mats_present = sorted(MATSET)
     has_matte = T.MAT_MATTE in mats_present
     has_metal = T.MAT_METAL in mats_present
     has_mirror = T.MAT_MIRROR in mats_present
     has_glass = T.MAT_GLASS in mats_present
     has_substrate = T.MAT_SUBSTRATE in mats_present
+    has_plastic = T.MAT_PLASTIC in mats_present
+    has_uber = T.MAT_UBER in mats_present
 
     def onb_from_w(nx, ny, nz):
         x_major = jnp.abs(nx) > jnp.abs(ny)
@@ -1262,10 +1358,76 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             p_sub = 0.5 * (awi * INV_PI
                            + pdf_wh / jnp.maximum(4.0 * doh, 1e-20))
             pdf = jnp.where(ok, p_sub, pdf)
+        if has_plastic or has_uber:
+            # lambert(Kd) + microfacet(Ks, dielectric fresnel) stack
+            # (reflection.rs Bsdf::f sums side-matching lobes; Bsdf::pdf
+            # averages over ALL active lobes, incl. f=0 specular ones)
+            hx0 = wox + wix
+            hy0 = woy + wiy
+            hz0 = woz + wiz
+            degen = (hx0 * hx0 + hy0 * hy0 + hz0 * hz0) < 1e-18
+            hx, hy, hz = normalize3(hx0, hy0, hz0)
+            hx = jnp.where(hz < 0, -hx, hx)
+            hy = jnp.where(hz < 0, -hy, hy)
+            hz = jnp.where(hz < 0, -hz, hz)
+            ax_ = attr["ax"]
+            ay_ = attr["ay"]
+            d = ggx_d(ax_, ay_, hx, hy, hz)
+            g = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz)
+                       + ggx_lambda(ax_, ay_, wix, wiy, wiz))
+            ci = jnp.abs(wiz)
+            co = jnp.abs(woz)
+            cos_ih = dot3(wix, wiy, wiz, hx, hy, hz)
+            base = d * g / jnp.maximum(4.0 * ci * co, 1e-20)
+            mic_bad = (ci == 0.0) | (co == 0.0) | degen
+            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
+            doh = dot3(wox, woy, woz, hx, hy, hz)
+            pdf_wh = d * g1o * jnp.abs(doh) / jnp.maximum(jnp.abs(woz),
+                                                          1e-9)
+            pdf_mic = pdf_wh / jnp.maximum(4.0 * doh, 1e-20)
+            kd_on = ((attr["abr"] != 0.0) | (attr["abg"] != 0.0)
+                     | (attr["abb"] != 0.0))
+            ks_on = ((attr["kr"] != 0.0) | (attr["kg"] != 0.0)
+                     | (attr["kb"] != 0.0))
+            stacks = []
+            if has_plastic:
+                stacks.append((T.MAT_PLASTIC, 1.5, 1.0, None))
+            if has_uber:
+                stacks.append((T.MAT_UBER, 1.0, attr["ir"], "uber"))
+            for mt_tag, ei, et, kind in stacks:
+                sel = (mat == float(mt_tag)) & same
+                fr = fr_dielectric(cos_ih, ei * jnp.ones(SHAPE),
+                                   et * jnp.ones(SHAPE))
+                nact = kd_on.astype(jnp.float32) \
+                    + ks_on.astype(jnp.float32)
+                if kind == "uber":
+                    for a, b, cc in (("opr", "opg", "opb"),
+                                     ("krr", "krg", "krb"),
+                                     ("ktr", "ktg", "ktb")):
+                        nact = nact + ((attr[a] != 0.0) | (attr[b] != 0.0)
+                                       | (attr[cc] != 0.0)
+                                       ).astype(jnp.float32)
+                mic_ok = ks_on & ~mic_bad
+                fv_r = (jnp.where(kd_on, attr["abr"] * INV_PI, 0.0)
+                        + jnp.where(mic_ok, attr["kr"] * fr * base, 0.0))
+                fv_g = (jnp.where(kd_on, attr["abg"] * INV_PI, 0.0)
+                        + jnp.where(mic_ok, attr["kg"] * fr * base, 0.0))
+                fv_b = (jnp.where(kd_on, attr["abb"] * INV_PI, 0.0)
+                        + jnp.where(mic_ok, attr["kb"] * fr * base, 0.0))
+                p = (jnp.where(kd_on, jnp.abs(wiz) * INV_PI, 0.0)
+                     + jnp.where(ks_on, pdf_mic, 0.0)) \
+                    / jnp.maximum(nact, 1.0)
+                f_r = jnp.where(sel, fv_r, f_r)
+                f_g = jnp.where(sel, fv_g, f_g)
+                f_b = jnp.where(sel, fv_b, f_b)
+                pdf = jnp.where(sel, p, pdf)
         return f_r, f_g, f_b, pdf
 
-    def bsdf_sample(attr, wox, woy, woz, u_coin, u1, u2):
-        """(wi, f, pdf) in local frame; mirrors bsdf.sample_chosen."""
+    def bsdf_sample(attr, wox, woy, woz, u_coin, u1, u2, ul=None):
+        """(wi, f, pdf) in local frame; mirrors bsdf.sample_chosen. `ul`
+        picks the lobe for multi-lobe materials (uber/plastic); the
+        sampled pdf is divided by the active-lobe count
+        (reflection.rs:313-326)."""
         mat = attr["mat"]
         wix = jnp.zeros(SHAPE)
         wiy = jnp.zeros(SHAPE)
@@ -1384,15 +1546,181 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             f_g = jnp.where(sel, val, f_g)
             f_b = jnp.where(sel, val, f_b)
             pdf = jnp.where(sel, gp, pdf)
+        if has_plastic or has_uber:
+            # multi-lobe stack sampling: uniform pick among active lobes,
+            # single-lobe f/pdf, pdf /= count (reflection.rs:313-326)
+            zc = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+            phi = TWO_PI * u1
+            r2s = jnp.sqrt(u2)
+            cx = jnp.cos(phi) * r2s
+            cy = jnp.sin(phi) * r2s
+            cz = jnp.where(woz < 0.0, -zc, zc)
+            ax_ = attr["ax"]
+            ay_ = attr["ay"]
+            hx, hy, hz = ggx_sample_wh(ax_, ay_, wox, woy, woz, u1, u2)
+            doh = dot3(wox, woy, woz, hx, hy, hz)
+            mx = -wox + 2.0 * doh * hx
+            my = -woy + 2.0 * doh * hy
+            mz = -woz + 2.0 * doh * hz
+            mic_bad = (woz == 0.0) | (doh < 0.0) | (woz * mz <= 0.0)
+            d = ggx_d(ax_, ay_, hx, hy, hz)
+            g = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz)
+                       + ggx_lambda(ax_, ay_, mx, my, mz))
+            ci = jnp.abs(mz)
+            co = jnp.abs(woz)
+            mic_base = d * g / jnp.maximum(4.0 * ci * co, 1e-20)
+            cos_ih = dot3(mx, my, mz, hx, hy, hz)
+            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
+            pdf_mic = (d * g1o * jnp.abs(doh)
+                       / jnp.maximum(jnp.abs(woz), 1e-9)
+                       / jnp.maximum(4.0 * doh, 1e-20))
+            kd_on = ((attr["abr"] != 0.0) | (attr["abg"] != 0.0)
+                     | (attr["abb"] != 0.0))
+            ks_on = ((attr["kr"] != 0.0) | (attr["kg"] != 0.0)
+                     | (attr["kb"] != 0.0))
+            pdf_lam = jnp.abs(cz) * INV_PI
+
+            if has_plastic:
+                sel = mat == float(T.MAT_PLASTIC)
+                fr = fr_dielectric(cos_ih, 1.5 * jnp.ones(SHAPE),
+                                   jnp.ones(SHAPE))
+                nact = kd_on.astype(jnp.float32) \
+                    + ks_on.astype(jnp.float32)
+                j = jnp.floor(ul * nact)
+                pick_lam = kd_on & (j == 0.0)
+                pick_mic = ks_on & (j == kd_on.astype(jnp.float32))
+                p_wix = jnp.where(pick_lam, cx, mx)
+                p_wiy = jnp.where(pick_lam, cy, my)
+                p_wiz = jnp.where(pick_lam, cz, mz)
+                ok_mic = pick_mic & ~mic_bad
+                pf_r = (jnp.where(pick_lam, attr["abr"] * INV_PI, 0.0)
+                        + jnp.where(ok_mic, attr["kr"] * fr * mic_base,
+                                    0.0))
+                pf_g = (jnp.where(pick_lam, attr["abg"] * INV_PI, 0.0)
+                        + jnp.where(ok_mic, attr["kg"] * fr * mic_base,
+                                    0.0))
+                pf_b = (jnp.where(pick_lam, attr["abb"] * INV_PI, 0.0)
+                        + jnp.where(ok_mic, attr["kb"] * fr * mic_base,
+                                    0.0))
+                pp = (jnp.where(pick_lam, pdf_lam, 0.0)
+                      + jnp.where(ok_mic, pdf_mic, 0.0)) \
+                    / jnp.maximum(nact, 1.0)
+                wix = jnp.where(sel, p_wix, wix)
+                wiy = jnp.where(sel, p_wiy, wiy)
+                wiz = jnp.where(sel, p_wiz, wiz)
+                f_r = jnp.where(sel, pf_r, f_r)
+                f_g = jnp.where(sel, pf_g, f_g)
+                f_b = jnp.where(sel, pf_b, f_b)
+                pdf = jnp.where(sel, pp, pdf)
+
+            if has_uber:
+                sel = mat == float(T.MAT_UBER)
+                eta = attr["ir"]
+                fr = fr_dielectric(cos_ih, jnp.ones(SHAPE), eta)
+                op_on = ((attr["opr"] != 0.0) | (attr["opg"] != 0.0)
+                         | (attr["opb"] != 0.0))
+                kr_on = ((attr["krr"] != 0.0) | (attr["krg"] != 0.0)
+                         | (attr["krb"] != 0.0))
+                kt_on = ((attr["ktr"] != 0.0) | (attr["ktg"] != 0.0)
+                         | (attr["ktb"] != 0.0))
+                ind = [x.astype(jnp.float32)
+                       for x in (op_on, kd_on, ks_on, kr_on, kt_on)]
+                nact = ind[0] + ind[1] + ind[2] + ind[3] + ind[4]
+                j = jnp.floor(ul * nact)
+                rank1 = ind[0]
+                rank2 = rank1 + ind[1]
+                rank3 = rank2 + ind[2]
+                rank4 = rank3 + ind[3]
+                pick_op = op_on & (j == 0.0)
+                pick_lam = kd_on & (j == rank1)
+                pick_mic = ks_on & (j == rank2)
+                pick_kr = kr_on & (j == rank3)
+                pick_kt = kt_on & (j == rank4)
+                inv_co = 1.0 / jnp.maximum(jnp.abs(woz), 1e-9)
+                # opacity passthrough: spec transmission at eta 1:1
+                # (fresnel 0) -> wi = -wo, f = t_op/|cos|
+                # Kr: specular reflection with dielectric fresnel at woz
+                fr_kr = fr_dielectric(woz, jnp.ones(SHAPE), eta)
+                # Kt: specular transmission across (1, eta)
+                nz_ = jnp.where(woz > 0.0, 1.0, -1.0)
+                eta_ratio = jnp.where(woz > 0.0,
+                                      1.0 / jnp.maximum(eta, 1e-9), eta)
+                cos_i = nz_ * woz
+                sin2_t = eta_ratio * eta_ratio * jnp.maximum(
+                    1.0 - cos_i * cos_i, 0.0)
+                ok_t = sin2_t < 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                tx = -wox * eta_ratio
+                ty = -woy * eta_ratio
+                tz = -woz * eta_ratio + (eta_ratio * cos_i - cos_t) * nz_
+                fr_kt = fr_dielectric(tz, jnp.ones(SHAPE), eta)
+                inv_ct = 1.0 / jnp.maximum(jnp.abs(tz), 1e-9)
+                ok_mic = pick_mic & ~mic_bad
+                ok_kt = pick_kt & ok_t
+                u_wix = jnp.where(pick_op, -wox,
+                                  jnp.where(pick_lam, cx,
+                                            jnp.where(pick_mic, mx,
+                                                      jnp.where(pick_kr,
+                                                                -wox, tx))))
+                u_wiy = jnp.where(pick_op, -woy,
+                                  jnp.where(pick_lam, cy,
+                                            jnp.where(pick_mic, my,
+                                                      jnp.where(pick_kr,
+                                                                -woy, ty))))
+                u_wiz = jnp.where(pick_op, -woz,
+                                  jnp.where(pick_lam, cz,
+                                            jnp.where(pick_mic, mz,
+                                                      jnp.where(pick_kr,
+                                                                woz, tz))))
+
+                def lobe_f(ch_op, ch_ab, ch_k, ch_kr, ch_kt):
+                    return (jnp.where(pick_op, ch_op * inv_co, 0.0)
+                            + jnp.where(pick_lam, ch_ab * INV_PI, 0.0)
+                            + jnp.where(ok_mic, ch_k * fr * mic_base, 0.0)
+                            + jnp.where(pick_kr, ch_kr * fr_kr * inv_co,
+                                        0.0)
+                            + jnp.where(ok_kt, ch_kt * (1.0 - fr_kt)
+                                        * inv_ct, 0.0))
+
+                uf_r = lobe_f(attr["opr"], attr["abr"], attr["kr"],
+                              attr["krr"], attr["ktr"])
+                uf_g = lobe_f(attr["opg"], attr["abg"], attr["kg"],
+                              attr["krg"], attr["ktg"])
+                uf_b = lobe_f(attr["opb"], attr["abb"], attr["kb"],
+                              attr["krb"], attr["ktb"])
+                up = (jnp.where(pick_op | pick_kr, 1.0, 0.0)
+                      + jnp.where(pick_lam, pdf_lam, 0.0)
+                      + jnp.where(ok_mic, pdf_mic, 0.0)
+                      + jnp.where(ok_kt, 1.0, 0.0)) \
+                    / jnp.maximum(nact, 1.0)
+                wix = jnp.where(sel, u_wix, wix)
+                wiy = jnp.where(sel, u_wiy, wiy)
+                wiz = jnp.where(sel, u_wiz, wiz)
+                f_r = jnp.where(sel, uf_r, f_r)
+                f_g = jnp.where(sel, uf_g, f_g)
+                f_b = jnp.where(sel, uf_b, f_b)
+                pdf = jnp.where(sel, up, pdf)
         return wix, wiy, wiz, f_r, f_g, f_b, pdf
 
     diffuse_mats = [m for m in mats_present
                     if m in (T.MAT_MATTE, T.MAT_METAL, T.MAT_SUBSTRATE)]
 
-    def is_diffuse(mat):
+    def is_diffuse(attr):
+        """Per-lane Bsdf::contains(DIFFUSE): static for single-lobe
+        materials, payload-dependent for uber/plastic (a lobe exists only
+        when its weight is nonzero)."""
+        mat = attr["mat"]
         d = jnp.zeros(SHAPE, bool)
         for m in diffuse_mats:
             d = d | (mat == float(m))
+        if has_plastic or has_uber:
+            kd_on = ((attr["abr"] != 0.0) | (attr["abg"] != 0.0)
+                     | (attr["abb"] != 0.0))
+            ks_on = ((attr["kr"] != 0.0) | (attr["kg"] != 0.0)
+                     | (attr["kb"] != 0.0))
+            for m in (T.MAT_PLASTIC, T.MAT_UBER):
+                if m in mats_present:
+                    d = d | ((mat == float(m)) & (kd_on | ks_on))
         return d
 
     # ---- camera (camera.rs:77-90)
@@ -1524,8 +1852,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             u_coin, st = uniform(st)
             u1, st = uniform(st)
             u2, st = uniform(st)
+            ul, st = uniform(st)
             swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
-                attr, lox_, loy_, loz_, u_coin, u1, u2)
+                attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
             # to world
             swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                      swx, swy, swz)
@@ -1538,7 +1867,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 ue4, st = uniform(st)
                 ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
                                                   ue3, ue4)
-                take_light = (coin > 0.5) & is_diffuse(attr["mat"])
+                take_light = (coin > 0.5) & is_diffuse(attr)
                 wx_ = jnp.where(take_light, ls_wx, swx)
                 wy_ = jnp.where(take_light, ls_wy, swy)
                 wz_ = jnp.where(take_light, ls_wz, swz)
@@ -1551,7 +1880,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 f_b = jnp.where(take_light, fe_b, sfb)
                 pdf_b = jnp.where(take_light, fe_pdf, spdf)
                 lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
-                mis = is_diffuse(attr["mat"])
+                mis = is_diffuse(attr)
                 pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
                 f_r = jnp.where(mis, f_r, sfr)
                 f_g = jnp.where(mis, f_g, sfg)
@@ -1741,8 +2070,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             u_coin, st = uniform(st)
             u1, st = uniform(st)
             u2, st = uniform(st)
+            ul, st = uniform(st)
             swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
-                attr, lox_, loy_, loz_, u_coin, u1, u2)
+                attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
             swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                      swx, swy, swz)
             if E > 0:
@@ -1753,7 +2083,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 ue4, st = uniform(st)
                 ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
                                                   ue3, ue4)
-                take_light = (coin > 0.5) & is_diffuse(attr["mat"])
+                take_light = (coin > 0.5) & is_diffuse(attr)
                 wx_ = jnp.where(take_light, ls_wx, swx)
                 wy_ = jnp.where(take_light, ls_wy, swy)
                 wz_ = jnp.where(take_light, ls_wz, swz)
@@ -1766,7 +2096,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 f_b = jnp.where(take_light, fe_b, sfb)
                 pdf_b = jnp.where(take_light, fe_pdf, spdf)
                 lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
-                mis = is_diffuse(attr["mat"])
+                mis = is_diffuse(attr)
                 pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
                 f_r = jnp.where(mis, f_r, sfr)
                 f_g = jnp.where(mis, f_g, sfg)

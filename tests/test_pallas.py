@@ -158,6 +158,69 @@ def test_volpath_matches_xla_integrator():
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
 
 
+UBER_SCENE = """
+LookAt 0 -6 1  0 0 1  0 0 1
+Camera "perspective" "float fov" 50
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Integrator "path" "integer maxdepth" 5
+WorldBegin
+LightSource "infinite" "rgb L" [.7 .7 .7]
+LightSource "distant" "rgb L" [1.5 1.4 1.2] "point from" [1 -2 4]
+  "point to" [0 0 0]
+AttributeBegin
+  Material "plastic" "rgb Kd" [.4 .2 .1] "rgb Ks" [.3 .3 .3]
+    "float roughness" .2
+  Translate -1.5 0 1
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  Material "uber" "rgb Kd" [.2 .3 .4] "rgb Ks" [.2 .2 .2]
+    "rgb Kr" [.1 .1 .1] "rgb opacity" [.8 .8 .8] "float eta" 1.5
+    "float roughness" .15
+  Translate 1.5 0 1
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  Texture "check" "spectrum" "checkerboard" "rgb tex1" [.1 .1 .1]
+    "rgb tex2" [.7 .7 .7] "float uscale" 8 "float vscale" 8
+  Material "matte" "texture Kd" "check"
+  Translate 0 3 1
+  Shape "sphere" "float radius" 1.2
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_uber_plastic_checker_sphere_eligible():
+    scene = create_scene(parse_pbrt(UBER_SCENE), "/tmp")
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    ps = pack_scene(bn, config)
+    uber = [s for s in ps.spheres if s["mat_type"] == 6]
+    assert uber and np.allclose(uber[0]["op"], [0.2, 0.2, 0.2])
+    assert np.allclose(uber[0]["kr2"], [0.08, 0.08, 0.08])
+    checker = [s for s in ps.spheres if s["tex"][0] == "checker"]
+    assert checker and checker[0]["tex"][1] == 8.0
+
+
+@pytest.mark.slow
+def test_uber_plastic_matches_xla_integrator():
+    """Interpret-mode parity for the multi-lobe materials (uber with
+    opacity/Kr lobes, plastic) and spherical-uv checker spheres."""
+    scene = create_scene(parse_pbrt(UBER_SCENE), "/tmp")
+    bn, config = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    assert run is not None
+    spp = 48
+    out = run(11, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=64, seed=4, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+
+
 def test_sphere_scene_pallas(sample_scenes):
     """Background + matte sphere through the megakernel."""
     scene = load_scene(str(sample_scenes / "sphere.pbrt"))
