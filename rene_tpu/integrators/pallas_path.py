@@ -104,6 +104,12 @@ class PallasScene:
     # volpath: integrator tag + homogeneous-medium records (index 0 = vacuum)
     integrator: str = "path"
     media: Optional[List[dict]] = None
+    # imagemap textures: channel-planar VMEM atlas (3*rows, 128) f32 and
+    # the background image descriptor (base_row, width, height) or None
+    img_table: Optional[np.ndarray] = None
+    img_rows: int = 0
+    bg_img: Optional[tuple] = None
+    bg_matrix: Optional[np.ndarray] = None
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -114,6 +120,78 @@ def _emissive_tri_mask(buffers_np) -> np.ndarray:
 
 OK_MATS = {T.MAT_NONE, T.MAT_MATTE, T.MAT_METAL, T.MAT_MIRROR,
            T.MAT_GLASS, T.MAT_SUBSTRATE, T.MAT_UBER, T.MAT_PLASTIC}
+
+# -- imagemap textures in the kernel -----------------------------------------
+# Mosaic has no per-lane arbitrary gather; the one legal form is a
+# same-shape gather along the LANE dim (take_along_axis, axis=1). Images
+# therefore live in VMEM as a channel-planar (3*rows, 128) table and a
+# fetch is a fori_loop over 8-row pages: any-lane page skip, then per page
+# a static row broadcast + lane gather + row-match select (see
+# _build_kernel.fetch_image).
+IMG_PAGE = 8
+MAX_IMG_TEXELS = 1 << 18          # f32 x3 = 3 MB VMEM
+MAX_IMG_TEXELS_CLUSTER = 1 << 16  # tighter when the mesh table coexists
+
+
+def _tex_kernel_desc(buffers_np, ti: int):
+    """Kernel-representable albedo-slot texture descriptor:
+    ("solid", rgb) | ("checker", us, vs, rgb_even, rgb_odd) |
+    ("image", img_idx, base_rgb) | None when unsupported
+    (texture.rs one-level recursion: Scale folds its solid factor into
+    base_rgb; Checker requires solid sub-textures)."""
+    tt = int(buffers_np["tex_type"][ti])
+
+    def srgb(s):
+        return tuple(float(x) for x in buffers_np["tex_v0"][s, :3])
+
+    if tt == T.TEX_SOLID:
+        return ("solid", srgb(ti))
+    if tt == T.TEX_IMAGEMAP:
+        return ("image", int(buffers_np["tex_u0"][ti, 0]), (1.0, 1.0, 1.0))
+    subs = [int(buffers_np["tex_u0"][ti, s]) for s in (0, 1)]
+    kinds = [int(buffers_np["tex_type"][s]) for s in subs]
+    if tt == T.TEX_CHECKER:
+        if all(k == T.TEX_SOLID for k in kinds):
+            tv = buffers_np["tex_v0"][ti]
+            return ("checker", float(tv[0]), float(tv[1]),
+                    srgb(subs[0]), srgb(subs[1]))
+        return None
+    if tt == T.TEX_SCALE:
+        imgs = [s for s, k in zip(subs, kinds) if k == T.TEX_IMAGEMAP]
+        solids = [s for s, k in zip(subs, kinds) if k == T.TEX_SOLID]
+        if len(imgs) + len(solids) != 2 or len(imgs) > 1:
+            return None
+        base = (1.0, 1.0, 1.0)
+        for s in solids:
+            c = srgb(s)
+            base = tuple(base[i] * c[i] for i in range(3))
+        if imgs:
+            return ("image", int(buffers_np["tex_u0"][imgs[0], 0]), base)
+        return ("solid", base)
+    return None
+
+
+def _kernel_images(buffers_np, config: RenderConfig):
+    """Image ids the kernel would fetch: the background env map plus every
+    used matte material whose Kd resolves to an image descriptor."""
+    used = set()
+    bg_tex = int(buffers_np["background_texture"])
+    if int(buffers_np["tex_type"][bg_tex]) == T.TEX_IMAGEMAP:
+        used.add(int(buffers_np["tex_u0"][bg_tex, 0]))
+    for m in set(buffers_np["inst_material"].tolist()):
+        if int(buffers_np["mat_type"][m]) != T.MAT_MATTE:
+            continue
+        desc = _tex_kernel_desc(buffers_np,
+                                int(buffers_np["mat_u0"][m][0]))
+        if desc is not None and desc[0] == "image":
+            used.add(desc[1])
+    return sorted(used)
+
+
+def _image_rows(buffers_np, img_idx: int) -> int:
+    texels = (int(buffers_np["img_width"][img_idx])
+              * int(buffers_np["img_height"][img_idx]))
+    return (texels + 127) // 128
 
 
 def _mat_tex_indices(buffers_np, mat_idx: int):
@@ -135,8 +213,9 @@ def _mat_solid_only(buffers_np, mat_idx: int) -> bool:
 
 def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
     """Material representable in the megakernel: a supported type whose
-    textures are solid, except matte may use a checker Kd with solid
-    sub-textures (evaluated per-hit from interpolated uv)."""
+    textures are solid, except matte's Kd slot may be any kernel texture
+    descriptor (checker with solid subs, imagemap, scale; evaluated
+    per-hit from interpolated/spherical uv)."""
     mt = int(buffers_np["mat_type"][mat_idx])
     if mt not in OK_MATS:
         return False
@@ -144,10 +223,8 @@ def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
         tt = int(buffers_np["tex_type"][ti])
         if tt == T.TEX_SOLID:
             continue
-        if (tt == T.TEX_CHECKER and mt == T.MAT_MATTE and slot == 0
-                and all(int(buffers_np["tex_type"][
-                    int(buffers_np["tex_u0"][ti, s])]) == T.TEX_SOLID
-                    for s in (0, 1))):
+        if (mt == T.MAT_MATTE and slot == 0
+                and _tex_kernel_desc(buffers_np, ti) is not None):
             continue
         return False
     return True
@@ -164,11 +241,19 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
         return False
     if config.num_lights > 4:
         return False
-    # the kernel bakes a constant background (miss shader lib.rs:120-139
-    # evaluates texture(background_matrix*dir) * background_color); only a
-    # solid background texture folds into that constant
+    # miss shader (lib.rs:120-139) = texture(background_matrix*dir) *
+    # background_color: a solid texture folds into a constant, an imagemap
+    # is fetched from the VMEM atlas; anything else falls back to XLA
     bg_tex = int(buffers_np["background_texture"])
-    if int(buffers_np["tex_type"][bg_tex]) != T.TEX_SOLID:
+    if int(buffers_np["tex_type"][bg_tex]) not in (T.TEX_SOLID,
+                                                   T.TEX_IMAGEMAP):
+        return False
+    # VMEM budget for the image atlas (coexists with the cluster table)
+    imgs = _kernel_images(buffers_np, config)
+    texels = sum(_image_rows(buffers_np, i) for i in imgs) * 128
+    cap = (MAX_IMG_TEXELS_CLUSTER if config.num_triangles > MAX_TRIS
+           else MAX_IMG_TEXELS)
+    if texels > cap:
         return False
     n_mats = buffers_np["mat_type"].shape[0]
     kernel_ok = [_mat_kernel_ok(buffers_np, m) for m in range(n_mats)]
@@ -224,15 +309,16 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
            "op": (0.0, 0.0, 0.0), "kr2": (0.0, 0.0, 0.0),
            "kt2": (0.0, 0.0, 0.0)}
     if mt == T.MAT_MATTE:
-        ti = int(u0[0])
-        if int(buffers_np["tex_type"][ti]) == T.TEX_CHECKER:
-            tv = buffers_np["tex_v0"][ti]
-            sub = buffers_np["tex_u0"][ti]
-            rec["tex"] = ("checker", float(tv[0]), float(tv[1]),
-                          tex_rgb(sub[0]), tex_rgb(sub[1]))
-            rec["albedo"] = tex_rgb(sub[0])
-        else:
-            rec["albedo"] = tex_rgb(ti)
+        desc = _tex_kernel_desc(buffers_np, int(u0[0]))
+        if desc is None or desc[0] == "solid":
+            rec["albedo"] = desc[1] if desc else tex_rgb(u0[0])
+        elif desc[0] == "checker":
+            rec["tex"] = desc
+            rec["albedo"] = desc[3]
+        else:  # ("image", img_idx, base_rgb): resolved to atlas rows in
+            # pack_scene once image base offsets are known
+            rec["tex"] = desc
+            rec["albedo"] = desc[2]
     elif mt == T.MAT_MIRROR:
         rec["albedo"] = tex_rgb(u0[0])
     elif mt == T.MAT_GLASS:
@@ -451,16 +537,68 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             "g": float(buffers_np["med_g"][mi]),
         })
 
-    # miss radiance = texture(background) * background_color; the texture is
-    # solid here (pallas_eligible), so fold its rgb into the constant
+    # image atlas: channel-planar (3*rows, 128) VMEM table over the images
+    # the kernel fetches (background env map + matte Kd imagemaps)
+    used_imgs = _kernel_images(buffers_np, config)
+    img_table = None
+    img_rows = 0
+    bases = {}
+    if used_imgs:
+        rows = 0
+        for ii in used_imgs:
+            bases[ii] = rows
+            rows += _image_rows(buffers_np, ii)
+        rows = ((rows + IMG_PAGE - 1) // IMG_PAGE) * IMG_PAGE
+        img_rows = rows
+        img_table = np.zeros((3 * rows, 128), np.float32)
+        atlas = buffers_np["img_atlas"]
+        for ii in used_imgs:
+            w = int(buffers_np["img_width"][ii])
+            h = int(buffers_np["img_height"][ii])
+            off = int(buffers_np["img_offset"][ii])
+            n = w * h
+            nr = (n + 127) // 128
+            pad = np.zeros((nr * 128, 3), np.float32)
+            pad[:n] = atlas[off:off + n, :3]
+            b = bases[ii]
+            for ch in range(3):
+                img_table[ch * rows + b: ch * rows + b + nr, :] = \
+                    pad[:, ch].reshape(nr, 128)
+
+        def resolve(rec):
+            tex = rec.get("tex", ("solid",))
+            if tex[0] == "image":
+                ii = tex[1]
+                rec["tex"] = ("image", bases[ii],
+                              int(buffers_np["img_width"][ii]),
+                              int(buffers_np["img_height"][ii]))
+        for rec in tris:
+            resolve(rec)
+        for rec in spheres:
+            resolve(rec)
+
+    # miss radiance = texture(background) * background_color; a solid
+    # texture folds into the constant, an imagemap is fetched per miss
     bg_tex = int(buffers_np["background_texture"])
-    bg_rgb = buffers_np["tex_v0"][bg_tex, :3].astype(np.float64)
-    background = tuple(float(bg_rgb[i] * buffers_np["background_color"][i])
-                       for i in range(3))
+    bg_img = None
+    if int(buffers_np["tex_type"][bg_tex]) == T.TEX_IMAGEMAP:
+        ii = int(buffers_np["tex_u0"][bg_tex, 0])
+        bg_img = (bases[ii], int(buffers_np["img_width"][ii]),
+                  int(buffers_np["img_height"][ii]))
+        background = tuple(float(x)
+                           for x in buffers_np["background_color"])
+    else:
+        bg_rgb = buffers_np["tex_v0"][bg_tex, :3].astype(np.float64)
+        background = tuple(
+            float(bg_rgb[i] * buffers_np["background_color"][i])
+            for i in range(3))
     return PallasScene(
         tris=tris, spheres=spheres, emit_objects=emit_objects,
         lights=lights,
         background=background,
+        img_table=img_table, img_rows=img_rows, bg_img=bg_img,
+        bg_matrix=np.asarray(buffers_np["background_matrix"],
+                             np.float64),
         cam_proj_inv=np.asarray(buffers_np["camera_proj_inv"], np.float64),
         cam_to_world=np.asarray(buffers_np["camera_to_world"], np.float64),
         width=config.film.xresolution, height=config.film.yresolution,
@@ -522,6 +660,109 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     _all_recs = ps.tris + ps.spheres + (ps.mesh_mats or [])
     MATSET = {r["mat_type"] for r in _all_recs}
     HAS_UBER = T.MAT_UBER in MATSET
+    HAS_IMG = ps.img_table is not None
+    HAS_IMG_MATS = any(r.get("tex", ("solid",))[0] == "image"
+                       for r in ps.tris + ps.spheres)
+    BG_IMG = ps.bg_img
+    NPAGES = (ps.img_rows // IMG_PAGE) if HAS_IMG else 0
+    IMG_ROWS = ps.img_rows
+    # static page ranges per fetch site
+    _kd_imgs = [r["tex"] for r in ps.tris + ps.spheres
+                if r.get("tex", ("solid",))[0] == "image"]
+    if _kd_imgs:
+        KD_PMIN = min(t[1] for t in _kd_imgs) // IMG_PAGE
+        KD_PMAX = -(-max(t[1] + (t[2] * t[3] + 127) // 128
+                         for t in _kd_imgs) // IMG_PAGE)
+    if BG_IMG is not None:
+        BG_PMIN = BG_IMG[0] // IMG_PAGE
+        BG_PMAX = -(-(BG_IMG[0] + (BG_IMG[1] * BG_IMG[2] + 127) // 128)
+                    // IMG_PAGE)
+
+    def fetch_image(iref, u, v, wf, hf, base_row, active,
+                    pmin=0, pmax=None):
+        """Bilinear REPEAT fetch (texture.rs:124 / ops/texture.py
+        sample_image parity, v flipped) from the channel-planar VMEM
+        atlas. wf/hf/base_row are per-lane, so one sweep serves mixed
+        images. The sweep is bounded three ways: the static page range of
+        the images this call site can touch [pmin, pmax), traced bounds
+        from the active lanes' row min/max (coherent fetches visit a
+        handful of pages), and an any-lane lax.cond per page. Per page:
+        static-row broadcasts + lane gathers — the only per-lane gather
+        Mosaic lowers."""
+        if pmax is None:
+            pmax = NPAGES
+        x = u * wf - 0.5
+        y = (1.0 - v) * hf - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+
+        def wrap(a, m):
+            m = jnp.maximum(m, 1.0)
+            return a - jnp.floor(a / m) * m
+
+        xs = (wrap(x0, wf), wrap(x0 + 1.0, wf))
+        ys = (wrap(y0, hf), wrap(y0 + 1.0, hf))
+        rows = []
+        lanes = []
+        for yy, xx in ((ys[0], xs[0]), (ys[0], xs[1]),
+                       (ys[1], xs[0]), (ys[1], xs[1])):
+            flat = base_row * 128.0 + yy * wf + xx
+            r = jnp.floor(flat * (1.0 / 128.0))
+            rows.append(jnp.where(active, r, -1.0).astype(jnp.int32))
+            lanes.append((flat - r * 128.0).astype(jnp.int32))
+        zero = u * 0.0
+        vals = tuple([zero] * 12)
+
+        # traced sweep bounds from the lanes that actually fetch
+        big_i = jnp.int32(1 << 30)
+        rlo = jnp.full(SHAPE, big_i)
+        rhi = jnp.full(SHAPE, -1, jnp.int32)
+        for r in rows:
+            live = r >= 0
+            rlo = jnp.minimum(rlo, jnp.where(live, r, big_i))
+            rhi = jnp.maximum(rhi, r)
+        plo = jnp.maximum(jnp.min(rlo) // IMG_PAGE, pmin)
+        phi = jnp.minimum(jnp.max(rhi) // IMG_PAGE + 1, pmax)
+
+        def page_body(p, vals):
+            lo = p * IMG_PAGE
+            want = jnp.zeros(SHAPE, bool)
+            for r in rows:
+                want = want | ((r >= lo) & (r < lo + IMG_PAGE))
+
+            def do(vals):
+                out = list(vals)
+                blks = [iref[pl.ds(lo + ch * IMG_ROWS, IMG_PAGE), :]
+                        for ch in range(3)]
+                rowk = [[jnp.broadcast_to(blks[ch][k:k + 1, :], SHAPE)
+                         for k in range(IMG_PAGE)] for ch in range(3)]
+                for j in range(4):
+                    # select the wanted row per lane first, then ONE lane
+                    # gather per channel (gathers are the scarce op)
+                    inp = (rows[j] >= lo) & (rows[j] < lo + IMG_PAGE)
+                    for ch in range(3):
+                        sel = rowk[ch][0]
+                        for k in range(1, IMG_PAGE):
+                            sel = jnp.where(rows[j] == lo + k,
+                                            rowk[ch][k], sel)
+                        g = jnp.take_along_axis(sel, lanes[j], axis=1)
+                        out[j * 3 + ch] = jnp.where(inp, g,
+                                                    out[j * 3 + ch])
+                return tuple(out)
+
+            return jax.lax.cond(jnp.any(want), do, lambda v: v, vals)
+
+        vals = jax.lax.fori_loop(plo, phi, page_body, vals)
+        out = []
+        for ch in range(3):
+            c00, c10, c01, c11 = (vals[ch], vals[3 + ch], vals[6 + ch],
+                                  vals[9 + ch])
+            top = c00 * (1.0 - fx) + c10 * fx
+            bot = c01 * (1.0 - fx) + c11 * fx
+            out.append(top * (1.0 - fy) + bot * fy)
+        return out
 
     def atan2_approx(y, x):
         """Vectorized atan2 (Mosaic has no atan2/acos primitive): octant
@@ -688,6 +929,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             for k in ("opr", "opg", "opb", "krr", "krg", "krb",
                       "ktr", "ktg", "ktb"):
                 attr[k] = jnp.zeros(SHAPE)
+        if HAS_IMG_MATS:
+            attr["u"] = jnp.zeros(SHAPE)
+            attr["v"] = jnp.zeros(SHAPE)
+            attr["kdb"] = jnp.full(SHAPE, -1.0)
+            attr["kdw"] = jnp.zeros(SHAPE)
+            attr["kdh"] = jnp.zeros(SHAPE)
 
         for rec in ps.tris:
             s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
@@ -710,13 +957,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             ny = w0 * rec["n0"][1] + bu * rec["n1"][1] + bv * rec["n2"][1]
             nz = w0 * rec["n0"][2] + bu * rec["n1"][2] + bv * rec["n2"][2]
             tex = rec.get("tex", ("solid",))
-            if tex[0] == "checker":
-                # checker Kd from interpolated uv (texture.rs:96-119; the
-                # floor-parity form matches i32 truncation for uv >= 0)
+            if tex[0] != "solid" or HAS_IMG_MATS:
                 uu = (w0 * rec["uv0"][0] + bu * rec["uv1"][0]
                       + bv * rec["uv2"][0])
                 vv = (w0 * rec["uv0"][1] + bu * rec["uv1"][1]
                       + bv * rec["uv2"][1])
+            if tex[0] == "checker":
+                # checker Kd from interpolated uv (texture.rs:96-119; the
+                # floor-parity form matches i32 truncation for uv >= 0)
                 xs = uu * tex[1]
                 ys = vv * tex[2]
                 even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
@@ -745,6 +993,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                             krg=rec["kr2"][1], krb=rec["kr2"][2],
                             ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                             ktb=rec["kt2"][2])
+            if HAS_IMG_MATS:
+                img = tex[0] == "image"
+                vals.update(u=uu, v=vv,
+                            kdb=float(tex[1]) if img else -1.0,
+                            kdw=float(tex[2]) if img else 0.0,
+                            kdh=float(tex[3]) if img else 0.0)
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -778,9 +1032,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             ny = m[0][1] * px_ + m[1][1] * py_ + m[2][1] * pz_
             nz = m[0][2] * px_ + m[1][2] * py_ + m[2][2] * pz_
             tex = rec.get("tex", ("solid",))
-            if tex[0] == "checker":
+            if tex[0] != "solid" or HAS_IMG_MATS:
                 # spherical uv from the object-space hit (lib.rs:874-880)
                 uu, vv = sphere_uv_of(px_, py_, pz_)
+            if tex[0] == "checker":
                 xs = uu * tex[1]
                 ys = vv * tex[2]
                 even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
@@ -809,6 +1064,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                             krg=rec["kr2"][1], krb=rec["kr2"][2],
                             ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                             ktb=rec["kt2"][2])
+            if HAS_IMG_MATS:
+                img = tex[0] == "image"
+                vals.update(u=uu, v=vv,
+                            kdb=float(tex[1]) if img else -1.0,
+                            kdw=float(tex[2]) if img else 0.0,
+                            kdh=float(tex[3]) if img else 0.0)
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -838,6 +1099,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                 krg=rec["kr2"][1], krb=rec["kr2"][2],
                                 ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                                 ktb=rec["kt2"][2])
+                if HAS_IMG_MATS:
+                    vals["kdb"] = -1.0  # cluster materials are solid-only
                 for key, val in vals.items():
                     attr[key] = jnp.where(sel, val, attr[key])
 
@@ -1751,8 +2014,45 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             mref, refs = refs[0], refs[1:]
         else:
             mref = None
+        if HAS_IMG:
+            iref, refs = refs[0], refs[1:]
+        else:
+            iref = None
         (px_ref, py_ref, rad_r, rad_g, rad_b,
          an_x, an_y, an_z, aa_r, aa_g, aa_b, rays_out) = refs
+
+        def apply_images(c, attr, hit, miss):
+            """Per-bounce texture fetches: imagemap Kd multiplied into the
+            albedo rows, and the env-map background for missed lanes
+            (miss shader lib.rs:120-139). Returns (attr, bg_rgb)."""
+            if HAS_IMG_MATS:
+                sel_img = (attr["kdb"] >= 0.0) & hit
+                iv = fetch_image(iref, attr["u"], attr["v"], attr["kdw"],
+                                 attr["kdh"], attr["kdb"], sel_img,
+                                 KD_PMIN, KD_PMAX)
+                attr = dict(attr)
+                for ch, key in enumerate(("abr", "abg", "abb")):
+                    attr[key] = jnp.where(sel_img, attr[key] * iv[ch],
+                                          attr[key])
+            if BG_IMG is not None:
+                bm = ps.bg_matrix
+                bdx = (bm[0, 0] * c["dx"] + bm[0, 1] * c["dy"]
+                       + bm[0, 2] * c["dz"])
+                bdy = (bm[1, 0] * c["dx"] + bm[1, 1] * c["dy"]
+                       + bm[1, 2] * c["dz"])
+                bdz = (bm[2, 0] * c["dx"] + bm[2, 1] * c["dy"]
+                       + bm[2, 2] * c["dz"])
+                bu_, bv_ = sphere_uv_of(bdx, bdy, bdz)
+                base, bw_, bh_ = BG_IMG
+                bg = fetch_image(iref, bu_, bv_,
+                                 jnp.full(SHAPE, float(bw_)),
+                                 jnp.full(SHAPE, float(bh_)),
+                                 jnp.full(SHAPE, float(base)), miss,
+                                 BG_PMIN, BG_PMAX)
+                return attr, (bg[0] * ps.background[0],
+                              bg[1] * ps.background[1],
+                              bg[2] * ps.background[2])
+            return attr, ps.background
         pid = pl.program_id(0)
         if not interpret:
             pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(65537))
@@ -1790,9 +2090,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                     c["dx"], c["dy"], c["dz"], TMIN, mref)
             hit = t < BIG
             miss = active & ~hit
-            rr_ = c["rr"] + jnp.where(miss, cr * ps.background[0], 0.0)
-            rg_ = c["rg"] + jnp.where(miss, cg * ps.background[1], 0.0)
-            rb_ = c["rb"] + jnp.where(miss, cb * ps.background[2], 0.0)
+            attr, bg = apply_images(c, attr, hit, miss)
+            rr_ = c["rr"] + jnp.where(miss, cr * bg[0], 0.0)
+            rg_ = c["rg"] + jnp.where(miss, cg * bg[1], 0.0)
+            rb_ = c["rb"] + jnp.where(miss, cb * bg[2], 0.0)
             alive = active & hit
 
             # hit point / normal / frame
@@ -1963,9 +2264,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                     c["dx"], c["dy"], c["dz"], TMIN, mref)
             hit = t < BIG
             miss = active & ~hit
-            rr_ = c["rr"] + jnp.where(miss, cr * ps.background[0], 0.0)
-            rg_ = c["rg"] + jnp.where(miss, cg * ps.background[1], 0.0)
-            rb_ = c["rb"] + jnp.where(miss, cb * ps.background[2], 0.0)
+            attr, bg = apply_images(c, attr, hit, miss)
+            rr_ = c["rr"] + jnp.where(miss, cr * bg[0], 0.0)
+            rg_ = c["rg"] + jnp.where(miss, cg * bg[1], 0.0)
+            rb_ = c["rb"] + jnp.where(miss, cb * bg[2], 0.0)
             alive = active & hit
 
             hx = c["ox"] + t * c["dx"]
@@ -2259,6 +2561,11 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)]
         mesh_args = [jnp.asarray(ps.mesh_geom)]
+    if ps.img_table is not None:
+        mesh_specs.append(pl.BlockSpec(ps.img_table.shape,
+                                       lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM))
+        mesh_args.append(jnp.asarray(ps.img_table))
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(seed, num_samples):
