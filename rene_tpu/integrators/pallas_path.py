@@ -71,6 +71,12 @@ ROW_V0, ROW_E1, ROW_E2, ROW_MID = 0, 3, 6, 9
 ROW_N0, ROW_D1, ROW_D2, ROW_BOX = 10, 13, 16, 19
 MESH_ROWS = 20
 SUB_TRIS = 64
+# super-cluster level: SUPER consecutive clusters share one AABB stored in
+# ROW_BOX lanes 12..17 of the group's first cluster block. The march tests
+# the super box first, so a skipped group costs one slab test instead of
+# n_sub per member cluster — the per-trace floor drops from O(C) to
+# O(C/SUPER + entered*SUPER).
+SUPER = 8
 
 
 def _sub_split(cluster: int):
@@ -411,6 +417,9 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
 
     m = p.shape[0]
     n_clusters = (m + CLUSTER - 1) // CLUSTER
+    # pad the cluster count to a whole number of SUPER groups (padding
+    # blocks carry inverted AABBs and degenerate triangles)
+    n_clusters = ((n_clusters + SUPER - 1) // SUPER) * SUPER
     slots = n_clusters * CLUSTER
     geom = np.zeros((MESH_ROWS, slots), np.float32)
     v0, v1, v2 = p[:, 0], p[:, 1], p[:, 2]
@@ -435,6 +444,22 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     for s in range(n_sub):
         box[:, s * 6:s * 6 + 3] = clo[:, s]
         box[:, s * 6 + 3:s * 6 + 6] = chi[:, s]
+    # super-cluster AABBs over SUPER consecutive (Morton-tight) clusters,
+    # groups ordered front-to-back from the camera (order is
+    # correctness-neutral; early hits shrink t_best for later groups)
+    n_super = n_clusters // SUPER
+    glo = clo.min(axis=1).reshape(n_super, SUPER, 3).min(axis=1)
+    ghi = chi.max(axis=1).reshape(n_super, SUPER, 3).max(axis=1)
+    sup_lane = n_sub * 6  # first free ROW_BOX lane after the sub-boxes
+    cam = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
+    gctr = 0.5 * (glo + ghi)
+    gorder = np.argsort(((gctr - cam) ** 2).sum(axis=1), kind="stable")
+    geom = np.ascontiguousarray(
+        geom.reshape(MESH_ROWS, n_super, SUPER * CLUSTER)[:, gorder, :]
+        .reshape(MESH_ROWS, slots))
+    box = geom[ROW_BOX].reshape(n_clusters, CLUSTER)
+    box[::SUPER, sup_lane:sup_lane + 3] = glo[gorder]
+    box[::SUPER, sup_lane + 3:sup_lane + 6] = ghi[gorder]
     return geom, mesh_mats, n_clusters
 
 
@@ -847,69 +872,109 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
               & (u + v <= 1.0))
         return t, u, v, ok
 
+    NSUP = NC // SUPER if NC else 0
+
+    def _super_enter(sblk, ox, oy, oz, ix, iy, iz, tmin, tfar):
+        """Slab test of the group AABB stored in the first free ROW_BOX
+        lanes (after the sub-boxes) of the group's first cluster block."""
+        L = N_SUB * 6
+        t0x = (sblk[ROW_BOX, L + 0] - ox) * ix
+        t1x = (sblk[ROW_BOX, L + 3] - ox) * ix
+        t0y = (sblk[ROW_BOX, L + 1] - oy) * iy
+        t1y = (sblk[ROW_BOX, L + 4] - oy) * iy
+        t0z = (sblk[ROW_BOX, L + 2] - oz) * iz
+        t1z = (sblk[ROW_BOX, L + 5] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
+
     def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, t_init):
         """Closest hit over all clusters: (t, nx, ny, nz, matid)."""
         ix, iy, iz = _inv_dir(dx, dy, dz)
         zero = ox * 0.0
 
-        def cl_body(ci, carry):
-            blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
-            for s in range(N_SUB):
-                enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
-                                   tmin, carry[0])
+        def cl_group(ci0, carry):
+            for g in range(SUPER):
+                blk = mref[:, pl.ds((ci0 + g) * CLUSTER, CLUSTER)]
+                for s in range(N_SUB):
+                    enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
+                                       tmin, carry[0])
 
-                def do(carry, s=s):
-                    t_b, nx, ny, nz, mid = carry
-                    for k in range(s * SUB, (s + 1) * SUB):
-                        t, u, v, okg = _mt_test(blk, k, ox, oy, oz,
-                                                dx, dy, dz)
-                        ok = okg & (t >= tmin) & (t < t_b)
-                        t_b = jnp.where(ok, t, t_b)
-                        nx = jnp.where(ok, blk[ROW_N0, k]
-                                       + u * blk[ROW_D1, k]
-                                       + v * blk[ROW_D2, k], nx)
-                        ny = jnp.where(ok, blk[ROW_N0 + 1, k]
-                                       + u * blk[ROW_D1 + 1, k]
-                                       + v * blk[ROW_D2 + 1, k], ny)
-                        nz = jnp.where(ok, blk[ROW_N0 + 2, k]
-                                       + u * blk[ROW_D1 + 2, k]
-                                       + v * blk[ROW_D2 + 2, k], nz)
-                        mid = jnp.where(ok, blk[ROW_MID, k], mid)
-                    return (t_b, nx, ny, nz, mid)
+                    def do(carry, s=s, blk=blk):
+                        t_b, nx, ny, nz, mid = carry
+                        for k in range(s * SUB, (s + 1) * SUB):
+                            t, u, v, okg = _mt_test(blk, k, ox, oy, oz,
+                                                    dx, dy, dz)
+                            ok = okg & (t >= tmin) & (t < t_b)
+                            t_b = jnp.where(ok, t, t_b)
+                            nx = jnp.where(ok, blk[ROW_N0, k]
+                                           + u * blk[ROW_D1, k]
+                                           + v * blk[ROW_D2, k], nx)
+                            ny = jnp.where(ok, blk[ROW_N0 + 1, k]
+                                           + u * blk[ROW_D1 + 1, k]
+                                           + v * blk[ROW_D2 + 1, k], ny)
+                            nz = jnp.where(ok, blk[ROW_N0 + 2, k]
+                                           + u * blk[ROW_D1 + 2, k]
+                                           + v * blk[ROW_D2 + 2, k], nz)
+                            mid = jnp.where(ok, blk[ROW_MID, k], mid)
+                        return (t_b, nx, ny, nz, mid)
 
-                carry = jax.lax.cond(jnp.any(enter), do,
-                                     lambda c_: c_, carry)
+                    carry = jax.lax.cond(jnp.any(enter), do,
+                                         lambda c_: c_, carry)
             return carry
 
+        def sup_body(si, carry):
+            ci0 = si * SUPER
+            sblk = mref[:, pl.ds(ci0 * CLUSTER, CLUSTER)]
+            enter = _super_enter(sblk, ox, oy, oz, ix, iy, iz,
+                                 tmin, carry[0])
+            return jax.lax.cond(jnp.any(enter),
+                                functools.partial(cl_group, ci0),
+                                lambda c_: c_, carry)
+
         return jax.lax.fori_loop(
-            0, NC, cl_body, (t_init, zero, zero, zero, zero - 1.0))
+            0, NSUP, sup_body, (t_init, zero, zero, zero, zero - 1.0))
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit0):
-        """Any-hit over all clusters; skips clusters once a lane set is
-        fully occluded. The carry is a 0/1 float mask — Mosaic cannot
-        carry i1 vectors through scf.for."""
+        """Any-hit over all clusters; skips groups/clusters once a lane
+        set is fully occluded. The carry is a 0/1 float mask — Mosaic
+        cannot carry i1 vectors through scf.for."""
         ix, iy, iz = _inv_dir(dx, dy, dz)
         hf0 = jnp.where(hit0, ox * 0.0 + 1.0, ox * 0.0)
 
-        def cl_body(ci, hf):
-            blk = mref[:, pl.ds(ci * CLUSTER, CLUSTER)]
-            for s in range(N_SUB):
-                enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
-                                   tmin, tmax)
+        def cl_group(ci0, hf):
+            for g in range(SUPER):
+                blk = mref[:, pl.ds((ci0 + g) * CLUSTER, CLUSTER)]
+                for s in range(N_SUB):
+                    enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
+                                       tmin, tmax)
 
-                def do(hf, s=s):
-                    for k in range(s * SUB, (s + 1) * SUB):
-                        t, _, _, okg = _mt_test(blk, k, ox, oy, oz,
-                                                dx, dy, dz)
-                        hf = jnp.where(okg & (t >= tmin) & (t <= tmax),
-                                       1.0, hf)
-                    return hf
+                    def do(hf, s=s, blk=blk):
+                        for k in range(s * SUB, (s + 1) * SUB):
+                            t, _, _, okg = _mt_test(blk, k, ox, oy, oz,
+                                                    dx, dy, dz)
+                            hf = jnp.where(okg & (t >= tmin)
+                                           & (t <= tmax), 1.0, hf)
+                        return hf
 
-                hf = jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
-                                  lambda h: h, hf)
+                    hf = jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
+                                      lambda h: h, hf)
             return hf
 
-        return jax.lax.fori_loop(0, NC, cl_body, hf0) > 0.5
+        def sup_body(si, hf):
+            ci0 = si * SUPER
+            sblk = mref[:, pl.ds(ci0 * CLUSTER, CLUSTER)]
+            enter = _super_enter(sblk, ox, oy, oz, ix, iy, iz,
+                                 tmin, tmax)
+            return jax.lax.cond(jnp.any(enter & (hf < 0.5)),
+                                functools.partial(cl_group, ci0),
+                                lambda h: h, hf)
+
+        return jax.lax.fori_loop(0, NSUP, sup_body, hf0) > 0.5
 
     # ---- closest hit: unrolled over primitives; returns t + shading record
     def trace_closest(ox, oy, oz, dx, dy, dz, tmin, mref=None):
