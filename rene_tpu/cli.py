@@ -65,8 +65,15 @@ def main(argv=None) -> int:
     log = logging.getLogger("rene_tpu")
 
     t0 = time.time()
+    from .pbrt import ParseError
     from .scene import load_scene
-    scene = load_scene(args.scene, color_space=args.color_space)
+    try:
+        scene = load_scene(args.scene, color_space=args.color_space)
+    except ParseError as e:
+        # span-labeled report with source excerpts (the reference prints
+        # ariadne reports, rene/src/main.rs:129-190)
+        print(e.render(args.scene), file=sys.stderr)
+        return 1
     log.info("scene compiled in %.2fs", time.time() - t0)
 
     if args.dump_module:

@@ -29,12 +29,81 @@ from .ast import (Argument, AxisAngle, LookAt, Object, SceneStmt, TextureDecl,
                   Value, WorldStmt)
 
 
+class Label:
+    """A labeled source span in a diagnostic report (ariadne Label
+    equivalent, main.rs:140-186)."""
+    __slots__ = ("start", "end", "message", "kind")
+
+    def __init__(self, start: int, end: int, message: str,
+                 kind: str = "primary"):
+        self.start = start
+        self.end = max(end, start + 1)
+        self.message = message
+        self.kind = kind  # "primary" (^^^) | "hint" (---)
+
+
 class ParseError(Exception):
-    def __init__(self, msg: str, pos: int = -1, text: str = ""):
+    """Parse failure carrying labeled spans; `render()` produces the
+    span-labeled report the reference prints via ariadne
+    (rene/src/main.rs:129-190: message + red 'Unexpected token' label +
+    yellow 'Unclosed delimiter' hint label)."""
+
+    def __init__(self, msg: str, pos: int = -1, text: str = "",
+                 end: Optional[int] = None, labels: Optional[list] = None,
+                 label_msg: Optional[str] = None):
+        self.msg = msg
         self.pos = pos
+        self.text = text
         self.line, self.col = _line_col(text, pos) if pos >= 0 else (-1, -1)
+        self.labels: List[Label] = []
+        if pos >= 0:
+            self.labels.append(Label(pos, end if end is not None else pos + 1,
+                                     label_msg or msg, "primary"))
+        if labels:
+            self.labels.extend(labels)
         super().__init__(f"{msg} (line {self.line}, col {self.col})"
                          if pos >= 0 else msg)
+
+    def render(self, path: str = "<input>") -> str:
+        """Render a rustc/ariadne-style report with source excerpts:
+
+            error: expected ], got ident 'Shape'
+              --> scene.pbrt:7:3
+               |
+             7 |   Shape "sphere"
+               |   ^^^^^ expected ], got ident 'Shape'
+               |
+             5 |   "float data" [ 1 2 3
+               |                - unclosed delimiter '['
+        """
+        out = [f"error: {self.msg}"]
+        if not self.labels or not self.text:
+            return out[0]
+        lines = self.text.splitlines() or [""]
+        starts = [0]
+        for ln in lines:
+            starts.append(starts[-1] + len(ln) + 1)
+        width = len(str(len(lines)))
+        gutter = " " * width
+        body = []
+        head = None
+        for lab in self.labels:
+            pos = min(lab.start, len(self.text))
+            line, col = _line_col(self.text, pos)
+            li = min(line - 1, len(lines) - 1)
+            src = lines[li]
+            if li != line - 1:  # EOF after a trailing newline
+                line, col = li + 1, len(src) + 1
+            if head is None:
+                head = (line, col)
+            span = max(min(lab.end, starts[li] + len(src)) - pos, 1)
+            mark = ("^" if lab.kind == "primary" else "-") * span
+            body.append(f"{gutter} |")
+            body.append(f"{line:>{width}} | {src}")
+            body.append(f"{gutter} | {' ' * (col - 1)}{mark} {lab.message}")
+        out.append(f"  --> {path}:{head[0]}:{head[1]}")
+        out.extend(body)
+        return "\n".join(out)
 
 
 def _line_col(text: str, pos: int) -> Tuple[int, int]:
@@ -79,12 +148,13 @@ def _unescape(s: str) -> str:
 
 
 class Token:
-    __slots__ = ("kind", "text", "pos")
+    __slots__ = ("kind", "text", "pos", "end")
 
-    def __init__(self, kind: str, text: str, pos: int):
+    def __init__(self, kind: str, text: str, pos: int, end: int = -1):
         self.kind = kind   # "string" | "number" | "ident" | "[" | "]"
         self.text = text
         self.pos = pos
+        self.end = end if end >= 0 else pos + max(len(text), 1)
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"Token({self.kind!r}, {self.text!r})"
@@ -103,15 +173,16 @@ def tokenize(text: str) -> List[Token]:
         if kind in ("ws", "comment"):
             continue
         if kind == "string":
-            tokens.append(Token("string", _unescape(m.group()[1:-1]), m.start()))
+            tokens.append(Token("string", _unescape(m.group()[1:-1]),
+                                m.start(), m.end()))
         elif kind == "number":
-            tokens.append(Token("number", m.group(), m.start()))
+            tokens.append(Token("number", m.group(), m.start(), m.end()))
         elif kind == "ident":
-            tokens.append(Token("ident", m.group(), m.start()))
+            tokens.append(Token("ident", m.group(), m.start(), m.end()))
         elif kind == "lbracket":
-            tokens.append(Token("[", "[", m.start()))
+            tokens.append(Token("[", "[", m.start(), m.end()))
         elif kind == "rbracket":
-            tokens.append(Token("]", "]", m.start()))
+            tokens.append(Token("]", "]", m.start(), m.end()))
     return tokens
 
 
@@ -138,18 +209,24 @@ class _Parser:
     def peek(self) -> Optional[Token]:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
-    def next(self) -> Token:
+    def next(self, hint: Optional[Label] = None) -> Token:
         t = self.peek()
         if t is None:
-            raise ParseError("unexpected end of input", len(self.text), self.text)
+            raise ParseError(
+                "unexpected end of input", len(self.text), self.text,
+                label_msg="unexpected end of input",
+                labels=[hint] if hint else None)
         self.i += 1
         return t
 
-    def expect(self, kind: str) -> Token:
-        t = self.next()
+    def expect(self, kind: str, hint: Optional[Label] = None) -> Token:
+        t = self.next(hint)
         if t.kind != kind:
-            raise ParseError(f"expected {kind}, got {t.kind} {t.text!r}",
-                             t.pos, self.text)
+            raise ParseError(
+                f"expected {kind}, got {t.kind} {t.text!r}",
+                t.pos, self.text, end=t.end,
+                label_msg=f"unexpected token {t.text!r}",
+                labels=[hint] if hint else None)
         return t
 
     def number(self) -> float:
@@ -164,18 +241,20 @@ class _Parser:
 
     def mat4(self) -> np.ndarray:
         """16 bracketed floats, pbrt column-major -> row-major math matrix."""
-        self.expect("[")
+        lb = self.expect("[")
+        hint = Label(lb.pos, lb.end, "unclosed delimiter '['", "hint")
         vals = [self.number() for _ in range(16)]
-        self.expect("]")
+        self.expect("]", hint)
         return np.array(vals, dtype=np.float32).reshape(4, 4).T
 
     # -- arguments ----------------------------------------------------------
     def _bracket_numbers(self) -> List[float]:
-        self.expect("[")
+        lb = self.expect("[")
+        hint = Label(lb.pos, lb.end, "unclosed delimiter '['", "hint")
         vals = []
         while self.peek() and self.peek().kind == "number":
             vals.append(float(self.next().text))
-        self.expect("]")
+        self.expect("]", hint)
         return vals
 
     def _number_or_list(self) -> List[float]:
@@ -187,11 +266,12 @@ class _Parser:
     def _string_or_list(self) -> List[str]:
         t = self.peek()
         if t and t.kind == "[":
-            self.next()
+            lb = self.next()
+            hint = Label(lb.pos, lb.end, "unclosed delimiter '['", "hint")
             vals = []
             while self.peek() and self.peek().kind == "string":
                 vals.append(self.next().text)
-            self.expect("]")
+            self.expect("]", hint)
             return vals
         return [self.string()]
 
@@ -286,22 +366,31 @@ class _Parser:
                 stmts.append(SceneStmt(
                     "object", Object(name, subtype, self.arguments())))
             elif name == "WorldBegin":
-                stmts.append(SceneStmt("world", self.parse_worlds("WorldEnd")))
+                stmts.append(SceneStmt("world",
+                                       self.parse_worlds("WorldEnd", t)))
             else:
                 raise ParseError(f"unknown directive {name!r}", t.pos,
-                                 self.text)
+                                 self.text, end=t.end,
+                                 label_msg=f"unexpected token {name!r}")
         return stmts
 
-    def parse_worlds(self, terminator: str) -> List[WorldStmt]:
+    def parse_worlds(self, terminator: str,
+                     opener: Optional[Token] = None) -> List[WorldStmt]:
+        hint = (Label(opener.pos, opener.end,
+                      f"unclosed delimiter {opener.text!r}", "hint")
+                if opener is not None else None)
         stmts: List[WorldStmt] = []
         while True:
             t = self.peek()
             if t is None:
-                raise ParseError(f"missing {terminator}", len(self.text),
-                                 self.text)
+                raise ParseError(
+                    f"missing {terminator}", len(self.text), self.text,
+                    label_msg="unexpected end of input",
+                    labels=[hint] if hint else None)
             if t.kind != "ident":
                 raise ParseError(f"expected directive, got {t.text!r}",
-                                 t.pos, self.text)
+                                 t.pos, self.text, end=t.end,
+                                 label_msg=f"unexpected token {t.text!r}")
             name = t.text
             if name == terminator:
                 self.next()
@@ -340,20 +429,22 @@ class _Parser:
                 angle = self.number()
                 stmts.append(WorldStmt("rotate", AxisAngle(self.vec3(), angle)))
             elif name == "AttributeBegin":
-                stmts.append(WorldStmt("attribute",
-                                       self.parse_worlds("AttributeEnd")))
+                stmts.append(WorldStmt(
+                    "attribute", self.parse_worlds("AttributeEnd", t)))
             elif name == "TransformBegin":
                 # The reference maps TransformBegin..End to the same node as
                 # AttributeBegin (full state save/restore), lib.rs:561-566.
-                stmts.append(WorldStmt("attribute",
-                                       self.parse_worlds("TransformEnd")))
+                stmts.append(WorldStmt(
+                    "attribute", self.parse_worlds("TransformEnd", t)))
             elif name == "ObjectBegin":
                 oname = self.string()
-                stmts.append(WorldStmt("object_block",
-                                       (oname, self.parse_worlds("ObjectEnd"))))
+                stmts.append(WorldStmt(
+                    "object_block",
+                    (oname, self.parse_worlds("ObjectEnd", t))))
             else:
                 raise ParseError(f"unknown world directive {name!r}", t.pos,
-                                 self.text)
+                                 self.text, end=t.end,
+                                 label_msg=f"unexpected token {name!r}")
 
 
 def parse_pbrt(text: str) -> List[SceneStmt]:

@@ -170,3 +170,58 @@ def test_sample_scenes_parse(sample_scenes):
         text = (sample_scenes / rel).read_text()
         stmts = parse_pbrt(text)
         assert any(s.kind == "world" for s in stmts), rel
+
+
+# -- span-labeled diagnostics (reference: ariadne reports, main.rs:129-190)
+
+def _report(src):
+    try:
+        parse_pbrt(src)
+    except ParseError as e:
+        return e.render("scene.pbrt")
+    raise AssertionError("expected ParseError")
+
+
+def test_report_unclosed_attribute_block():
+    src = ('WorldBegin\n'
+           'AttributeBegin\n'
+           '  Shape "sphere" "float radius" 1\n'
+           'WorldEnd\n')
+    rep = _report(src)
+    assert "error: unknown world directive 'WorldEnd'" in rep or \
+           "missing AttributeEnd" in rep
+    # the report excerpts the offending source line with a caret label
+    assert "--> scene.pbrt:" in rep
+    assert "^" in rep and "unexpected" in rep
+
+
+def test_report_unclosed_bracket_hint():
+    src = ('Camera "perspective" "float fov" [ 45\n'
+           'WorldBegin WorldEnd\n')
+    rep = _report(src)
+    lines = rep.splitlines()
+    assert lines[0].startswith("error: expected ]")
+    # primary label at the unexpected token, hint label at the opener
+    assert any("unexpected token 'WorldBegin'" in ln for ln in lines)
+    assert any("unclosed delimiter '['" in ln and "-" in ln
+               for ln in lines)
+    # both labels carry their source excerpt
+    assert any('[ 45' in ln for ln in lines)
+
+
+def test_report_missing_worldend_points_at_opener():
+    src = 'WorldBegin\nShape "sphere" "float radius" 1\n'
+    rep = _report(src)
+    assert "error: missing WorldEnd" in rep
+    assert "unexpected end of input" in rep
+    assert "unclosed delimiter 'WorldBegin'" in rep
+    # the hint label excerpts line 1 with the opener underlined
+    lines = rep.splitlines()
+    k = next(i for i, ln in enumerate(lines) if "unclosed" in ln)
+    assert lines[k - 1].startswith("1 | WorldBegin")
+
+
+def test_report_unknown_directive_excerpt():
+    rep = _report('LookAtt 0 0 0  0 0 1  0 1 0\nWorldBegin WorldEnd')
+    assert "error: unknown directive 'LookAtt'" in rep
+    assert "^^^^^^^ unexpected token 'LookAtt'" in rep
