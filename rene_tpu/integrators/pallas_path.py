@@ -23,14 +23,15 @@ Design:
 * **Path regeneration** identical to integrators/path.py: each lane owns one
   pixel and streams `num_samples` samples back-to-back.
 
-Eligibility (`pallas_eligible`): path integrator, materials in {none,
-matte, metal, mirror, glass, substrate} with solid textures (matte may use
-a checker Kd), <=8 spheres, <=4 distant lights, constant background.
-Scenes up to MAX_TRIS triangles are fully baked as immediates; bigger
-scenes (up to 2^18 triangles, e.g. teapot/dragon) keep emissive/textured
-tris as immediates and march the rest through a VMEM cluster table (see
-the cluster constants below). Everything else uses the XLA path — same
-math, same estimators.
+Eligibility (`pallas_eligible`): path or volpath integrator, all 8
+reference materials (matte Kd may be checker/imagemap/scale), <=8
+spheres, <=4 distant lights, solid or image-mapped background. Scenes up
+to MAX_TRIS triangles are fully baked as immediates; bigger scenes (e.g.
+teapot/dragon) keep emissive/per-hit-uv tris as immediates and march the
+rest through a VMEM cluster table gated by a compact box table; meshes
+past HBM_MIN_TRIS (up to MESH_MAX_TRIS = 2^22) stream cluster groups
+from HBM by DMA. Everything else uses the XLA path — same math, same
+estimators.
 """
 from __future__ import annotations
 
@@ -62,20 +63,31 @@ TMIN = 1e-3
 # shape: no per-lane gathers, no dynamic scalar VMEM indexing (only dynamic
 # *slices* of 128-lane blocks with static in-block reads).
 CLUSTER = 128
-MESH_MAX_TRIS = 1 << 18
+MESH_MAX_TRIS = 1 << 22
+# meshes whose cluster table exceeds the VMEM budget stream from HBM:
+# the geometry stays in HBM (pl.ANY) and a compact VMEM box table (one
+# 128-lane row per super group: super AABB in lanes 0-5, member
+# sub-block AABBs after) gates a per-group DMA into a VMEM scratch
+# buffer. The reference's size-unbounded BLAS (main.rs:2592-2737)
+# equivalent.
+HBM_MIN_TRIS = 1 << 17
 # table rows: v0(3), e1(3), e2(3), matid(1), n0(3), dn1(3), dn2(3),
 # sub-cluster AABBs (ROW_BOX lanes s*6..s*6+5 for sub-block s; a cluster
 # is tested/skipped in SUB_TRIS-sized blocks so divergent bounce rays
-# don't force the whole 128-tri unroll)
+# don't force the whole 128-tri unroll). The march itself reads every
+# AABB from the compact box table (below); ROW_BOX is kept as the
+# host-side source the table is packed from.
 ROW_V0, ROW_E1, ROW_E2, ROW_MID = 0, 3, 6, 9
 ROW_N0, ROW_D1, ROW_D2, ROW_BOX = 10, 13, 16, 19
-MESH_ROWS = 20
+MESH_ROWS = 24  # 20 used rows padded to the f32 sublane tile (8) so the
+                # HBM DMA's row slice stays tile-aligned
 SUB_TRIS = 64
-# super-cluster level: SUPER consecutive clusters share one AABB stored in
-# ROW_BOX lanes 12..17 of the group's first cluster block. The march tests
-# the super box first, so a skipped group costs one slab test instead of
-# n_sub per member cluster — the per-trace floor drops from O(C) to
-# O(C/SUPER + entered*SUPER).
+# super-cluster level: SUPER consecutive clusters share one AABB. All
+# boxes of a group live in ONE (1,128) row of the box table: super AABB
+# at lanes 0-5, member sub-block AABBs at 6+(g*n_sub+s)*6. The march
+# tests the super box first, so a skipped group costs one row load + one
+# slab test — the per-trace floor is O(C/SUPER) row tests, and geometry
+# blocks are only loaded (or DMA'd from HBM) for entered groups.
 SUPER = 8
 
 
@@ -107,6 +119,9 @@ class PallasScene:
     mesh_geom: Optional[np.ndarray] = None   # (MESH_ROWS, n_clusters*128)
     mesh_mats: Optional[List[dict]] = None   # matid -> material record
     n_clusters: int = 0
+    # HBM streaming mode: geometry in HBM, per-group box table in VMEM
+    mesh_hbm: bool = False
+    mesh_box: Optional[np.ndarray] = None    # (n_super_pad8, 128)
     # volpath: integrator tag + homogeneous-medium records (index 0 = vacuum)
     integrator: str = "path"
     media: Optional[List[dict]] = None
@@ -254,10 +269,12 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     if int(buffers_np["tex_type"][bg_tex]) not in (T.TEX_SOLID,
                                                    T.TEX_IMAGEMAP):
         return False
-    # VMEM budget for the image atlas (coexists with the cluster table)
+    # VMEM budget for the image atlas (coexists with the cluster table;
+    # HBM-streamed meshes leave VMEM free for the full budget)
     imgs = _kernel_images(buffers_np, config)
     texels = sum(_image_rows(buffers_np, i) for i in imgs) * 128
-    cap = (MAX_IMG_TEXELS_CLUSTER if config.num_triangles > MAX_TRIS
+    cap = (MAX_IMG_TEXELS_CLUSTER
+           if MAX_TRIS < config.num_triangles <= HBM_MIN_TRIS
            else MAX_IMG_TEXELS)
     if texels > cap:
         return False
@@ -460,16 +477,29 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     box = geom[ROW_BOX].reshape(n_clusters, CLUSTER)
     box[::SUPER, sup_lane:sup_lane + 3] = glo[gorder]
     box[::SUPER, sup_lane + 3:sup_lane + 6] = ghi[gorder]
-    return geom, mesh_mats, n_clusters
+    # compact per-group box table for the HBM streaming march: row = super
+    # group, lanes 0-5 = super AABB, lanes 6+(g*n_sub+s)*6 = member g's
+    # sub-block s AABB (6 + 8*2*6 = 102 <= 128 lanes)
+    box_tab = np.zeros((((n_super + 7) // 8) * 8, 128), np.float32)
+    box_tab[:n_super, 0:6] = box[::SUPER, sup_lane:sup_lane + 6]
+    for g in range(SUPER):
+        for s in range(n_sub):
+            lane = 6 + (g * n_sub + s) * 6
+            box_tab[:n_super, lane:lane + 6] = box[g::SUPER, s * 6:s * 6 + 6]
+    return geom, mesh_mats, n_clusters, box_tab
 
 
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     ntri = config.num_triangles
+    mesh_hbm = False
+    mesh_box = None
     if ntri > MAX_TRIS:
         imm = _immediate_tri_mask(buffers_np)[:ntri]
         imm_idx = np.nonzero(imm)[0]
-        mesh_geom, mesh_mats, n_clusters = _pack_mesh(
-            buffers_np, np.nonzero(~imm)[0])
+        mesh_idx = np.nonzero(~imm)[0]
+        mesh_geom, mesh_mats, n_clusters, mesh_box = _pack_mesh(
+            buffers_np, mesh_idx)
+        mesh_hbm = mesh_idx.size > HBM_MIN_TRIS
     else:
         imm_idx = np.arange(ntri)
         mesh_geom, mesh_mats, n_clusters = None, None, 0
@@ -629,6 +659,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         width=config.film.xresolution, height=config.film.yresolution,
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
         mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
+        mesh_hbm=mesh_hbm, mesh_box=mesh_box,
         integrator=config.integrator, media=media)
 
 
@@ -832,22 +863,6 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
     N_SUB, SUB = _sub_split(CLUSTER)
 
-    def _box_enter(blk, s, ox, oy, oz, ix, iy, iz, tmin, tfar):
-        """Slab test of sub-block s's AABB (ROW_BOX lanes s*6..s*6+5)."""
-        t0x = (blk[ROW_BOX, s * 6 + 0] - ox) * ix
-        t1x = (blk[ROW_BOX, s * 6 + 3] - ox) * ix
-        t0y = (blk[ROW_BOX, s * 6 + 1] - oy) * iy
-        t1y = (blk[ROW_BOX, s * 6 + 4] - oy) * iy
-        t0z = (blk[ROW_BOX, s * 6 + 2] - oz) * iz
-        t1z = (blk[ROW_BOX, s * 6 + 5] - oz) * iz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
-
     def _mt_test(blk, k, ox, oy, oz, dx, dy, dz):
         """Moller-Trumbore vs triangle slot k of the sliced cluster block;
         returns (t, u, v, ok_geom) — caller applies its own t bounds."""
@@ -873,17 +888,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         return t, u, v, ok
 
     NSUP = NC // SUPER if NC else 0
+    HBM_MESH = ps.mesh_hbm
 
-    def _super_enter(sblk, ox, oy, oz, ix, iy, iz, tmin, tfar):
-        """Slab test of the group AABB stored in the first free ROW_BOX
-        lanes (after the sub-boxes) of the group's first cluster block."""
-        L = N_SUB * 6
-        t0x = (sblk[ROW_BOX, L + 0] - ox) * ix
-        t1x = (sblk[ROW_BOX, L + 3] - ox) * ix
-        t0y = (sblk[ROW_BOX, L + 1] - oy) * iy
-        t1y = (sblk[ROW_BOX, L + 4] - oy) * iy
-        t0z = (sblk[ROW_BOX, L + 2] - oz) * iz
-        t1z = (sblk[ROW_BOX, L + 5] - oz) * iz
+    def _box_enter_row(brow, lane, ox, oy, oz, ix, iy, iz, tmin, tfar):
+        """Slab test of the AABB stored at lanes lane..lane+5 of a (1,128)
+        box-table row (HBM streaming mode)."""
+        t0x = (brow[0, lane + 0] - ox) * ix
+        t1x = (brow[0, lane + 3] - ox) * ix
+        t0y = (brow[0, lane + 1] - oy) * iy
+        t1y = (brow[0, lane + 4] - oy) * iy
+        t0z = (brow[0, lane + 2] - oz) * iz
+        t1z = (brow[0, lane + 5] - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -892,49 +907,74 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                          jnp.maximum(t0z, t1z))
         return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
 
+    def _sub_closest(blk, s, ox, oy, oz, dx, dy, dz, tmin, carry):
+        """Unrolled MT closest-hit over sub-block s of a loaded cluster
+        block; carry = (t_best, nx, ny, nz, matid)."""
+        t_b, nx, ny, nz, mid = carry
+        for k in range(s * SUB, (s + 1) * SUB):
+            t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
+            ok = okg & (t >= tmin) & (t < t_b)
+            t_b = jnp.where(ok, t, t_b)
+            nx = jnp.where(ok, blk[ROW_N0, k] + u * blk[ROW_D1, k]
+                           + v * blk[ROW_D2, k], nx)
+            ny = jnp.where(ok, blk[ROW_N0 + 1, k] + u * blk[ROW_D1 + 1, k]
+                           + v * blk[ROW_D2 + 1, k], ny)
+            nz = jnp.where(ok, blk[ROW_N0 + 2, k] + u * blk[ROW_D1 + 2, k]
+                           + v * blk[ROW_D2 + 2, k], nz)
+            mid = jnp.where(ok, blk[ROW_MID, k], mid)
+        return (t_b, nx, ny, nz, mid)
+
+    def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf):
+        """Unrolled MT any-hit over sub-block s; hf is a 0/1 float mask."""
+        for k in range(s * SUB, (s + 1) * SUB):
+            t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
+            hf = jnp.where(okg & (t >= tmin) & (t <= tmax), 1.0, hf)
+        return hf
+
     def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, t_init):
-        """Closest hit over all clusters: (t, nx, ny, nz, matid)."""
+        """Closest hit over all clusters: (t, nx, ny, nz, matid).
+
+        Both modes gate on the compact VMEM box table (one (1,128) row
+        per super group); geometry blocks are only touched for entered
+        groups — loaded from the resident VMEM table, or DMA'd from HBM
+        into the scratch buffer in streaming mode."""
+        if HBM_MESH:
+            hbm, boxr, scr, sem = mref
+        else:
+            geom, boxr = mref
         ix, iy, iz = _inv_dir(dx, dy, dz)
         zero = ox * 0.0
 
-        def cl_group(ci0, carry):
-            for g in range(SUPER):
-                blk = mref[:, pl.ds((ci0 + g) * CLUSTER, CLUSTER)]
-                for s in range(N_SUB):
-                    enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
-                                       tmin, carry[0])
-
-                    def do(carry, s=s, blk=blk):
-                        t_b, nx, ny, nz, mid = carry
-                        for k in range(s * SUB, (s + 1) * SUB):
-                            t, u, v, okg = _mt_test(blk, k, ox, oy, oz,
-                                                    dx, dy, dz)
-                            ok = okg & (t >= tmin) & (t < t_b)
-                            t_b = jnp.where(ok, t, t_b)
-                            nx = jnp.where(ok, blk[ROW_N0, k]
-                                           + u * blk[ROW_D1, k]
-                                           + v * blk[ROW_D2, k], nx)
-                            ny = jnp.where(ok, blk[ROW_N0 + 1, k]
-                                           + u * blk[ROW_D1 + 1, k]
-                                           + v * blk[ROW_D2 + 1, k], ny)
-                            nz = jnp.where(ok, blk[ROW_N0 + 2, k]
-                                           + u * blk[ROW_D1 + 2, k]
-                                           + v * blk[ROW_D2 + 2, k], nz)
-                            mid = jnp.where(ok, blk[ROW_MID, k], mid)
-                        return (t_b, nx, ny, nz, mid)
-
-                    carry = jax.lax.cond(jnp.any(enter), do,
-                                         lambda c_: c_, carry)
-            return carry
-
         def sup_body(si, carry):
-            ci0 = si * SUPER
-            sblk = mref[:, pl.ds(ci0 * CLUSTER, CLUSTER)]
-            enter = _super_enter(sblk, ox, oy, oz, ix, iy, iz,
-                                 tmin, carry[0])
-            return jax.lax.cond(jnp.any(enter),
-                                functools.partial(cl_group, ci0),
-                                lambda c_: c_, carry)
+            brow = boxr[pl.ds(si, 1), :]
+            enter = _box_enter_row(brow, 0, ox, oy, oz, ix, iy, iz,
+                                   tmin, carry[0])
+
+            def do(carry):
+                if HBM_MESH:
+                    cp = pltpu.make_async_copy(
+                        hbm.at[:, pl.ds(si * (SUPER * CLUSTER),
+                                        SUPER * CLUSTER)], scr, sem)
+                    cp.start()
+                    cp.wait()
+                for g in range(SUPER):
+                    if HBM_MESH:
+                        blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
+                    else:
+                        blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                                            CLUSTER)]
+                    for s in range(N_SUB):
+                        lane = 6 + (g * N_SUB + s) * 6
+                        enter_s = _box_enter_row(brow, lane, ox, oy, oz,
+                                                 ix, iy, iz, tmin, carry[0])
+                        carry = jax.lax.cond(
+                            jnp.any(enter_s),
+                            functools.partial(_sub_closest, blk, s, ox, oy,
+                                              oz, dx, dy, dz, tmin),
+                            lambda c_: c_, carry)
+                return carry
+
+            return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
 
         return jax.lax.fori_loop(
             0, NSUP, sup_body, (t_init, zero, zero, zero, zero - 1.0))
@@ -943,35 +983,43 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         """Any-hit over all clusters; skips groups/clusters once a lane
         set is fully occluded. The carry is a 0/1 float mask — Mosaic
         cannot carry i1 vectors through scf.for."""
+        if HBM_MESH:
+            hbm, boxr, scr, sem = mref
+        else:
+            geom, boxr = mref
         ix, iy, iz = _inv_dir(dx, dy, dz)
         hf0 = jnp.where(hit0, ox * 0.0 + 1.0, ox * 0.0)
 
-        def cl_group(ci0, hf):
-            for g in range(SUPER):
-                blk = mref[:, pl.ds((ci0 + g) * CLUSTER, CLUSTER)]
-                for s in range(N_SUB):
-                    enter = _box_enter(blk, s, ox, oy, oz, ix, iy, iz,
-                                       tmin, tmax)
-
-                    def do(hf, s=s, blk=blk):
-                        for k in range(s * SUB, (s + 1) * SUB):
-                            t, _, _, okg = _mt_test(blk, k, ox, oy, oz,
-                                                    dx, dy, dz)
-                            hf = jnp.where(okg & (t >= tmin)
-                                           & (t <= tmax), 1.0, hf)
-                        return hf
-
-                    hf = jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
-                                      lambda h: h, hf)
-            return hf
-
         def sup_body(si, hf):
-            ci0 = si * SUPER
-            sblk = mref[:, pl.ds(ci0 * CLUSTER, CLUSTER)]
-            enter = _super_enter(sblk, ox, oy, oz, ix, iy, iz,
-                                 tmin, tmax)
-            return jax.lax.cond(jnp.any(enter & (hf < 0.5)),
-                                functools.partial(cl_group, ci0),
+            brow = boxr[pl.ds(si, 1), :]
+            enter = _box_enter_row(brow, 0, ox, oy, oz, ix, iy, iz,
+                                   tmin, tmax)
+
+            def do(hf):
+                if HBM_MESH:
+                    cp = pltpu.make_async_copy(
+                        hbm.at[:, pl.ds(si * (SUPER * CLUSTER),
+                                        SUPER * CLUSTER)], scr, sem)
+                    cp.start()
+                    cp.wait()
+                for g in range(SUPER):
+                    if HBM_MESH:
+                        blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
+                    else:
+                        blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                                            CLUSTER)]
+                    for s in range(N_SUB):
+                        lane = 6 + (g * N_SUB + s) * 6
+                        enter_s = _box_enter_row(brow, lane, ox, oy, oz,
+                                                 ix, iy, iz, tmin, tmax)
+                        hf = jax.lax.cond(
+                            jnp.any(enter_s & (hf < 0.5)),
+                            functools.partial(_sub_any, blk, s, ox, oy, oz,
+                                              dx, dy, dz, tmin, tmax),
+                            lambda h: h, hf)
+                return hf
+
+            return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
                                 lambda h: h, hf)
 
         return jax.lax.fori_loop(0, NSUP, sup_body, hf0) > 0.5
@@ -1422,12 +1470,21 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         })
         return out["outr"], out["outg"], out["outb"]
 
-    # ---- emitter surface sampling (surface_sample.rs)
+    # ---- emitter surface sampling. Triangles: uniform barycentric point
+    # (surface_sample.rs:74-105). Spheres: uniform direction in the
+    # visible cone (pbrt-style), consistent with the cone pdf
+    # trace_emit_pdf reports — the reference samples a uniform point on
+    # the whole sphere (surface_sample.rs:107-117), an inconsistent
+    # density that brightens glossy surfaces under large close sphere
+    # lights (~40% on the veach-mis plates vs the Tungsten golden).
     def sample_emit(px_, py_, pz_, u_obj, u_prim, r, s):
-        # returns direction to a uniformly sampled point on a random emitter
         tx = jnp.zeros(SHAPE)
         ty = jnp.zeros(SHAPE)
         tz = jnp.zeros(SHAPE)
+        dirx = jnp.zeros(SHAPE)
+        diry = jnp.zeros(SHAPE)
+        dirz = jnp.zeros(SHAPE)
+        any_tri = False
         flip = (r + s) > 1.0
         rr_ = jnp.where(flip, 1.0 - r, r)
         ss_ = jnp.where(flip, 1.0 - s, s)
@@ -1436,6 +1493,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         for ei, eo in enumerate(ps.emit_objects):
             sel = eidx == float(ei)
             if eo["kind"] == "tri":
+                any_tri = True
                 cnt = len(eo["prims"])
                 pidx = jnp.floor(u_prim * float(cnt))
                 for k, (v0, v1, v2) in enumerate(eo["prims"]):
@@ -1447,21 +1505,30 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                     ty = jnp.where(sk, qy, ty)
                     tz = jnp.where(sk, qz, tz)
             else:
-                # uniform unit vector through the sphere's matrix
-                z = 1.0 - 2.0 * r
-                rad = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-                phi = TWO_PI * s
-                vx = rad * jnp.cos(phi)
-                vy = rad * jnp.sin(phi)
-                vz = z
                 m = eo["o2w"]
-                qx = m[0][0] * vx + m[0][1] * vy + m[0][2] * vz + m[0][3]
-                qy = m[1][0] * vx + m[1][1] * vy + m[1][2] * vz + m[1][3]
-                qz = m[2][0] * vx + m[2][1] * vy + m[2][2] * vz + m[2][3]
-                tx = jnp.where(sel, qx, tx)
-                ty = jnp.where(sel, qy, ty)
-                tz = jnp.where(sel, qz, tz)
-        return normalize3(tx - px_, ty - py_, tz - pz_)
+                cx, cy, cz = m[0][3], m[1][3], m[2][3]
+                radius = (abs(m[0][0]) + abs(m[1][1]) + abs(m[2][2])) / 3.0
+                wx_, wy_, wz_ = cx - px_, cy - py_, cz - pz_
+                d2 = jnp.maximum(wx_ * wx_ + wy_ * wy_ + wz_ * wz_, 1e-12)
+                cos_max = jnp.sqrt(jnp.maximum(
+                    1.0 - radius * radius / d2, 0.0))
+                cos_t = 1.0 - r * (1.0 - cos_max)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                phi = TWO_PI * s
+                wx_, wy_, wz_ = normalize3(wx_, wy_, wz_)
+                ux, uy, uz, vx, vy, vz = onb_from_w(wx_, wy_, wz_)
+                cp = jnp.cos(phi) * sin_t
+                sp = jnp.sin(phi) * sin_t
+                dirx = jnp.where(sel, ux * cp + vx * sp + wx_ * cos_t, dirx)
+                diry = jnp.where(sel, uy * cp + vy * sp + wy_ * cos_t, diry)
+                dirz = jnp.where(sel, uz * cp + vz * sp + wz_ * cos_t, dirz)
+        if not any_tri:
+            return dirx, diry, dirz
+        tdx, tdy, tdz = normalize3(tx - px_, ty - py_, tz - pz_)
+        is_dir = (dirx != 0.0) | (diry != 0.0) | (dirz != 0.0)
+        return (jnp.where(is_dir, dirx, tdx),
+                jnp.where(is_dir, diry, tdy),
+                jnp.where(is_dir, dirz, tdz))
 
     # ---- BSDF (local frame; scene-specialized material set)
     mats_present = sorted(MATSET)
@@ -1542,6 +1609,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         return jnp.where(tan2 < 3e38, d, 0.0)
 
     def ggx_lambda(ax_, ay_, x, y, z):
+        # exact GGX Smith lambda (ops/microfacet.tr_lambda rationale: the
+        # reference's rational fit is Beckmann's, the goldens are exact)
         c2 = z * z
         s2 = jnp.maximum(1.0 - c2, 0.0)
         abs_tan = jnp.sqrt(s2) / jnp.maximum(jnp.abs(z), 1e-20)
@@ -1551,10 +1620,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         sphi = jnp.where(sin_t == 0.0, 0.0,
                          jnp.clip(y / jnp.maximum(sin_t, 1e-20), -1., 1.))
         alpha = jnp.sqrt(cphi * cphi * ax_ * ax_ + sphi * sphi * ay_ * ay_)
-        a_ = 1.0 / jnp.maximum(alpha * abs_tan, 1e-20)
-        lam = (1.0 - 1.259 * a_ + 0.396 * a_ * a_) \
-            / (3.535 * a_ + 2.181 * a_ * a_)
-        return jnp.where(a_ >= 1.6, 0.0, lam)
+        at2 = jnp.minimum((alpha * abs_tan) ** 2, 1e30)
+        return 0.5 * (-1.0 + jnp.sqrt(1.0 + at2))
 
     def ggx_sample_wh(ax_, ay_, wx_, wy_, wz_, u1, u2):
         flip = wz_ < 0.0
@@ -2075,8 +2142,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     # ------------------------------------------------------------------
     def kernel(seed_ref, *refs):
         import jax.numpy as jnp
-        if NC:
-            mref, refs = refs[0], refs[1:]
+        if NC and HBM_MESH:
+            # (hbm geometry ref, box table ref) lead the inputs; the DMA
+            # scratch buffer + semaphore trail the outputs
+            mref = (refs[0], refs[1], refs[-2], refs[-1])
+            refs = refs[2:-2]
+        elif NC:
+            mref, refs = (refs[0], refs[1]), refs[2:]
         else:
             mref = None
         if HAS_IMG:
@@ -2620,12 +2692,25 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
 
     mesh_specs = []
     mesh_args = []
-    if ps.n_clusters:
-        # one resident VMEM table shared by every grid step (constant
-        # block index -> fetched once, not per tile)
-        mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
+    scratch_shapes = []
+    if ps.n_clusters and ps.mesh_hbm:
+        # geometry stays in HBM; the compact box table is VMEM-resident
+        # and gates per-group DMAs into the scratch buffer
+        mesh_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)]
-        mesh_args = [jnp.asarray(ps.mesh_geom)]
+        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
+        scratch_shapes = [pltpu.VMEM((MESH_ROWS, SUPER * CLUSTER),
+                                     jnp.float32),
+                          pltpu.SemaphoreType.DMA]
+    elif ps.n_clusters:
+        # one resident VMEM table + box table shared by every grid step
+        # (constant block index -> fetched once, not per tile)
+        mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
     if ps.img_table is not None:
         mesh_specs.append(pl.BlockSpec(ps.img_table.shape,
                                        lambda i: (0, 0),
@@ -2648,6 +2733,7 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                               memory_space=pltpu.VMEM)] * 10),
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 10),
+            scratch_shapes=tuple(scratch_shapes),
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), *mesh_args, px, py)
         if inv_idx is not None:

@@ -173,3 +173,54 @@ def test_substrate_checker_matches_xla():
     a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
     xa_mean = xla["albedo"].mean(axis=(0, 1))
     assert np.abs(a_mean - xa_mean).max() < 0.05
+
+
+def test_hbm_packing(monkeypatch):
+    """HBM streaming mode activates over HBM_MIN_TRIS and the box table
+    covers every super group (super AABB lanes 0-5, sub boxes after)."""
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    assert pp.pallas_eligible(bn, cfg)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.mesh_hbm and ps.mesh_box is not None
+    nsup = ps.n_clusters // pp.SUPER
+    assert ps.mesh_box.shape[0] >= nsup and ps.mesh_box.shape[1] == 128
+    box = ps.mesh_geom[pp.ROW_BOX].reshape(ps.n_clusters, pp.CLUSTER)
+    n_sub, _ = pp._sub_split(pp.CLUSTER)
+    sup_lane = n_sub * 6
+    # super boxes copied from the first cluster block of each group
+    np.testing.assert_array_equal(
+        ps.mesh_box[:nsup, 0:6], box[::pp.SUPER, sup_lane:sup_lane + 6])
+    # member sub boxes at their packed lanes
+    for g in range(pp.SUPER):
+        for s in range(n_sub):
+            lane = 6 + (g * n_sub + s) * 6
+            np.testing.assert_array_equal(
+                ps.mesh_box[:nsup, lane:lane + 6],
+                box[g::pp.SUPER, s * 6:s * 6 + 6])
+
+
+@pytest.mark.slow
+def test_hbm_streaming_matches_xla(monkeypatch):
+    """Interpret-mode HBM streaming march (box-table gate + per-group DMA
+    into scratch) statistically matches the XLA path."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(3, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=5, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+    n_mean = np.abs(np.asarray(out["normal"]) / spp).mean(axis=0)
+    xn_mean = np.abs(xla["normal"]).mean(axis=(0, 1))
+    assert np.abs(n_mean - xn_mean).max() < 0.05
+    a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
+    xa_mean = np.abs(xla["albedo"]).mean(axis=(0, 1))
+    assert np.abs(a_mean - xa_mean).max() < 0.05
