@@ -6,10 +6,12 @@ as the renderer:
   al. 2010, the SVGF building block), guided by the normal and albedo AOVs
   the integrators write at bounce 0. Deterministic, no weights, TPU-friendly
   (stencil ops fuse into a handful of VPU passes).
-* `UNetDenoiser` — a small flax U-Net (color+normal+albedo -> color
-  residual) for learned denoising; weights can be trained with
-  `train_step` on rendered pairs or loaded from a checkpoint. Untrained it
-  is an identity-initialized residual net.
+* `UNetDenoiser` — a small flax U-Net predicting a color residual OVER
+  the à-trous output from (noisy, à-trous, normal, albedo). The final
+  conv is zero-initialized, so the untrained net reproduces à-trous
+  exactly and training can only improve on it (on the training
+  distribution) — the property that makes `--denoiser cnn` a safe
+  default. Train with rene_tpu.models.train_denoiser.
 """
 from __future__ import annotations
 
@@ -19,10 +21,10 @@ from typing import Optional
 import numpy as np
 
 
-def atrous_denoise(color, normal, albedo, iterations: int = 5,
-                   sigma_color: float = 4.0, sigma_normal: float = 128.0,
-                   sigma_albedo: float = 8.0):
-    """Edge-avoiding à-trous wavelet denoise. Inputs (H,W,3) float arrays."""
+@functools.lru_cache(maxsize=8)
+def _atrous_fn(iterations, sigma_color, sigma_normal, sigma_albedo):
+    """Jitted à-trous pass, cached per parameter set (one compile per
+    film shape instead of one per call)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +58,15 @@ def atrous_denoise(color, normal, albedo, iterations: int = 5,
             c = one_pass(c, 1 << i)
         return c
 
+    return run
+
+
+def atrous_denoise(color, normal, albedo, iterations: int = 5,
+                   sigma_color: float = 4.0, sigma_normal: float = 128.0,
+                   sigma_albedo: float = 8.0):
+    """Edge-avoiding à-trous wavelet denoise. Inputs (H,W,3) float arrays."""
     import jax.numpy as jnp
+    run = _atrous_fn(iterations, sigma_color, sigma_normal, sigma_albedo)
     return np.asarray(run(jnp.asarray(color), jnp.asarray(normal),
                           jnp.asarray(albedo)))
 
@@ -66,7 +76,8 @@ def atrous_denoise(color, normal, albedo, iterations: int = 5,
 # ---------------------------------------------------------------------------
 
 class UNetDenoiser:
-    """Small residual U-Net over (color, normal, albedo) -> denoised color."""
+    """Small U-Net over (noisy, à-trous base, normal, albedo) predicting a
+    residual added to the à-trous base."""
 
     def __init__(self, features: int = 24, levels: int = 3):
         import flax.linen as nn
@@ -132,31 +143,36 @@ class UNetDenoiser:
 
     def init(self, rng_key, height=64, width=64):
         import jax.numpy as jnp
-        x = jnp.zeros((1, height, width, 9), jnp.float32)
+        x = jnp.zeros((1, height, width, 12), jnp.float32)
         self.params = self.module.init(rng_key, x)["params"]
         return self.params
 
-    def __call__(self, color, normal, albedo):
+    def __call__(self, color, normal, albedo, base=None):
+        """Denoise one film; `base` is the à-trous output (computed here
+        when not supplied)."""
         import jax
         import jax.numpy as jnp
         if self.params is None:
             self.init(jax.random.PRNGKey(0), color.shape[0], color.shape[1])
-        x = jnp.concatenate([jnp.asarray(color), jnp.asarray(normal),
-                             jnp.asarray(albedo)], axis=-1)[None]
+        if base is None:
+            base = atrous_denoise(color, normal, albedo)
+        x = jnp.concatenate([jnp.asarray(color), jnp.asarray(base),
+                             jnp.asarray(normal), jnp.asarray(albedo)],
+                            axis=-1)[None]
         residual = self.module.apply({"params": self.params}, x)[0]
-        # residual net: identity until trained (zero-init last conv)
-        return np.asarray(jnp.asarray(color) + residual)
+        # zero-init last conv: equals the a-trous base until trained
+        return np.asarray(jnp.asarray(base) + residual)
 
     def train_step(self, params, opt_state, optimizer, noisy, normal,
-                   albedo, clean):
+                   albedo, clean, base):
         """One optimizer step on an L1 loss; returns (params, opt_state,
         loss)."""
         import jax
         import jax.numpy as jnp
 
         def loss_fn(p):
-            x = jnp.concatenate([noisy, normal, albedo], axis=-1)
-            pred = noisy + self.module.apply({"params": p}, x)
+            x = jnp.concatenate([noisy, base, normal, albedo], axis=-1)
+            pred = base + self.module.apply({"params": p}, x)
             return jnp.mean(jnp.abs(pred - clean))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

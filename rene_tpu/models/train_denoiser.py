@@ -2,13 +2,16 @@
 OIDN/OptiX denoisers (rene/src/main.rs:1812-1911) with one trained on this
 renderer's own output and running on the same chip.
 
-Data: (noisy low-spp, clean high-spp) render pairs of a pallas-eligible
-scene, cropped into patches — the noise the net learns is exactly this
-integrator's Monte-Carlo noise. A synthetic generator (piecewise-constant
-images + luminance-scaled noise) is provided for quick runs and tests.
+Data: (noisy low-spp, clean high-spp) render pairs — multiple scenes,
+noise levels, and seeds — cropped into patches; the noise the net learns
+is exactly this integrator's Monte-Carlo noise. The net predicts a
+residual over the à-trous output (its 4th input), so untrained it ties
+the à-trous filter and training only moves it up from there. A synthetic
+generator (piecewise-constant images + luminance-scaled noise) is
+provided for quick runs and tests.
 
 Usage:
-    python -m rene_tpu.models.train_denoiser --scene cornell.pbrt \
+    python -m rene_tpu.models.train_denoiser --scene a.pbrt --scene b.pbrt \
         --out rene_tpu/models/weights/unet.msgpack --steps 800
 """
 from __future__ import annotations
@@ -46,48 +49,62 @@ def synthetic_pairs(n: int, seed: int = 0, size: int = PATCH):
             alb[mask] = col / max(col.max(), 1e-6)
         clean[i], normal[i], albedo[i] = img, nrm, alb
     lum = clean.mean(-1, keepdims=True)
-    noisy = clean + r.normal(size=clean.shape).astype(np.float32) \
-        * (0.08 + 0.25 * np.sqrt(np.maximum(lum, 0.0)))
-    return (np.maximum(noisy, 0.0).astype(np.float32), normal, albedo,
-            clean)
+    noisy = np.maximum(
+        clean + r.normal(size=clean.shape).astype(np.float32)
+        * (0.08 + 0.25 * np.sqrt(np.maximum(lum, 0.0))), 0.0
+    ).astype(np.float32)
+    from .denoise import atrous_denoise
+    base = np.stack([atrous_denoise(noisy[i], normal[i], albedo[i])
+                     for i in range(n)]).astype(np.float32)
+    return noisy, normal, albedo, clean, base
 
 
-def render_pairs(scene_path: str, noisy_spp: int = 4, clean_spp: int = 512,
-                 res: int = 256, color_space: str = "srgb-lights"):
-    """Render one scene twice (shared camera, different seeds/spp) and cut
-    the film into PATCH-sized training crops."""
+def render_pairs(scene_path: str, noisy_spps=(4, 32), clean_spp: int = 512,
+                 res: int = 256, color_space: str = "srgb-lights",
+                 augment: bool = True):
+    """Render a scene at several noise levels against one clean render and
+    cut the films into PATCH crops (with flip augmentation). The à-trous
+    base is computed on the full film before cropping."""
     from ..render import render
     from ..scene import load_scene
+    from .denoise import atrous_denoise
 
     scene = load_scene(scene_path, color_space=color_space)
     scene.film.xresolution = res
     scene.film.yresolution = res
-    noisy = render(scene, spp=noisy_spp, seed=101)
     clean = render(scene, spp=clean_spp, seed=202)
 
     crops = []
-    for y in range(0, res - PATCH + 1, PATCH // 2):
-        for x in range(0, res - PATCH + 1, PATCH // 2):
-            sl = (slice(y, y + PATCH), slice(x, x + PATCH))
-            crops.append((noisy["color"][sl], noisy["normal"][sl],
-                          noisy["albedo"][sl], clean["color"][sl]))
-    stack = [np.stack([c[i] for c in crops]).astype(np.float32)
-             for i in range(4)]
-    return tuple(stack)
+    for k, spp in enumerate(noisy_spps):
+        noisy = render(scene, spp=spp, seed=101 + 37 * k)
+        base = atrous_denoise(noisy["color"], noisy["normal"],
+                              noisy["albedo"])
+        films = (noisy["color"], noisy["normal"], noisy["albedo"],
+                 clean["color"], base)
+        for y in range(0, res - PATCH + 1, PATCH // 2):
+            for x in range(0, res - PATCH + 1, PATCH // 2):
+                sl = (slice(y, y + PATCH), slice(x, x + PATCH))
+                crop = [f[sl] for f in films]
+                crops.append(crop)
+                if augment:
+                    crops.append([c[::-1] for c in crop])
+                    crops.append([c[:, ::-1] for c in crop])
+    return tuple(np.stack([c[i] for c in crops]).astype(np.float32)
+                 for i in range(5))
 
 
 def train(data, steps: int = 400, batch: int = 8, lr: float = 1e-3,
           features: int = 16, seed: int = 0, log_every: int = 50,
           progress=print):
-    """Train a UNetDenoiser on (noisy, normal, albedo, clean) arrays;
-    returns the trained denoiser and the loss history."""
+    """Train a UNetDenoiser on (noisy, normal, albedo, clean, base)
+    arrays; returns the trained denoiser and the loss history."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from .denoise import UNetDenoiser
 
-    noisy, normal, albedo, clean = (jnp.asarray(a) for a in data)
+    noisy, normal, albedo, clean, base = (jnp.asarray(a) for a in data)
     net = UNetDenoiser(features=features)
     params = net.init(jax.random.PRNGKey(seed), PATCH, PATCH)
     optimizer = optax.adam(lr)
@@ -95,11 +112,11 @@ def train(data, steps: int = 400, batch: int = 8, lr: float = 1e-3,
 
     @jax.jit
     def step(params, opt_state, idx):
-        x = jnp.concatenate([noisy[idx], normal[idx], albedo[idx]],
-                            axis=-1)
+        x = jnp.concatenate([noisy[idx], base[idx], normal[idx],
+                             albedo[idx]], axis=-1)
 
         def loss_fn(p):
-            pred = noisy[idx] + net.module.apply({"params": p}, x)
+            pred = base[idx] + net.module.apply({"params": p}, x)
             return jnp.mean(jnp.abs(pred - clean[idx]))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -123,25 +140,29 @@ def train(data, steps: int = 400, batch: int = 8, lr: float = 1e-3,
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scene", help="pbrt scene for render pairs "
-                    "(omit for synthetic data)")
+    ap.add_argument("--scene", action="append", default=[],
+                    help="pbrt scene(s) for render pairs (repeatable; "
+                    "omit for synthetic data)")
     ap.add_argument("--out", required=True, help="weights output path")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--features", type=int, default=16)
-    ap.add_argument("--noisy-spp", type=int, default=4)
+    ap.add_argument("--noisy-spp", type=int, action="append", default=[],
+                    help="noise levels to render per scene (repeatable; "
+                    "default 4 and 32)")
     ap.add_argument("--clean-spp", type=int, default=512)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="also mix in N synthetic patches")
     args = ap.parse_args(argv)
 
+    spps = tuple(args.noisy_spp) or (4, 32)
     parts = []
-    if args.scene:
-        parts.append(render_pairs(args.scene, args.noisy_spp,
-                                  args.clean_spp))
+    for sc in args.scene:
+        parts.append(render_pairs(sc, spps, args.clean_spp))
+        print(f"{sc}: {parts[-1][0].shape[0]} patches", flush=True)
     if args.synthetic or not args.scene:
         parts.append(synthetic_pairs(args.synthetic or 64))
-    data = tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+    data = tuple(np.concatenate([p[i] for p in parts]) for i in range(5))
     print(f"training on {data[0].shape[0]} patches")
     net, losses = train(data, steps=args.steps, batch=args.batch,
                         features=args.features)
