@@ -29,9 +29,16 @@ def background_radiance(buffers, direction: V3, config=None) -> V3:
 
 
 def sample_emit_object(buffers, config, position: V3, state):
-    """Uniformly pick an emissive object and a point on it; return the
-    direction from `position` (EnumSurfaceSample::sample,
-    surface_sample.rs:74-117 — triangles already world-space here).
+    """Uniformly pick an emissive object and sample a direction to it.
+
+    Triangles: uniform barycentric point (EnumSurfaceSample::sample,
+    surface_sample.rs:74-105). Spheres: uniform direction in the visible
+    cone (pbrt-style), matching the cone pdf `trace_emissive_pdf` reports.
+    The reference samples a uniform point on the WHOLE sphere
+    (surface_sample.rs:107-117) while weighting with the cone pdf
+    (area_light.rs) — an inconsistent density that measurably brightens
+    glossy surfaces under large close sphere lights (veach-mis plates
+    read ~40% over the Tungsten golden); we use the consistent estimator.
     """
     e = config.num_emit_objects
     u_obj, state = rng.next_u32(state)
@@ -55,17 +62,27 @@ def sample_emit_object(buffers, config, position: V3, state):
                 g[1] * w0 + g[4] * r + g[7] * s,
                 g[2] * w0 + g[5] * r + g[8] * s)
 
+    tri_dir = (tri_pt - position).normalized()
     if config.num_emit_spheres > 0:
-        # sphere: random unit vector through the instance matrix
-        vdir, state = random_unit_vector(state)
+        # sphere: uniform direction within the visible cone
+        import math
         m = jnp.take(buffers["eo_matrixT"], eo, axis=1)
-        sph_pt = V3(m[0] * vdir.x + m[1] * vdir.y + m[2] * vdir.z + m[3],
-                    m[4] * vdir.x + m[5] * vdir.y + m[6] * vdir.z + m[7],
-                    m[8] * vdir.x + m[9] * vdir.y + m[10] * vdir.z + m[11])
-        point = v3.where(kind == T.KIND_SPHERE, sph_pt, tri_pt)
-    else:
-        point = tri_pt
-    return (point - position).normalized(), state
+        center = V3(m[3], m[7], m[11])
+        radius = (jnp.abs(m[0]) + jnp.abs(m[5]) + jnp.abs(m[10])) / 3.0
+        to_c = center - position
+        d2 = jnp.maximum(to_c.dot(to_c), 1e-12)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - radius * radius / d2, 0.0))
+        u1, state = rng.next_f32(state)
+        u2, state = rng.next_f32(state)
+        cos_t = 1.0 - u1 * (1.0 - cos_max)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = 2.0 * math.pi * u2
+        onb = v3.Onb.from_w(to_c.normalized())
+        sph_dir = (onb.u * (jnp.cos(phi) * sin_t)
+                   + onb.v * (jnp.sin(phi) * sin_t)
+                   + onb.w * cos_t)
+        return v3.where(kind == T.KIND_SPHERE, sph_dir, tri_dir), state
+    return tri_dir, state
 
 
 def random_unit_vector(state):

@@ -42,12 +42,20 @@ def tr_d(ax, ay, wh: V3):
 
 
 def tr_lambda(ax, ay, w: V3):
-    """Smith lambda (microfacet.rs:157-174)."""
+    """Exact GGX Smith lambda: (-1 + sqrt(1 + alpha^2 tan^2)) / 2.
+
+    The reference (microfacet.rs:157-174) copied pbrt's *Beckmann*
+    rational fit into its Trowbridge-Reitz lambda; pbrt-v3 proper and
+    Tungsten (the golden renders) use the exact closed form. The fit
+    underestimates lambda at grazing incidence (GGX's tails are heavier
+    than Beckmann's), brightening grazing highlights — measurable on the
+    veach-mis plates — so we use the exact form. It is also the exact
+    inverse of the sample11 visible-normal sampler."""
     abs_tan = jnp.abs(v3.tan_theta(w))
-    alpha2 = jnp.sqrt(v3.cos2_phi(w) * ax * ax + v3.sin2_phi(w) * ay * ay)
-    a = 1.0 / jnp.maximum(alpha2 * abs_tan, 1e-20)
-    lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
-    return jnp.where((a >= 1.6) | ~jnp.isfinite(abs_tan), 0.0, lam)
+    alpha = jnp.sqrt(v3.cos2_phi(w) * ax * ax + v3.sin2_phi(w) * ay * ay)
+    at2 = (alpha * abs_tan) ** 2
+    lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + at2))
+    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
 
 
 def tr_g(ax, ay, wo: V3, wi: V3):
