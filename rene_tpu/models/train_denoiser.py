@@ -53,6 +53,12 @@ def synthetic_pairs(n: int, seed: int = 0, size: int = PATCH):
         clean + r.normal(size=clean.shape).astype(np.float32)
         * (0.08 + 0.25 * np.sqrt(np.maximum(lum, 0.0))), 0.0
     ).astype(np.float32)
+    # sparse fireflies (low-spp MC outliers): the net must learn to
+    # suppress them like the a-trous edge-stopping does
+    spark = r.random(noisy.shape[:3]) < 0.002
+    noisy[spark] += r.gamma(1.5, 4.0, size=(spark.sum(), 1)).astype(
+        np.float32) * r.uniform(0.5, 1.0, (spark.sum(), 3)).astype(
+        np.float32)
     from .denoise import atrous_denoise
     base = np.stack([atrous_denoise(noisy[i], normal[i], albedo[i])
                      for i in range(n)]).astype(np.float32)
@@ -104,20 +110,29 @@ def train(data, steps: int = 400, batch: int = 8, lr: float = 1e-3,
 
     from .denoise import UNetDenoiser
 
+    # data arrays are jit ARGUMENTS (device buffers), not closure
+    # constants — baking 100s of MB of patches into the program blows the
+    # remote-compile request limit
     noisy, normal, albedo, clean, base = (jnp.asarray(a) for a in data)
     net = UNetDenoiser(features=features)
     params = net.init(jax.random.PRNGKey(seed), PATCH, PATCH)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
 
+    def tonemap(x):
+        # display-space loss: SSIM is scored on gamma-encoded 8-bit
+        # images, so train where the metric looks. The epsilon keeps the
+        # gamma gradient finite at 0 (bare x**(1/2.2) NaNs training).
+        return (jnp.maximum(x, 0.0) + 1e-3) ** (1.0 / 2.2)
+
     @jax.jit
-    def step(params, opt_state, idx):
+    def step(params, opt_state, idx, noisy, base, normal, albedo, clean):
         x = jnp.concatenate([noisy[idx], base[idx], normal[idx],
                              albedo[idx]], axis=-1)
 
         def loss_fn(p):
             pred = base[idx] + net.module.apply({"params": p}, x)
-            return jnp.mean(jnp.abs(pred - clean[idx]))
+            return jnp.mean(jnp.abs(tonemap(pred) - tonemap(clean[idx])))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -129,7 +144,8 @@ def train(data, steps: int = 400, batch: int = 8, lr: float = 1e-3,
     t0 = time.time()
     for s in range(steps):
         idx = jnp.asarray(r.integers(0, n, size=batch))
-        params, opt_state, loss = step(params, opt_state, idx)
+        params, opt_state, loss = step(params, opt_state, idx, noisy,
+                                       base, normal, albedo, clean)
         losses.append(float(loss))
         if log_every and (s + 1) % log_every == 0:
             progress(f"step {s + 1}/{steps} loss={losses[-1]:.4f} "
@@ -145,6 +161,7 @@ def main(argv=None):
                     "omit for synthetic data)")
     ap.add_argument("--out", required=True, help="weights output path")
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--features", type=int, default=16)
     ap.add_argument("--noisy-spp", type=int, action="append", default=[],
@@ -165,7 +182,7 @@ def main(argv=None):
     data = tuple(np.concatenate([p[i] for p in parts]) for i in range(5))
     print(f"training on {data[0].shape[0]} patches")
     net, losses = train(data, steps=args.steps, batch=args.batch,
-                        features=args.features)
+                        features=args.features, lr=args.lr)
     net.save(args.out)
     print(f"saved {args.out}; loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
