@@ -81,7 +81,9 @@ ROW_V0, ROW_E1, ROW_E2, ROW_MID = 0, 3, 6, 9
 ROW_N0, ROW_D1, ROW_D2, ROW_BOX = 10, 13, 16, 19
 MESH_ROWS = 24  # 20 used rows padded to the f32 sublane tile (8) so the
                 # HBM DMA's row slice stays tile-aligned
-SUB_TRIS = 64
+SUB_TRIS = 64   # measured best (32 was ~-5% @320x180 and -16% @720p)
+_PROFILE_SKIP_MT = False  # profiling knob: march boxes but skip the MT
+                          # unrolls (isolates the box-sweep floor)
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
 # at lanes 0-5, member sub-block AABBs at 6+(g*n_sub+s)*6. The march
@@ -95,6 +97,23 @@ def _sub_split(cluster: int):
     """(n_sub, sub) block split of a cluster width (tests shrink CLUSTER)."""
     n_sub = max(1, cluster // SUB_TRIS)
     return n_sub, cluster // n_sub
+
+
+def _box_layout(n_sub):
+    """(rows_per_group, rowlane) of the box table: row 0 of each group
+    holds the super AABB at lanes 0-5 followed by sub-boxes; overflow
+    sub-boxes continue on subsequent rows from lane 0."""
+    per_row0 = (128 - 6) // 6
+    per_row = 128 // 6
+    total = SUPER * n_sub
+    rows = 1 + max(0, -(-(total - per_row0) // per_row))
+
+    def rowlane(j):
+        if j < per_row0:
+            return 0, 6 + j * 6
+        j -= per_row0
+        return 1 + j // per_row, (j % per_row) * 6
+    return rows, rowlane
 
 
 # ---------------------------------------------------------------------------
@@ -474,18 +493,33 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     geom = np.ascontiguousarray(
         geom.reshape(MESH_ROWS, n_super, SUPER * CLUSTER)[:, gorder, :]
         .reshape(MESH_ROWS, slots))
+    # member clusters front-to-back within each group too (also
+    # correctness-neutral): early member hits shrink t_best for the rest
+    # of the group's unrolled marches
+    cctr = 0.5 * (clo.min(axis=1) + chi.max(axis=1))  # (n_clusters, 3)
+    cctr = cctr[np.repeat(gorder, SUPER) * SUPER
+                + np.tile(np.arange(SUPER), n_super)]
+    cdist = ((cctr - cam) ** 2).sum(axis=1).reshape(n_super, SUPER)
+    morder = np.argsort(cdist, axis=1, kind="stable")
+    flat = (np.arange(n_super)[:, None] * SUPER + morder).reshape(-1)
+    geom = np.ascontiguousarray(
+        geom.reshape(MESH_ROWS, n_clusters, CLUSTER)[:, flat, :]
+        .reshape(MESH_ROWS, slots))
     box = geom[ROW_BOX].reshape(n_clusters, CLUSTER)
     box[::SUPER, sup_lane:sup_lane + 3] = glo[gorder]
     box[::SUPER, sup_lane + 3:sup_lane + 6] = ghi[gorder]
-    # compact per-group box table for the HBM streaming march: row = super
-    # group, lanes 0-5 = super AABB, lanes 6+(g*n_sub+s)*6 = member g's
-    # sub-block s AABB (6 + 8*2*6 = 102 <= 128 lanes)
-    box_tab = np.zeros((((n_super + 7) // 8) * 8, 128), np.float32)
-    box_tab[:n_super, 0:6] = box[::SUPER, sup_lane:sup_lane + 6]
+    # compact per-group box table (_box_layout): g_rows rows per super
+    # group — super AABB at (row 0, lanes 0-5), member sub-block AABBs at
+    # rowlane(g*n_sub+s)
+    g_rows, rowlane = _box_layout(n_sub)
+    box_tab = np.zeros((((n_super * g_rows + 7) // 8) * 8, 128), np.float32)
+    box_tab[0:n_super * g_rows:g_rows, 0:6] = \
+        box[::SUPER, sup_lane:sup_lane + 6]
     for g in range(SUPER):
         for s in range(n_sub):
-            lane = 6 + (g * n_sub + s) * 6
-            box_tab[:n_super, lane:lane + 6] = box[g::SUPER, s * 6:s * 6 + 6]
+            r, lane = rowlane(g * n_sub + s)
+            box_tab[r:n_super * g_rows:g_rows, lane:lane + 6] = \
+                box[g::SUPER, s * 6:s * 6 + 6]
     return geom, mesh_mats, n_clusters, box_tab
 
 
@@ -890,15 +924,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     NSUP = NC // SUPER if NC else 0
     HBM_MESH = ps.mesh_hbm
 
-    def _box_enter_row(brow, lane, ox, oy, oz, ix, iy, iz, tmin, tfar):
-        """Slab test of the AABB stored at lanes lane..lane+5 of a (1,128)
-        box-table row (HBM streaming mode)."""
-        t0x = (brow[0, lane + 0] - ox) * ix
-        t1x = (brow[0, lane + 3] - ox) * ix
-        t0y = (brow[0, lane + 1] - oy) * iy
-        t1y = (brow[0, lane + 4] - oy) * iy
-        t0z = (brow[0, lane + 2] - oz) * iz
-        t1z = (brow[0, lane + 5] - oz) * iz
+    G_ROWS, ROWLANE = _box_layout(N_SUB) if NC else (1, None)
+
+    def _box_enter_row(brow, row, lane, ox, oy, oz, ix, iy, iz, tmin, tfar):
+        """Slab test of the AABB stored at (row, lanes lane..lane+5) of a
+        (G_ROWS,128) box-table group slice."""
+        t0x = (brow[row, lane + 0] - ox) * ix
+        t1x = (brow[row, lane + 3] - ox) * ix
+        t0y = (brow[row, lane + 1] - oy) * iy
+        t1y = (brow[row, lane + 4] - oy) * iy
+        t0z = (brow[row, lane + 2] - oz) * iz
+        t1z = (brow[row, lane + 5] - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -910,6 +946,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     def _sub_closest(blk, s, ox, oy, oz, dx, dy, dz, tmin, carry):
         """Unrolled MT closest-hit over sub-block s of a loaded cluster
         block; carry = (t_best, nx, ny, nz, matid)."""
+        if _PROFILE_SKIP_MT:
+            return carry
         t_b, nx, ny, nz, mid = carry
         for k in range(s * SUB, (s + 1) * SUB):
             t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
@@ -926,6 +964,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
     def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf):
         """Unrolled MT any-hit over sub-block s; hf is a 0/1 float mask."""
+        if _PROFILE_SKIP_MT:
+            return hf
         for k in range(s * SUB, (s + 1) * SUB):
             t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
             hf = jnp.where(okg & (t >= tmin) & (t <= tmax), 1.0, hf)
@@ -946,8 +986,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         zero = ox * 0.0
 
         def sup_body(si, carry):
-            brow = boxr[pl.ds(si, 1), :]
-            enter = _box_enter_row(brow, 0, ox, oy, oz, ix, iy, iz,
+            brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
+            enter = _box_enter_row(brow, 0, 0, ox, oy, oz, ix, iy, iz,
                                    tmin, carry[0])
 
             def do(carry):
@@ -964,8 +1004,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                         blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
                                             CLUSTER)]
                     for s in range(N_SUB):
-                        lane = 6 + (g * N_SUB + s) * 6
-                        enter_s = _box_enter_row(brow, lane, ox, oy, oz,
+                        r_, lane = ROWLANE(g * N_SUB + s)
+                        enter_s = _box_enter_row(brow, r_, lane, ox, oy, oz,
                                                  ix, iy, iz, tmin, carry[0])
                         carry = jax.lax.cond(
                             jnp.any(enter_s),
@@ -991,8 +1031,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         hf0 = jnp.where(hit0, ox * 0.0 + 1.0, ox * 0.0)
 
         def sup_body(si, hf):
-            brow = boxr[pl.ds(si, 1), :]
-            enter = _box_enter_row(brow, 0, ox, oy, oz, ix, iy, iz,
+            brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
+            enter = _box_enter_row(brow, 0, 0, ox, oy, oz, ix, iy, iz,
                                    tmin, tmax)
 
             def do(hf):
@@ -1009,8 +1049,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                         blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
                                             CLUSTER)]
                     for s in range(N_SUB):
-                        lane = 6 + (g * N_SUB + s) * 6
-                        enter_s = _box_enter_row(brow, lane, ox, oy, oz,
+                        r_, lane = ROWLANE(g * N_SUB + s)
+                        enter_s = _box_enter_row(brow, r_, lane, ox, oy, oz,
                                                  ix, iy, iz, tmin, tmax)
                         hf = jax.lax.cond(
                             jnp.any(enter_s & (hf < 0.5)),

@@ -185,19 +185,22 @@ def test_hbm_packing(monkeypatch):
     ps = pp.pack_scene(bn, cfg)
     assert ps.mesh_hbm and ps.mesh_box is not None
     nsup = ps.n_clusters // pp.SUPER
-    assert ps.mesh_box.shape[0] >= nsup and ps.mesh_box.shape[1] == 128
     box = ps.mesh_geom[pp.ROW_BOX].reshape(ps.n_clusters, pp.CLUSTER)
     n_sub, _ = pp._sub_split(pp.CLUSTER)
+    g_rows, rowlane = pp._box_layout(n_sub)
     sup_lane = n_sub * 6
+    assert ps.mesh_box.shape[0] >= nsup * g_rows
+    assert ps.mesh_box.shape[1] == 128
     # super boxes copied from the first cluster block of each group
     np.testing.assert_array_equal(
-        ps.mesh_box[:nsup, 0:6], box[::pp.SUPER, sup_lane:sup_lane + 6])
-    # member sub boxes at their packed lanes
+        ps.mesh_box[0:nsup * g_rows:g_rows, 0:6],
+        box[::pp.SUPER, sup_lane:sup_lane + 6])
+    # member sub boxes at their packed (row, lane) slots
     for g in range(pp.SUPER):
         for s in range(n_sub):
-            lane = 6 + (g * n_sub + s) * 6
+            r, lane = rowlane(g * n_sub + s)
             np.testing.assert_array_equal(
-                ps.mesh_box[:nsup, lane:lane + 6],
+                ps.mesh_box[r:nsup * g_rows:g_rows, lane:lane + 6],
                 box[g::pp.SUPER, s * 6:s * 6 + 6])
 
 
