@@ -273,10 +273,6 @@ def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
 def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     if config.integrator not in ("path", "volpath"):
         return False
-    if config.integrator == "volpath" and config.num_triangles > MAX_TRIS:
-        # the cluster table carries no medium-interface / None-material
-        # metadata; volpath scenes must fit as immediates
-        return False
     if config.num_spheres > MAX_SPHERES:
         return False
     if config.num_lights > 4:
@@ -439,10 +435,20 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     """
     p = buffers_np["tri_p"][mesh_idx].astype(np.float64)   # (M,3,3)
     n = buffers_np["tri_n"][mesh_idx].astype(np.float64)
-    mat_rows = buffers_np["inst_material"][
-        buffers_np["tri_inst"][mesh_idx]]
-    uniq, inv = np.unique(mat_rows, return_inverse=True)
-    mesh_mats = [_mat_record(buffers_np, int(m)) for m in uniq]
+    # material slot = unique (material row, interior medium, exterior
+    # medium) triple, so volpath medium-interface tracking works for
+    # cluster hits too
+    inst = buffers_np["tri_inst"][mesh_idx]
+    triples = np.stack([buffers_np["inst_material"][inst],
+                        buffers_np["inst_interior"][inst],
+                        buffers_np["inst_exterior"][inst]], axis=1)
+    uniq, inv = np.unique(triples, axis=0, return_inverse=True)
+    mesh_mats = []
+    for m, imed, emed in uniq:
+        rec = _mat_record(buffers_np, int(m))
+        rec["imed"] = int(imed)
+        rec["emed"] = int(emed)
+        mesh_mats.append(rec)
 
     c = p.mean(axis=1)
     lo_all = c.min(axis=0)
@@ -1246,6 +1252,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                         "kb": rec["k"][2],
                         "ax": rec["alpha"][0], "ay": rec["alpha"][1],
                         "ir": rec["ir"], "mat": float(rec["mat_type"])}
+                if VOL:
+                    vals["imed"] = float(rec["imed"])
+                    vals["emed"] = float(rec["emed"])
                 if HAS_UBER:
                     vals.update(opr=rec["op"][0], opg=rec["op"][1],
                                 opb=rec["op"][2], krr=rec["kr2"][0],
@@ -2794,8 +2803,12 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     # (~2e6 tile-cluster-samples ~= 30 s on one v5e chip, measured on
     # teapot/dragon). Immediates scenes are orders of magnitude faster.
     if ps.n_clusters:
-        run.chunk_hint = max(1, min(100, 2_000_000
-                                    // max(n_tiles * ps.n_clusters, 1)))
+        hint = max(1, min(100, 2_000_000
+                          // max(n_tiles * ps.n_clusters, 1)))
+        if ps.integrator == "volpath":
+            # tr/tr_emit marching re-traces the mesh per NEE sample
+            hint = max(1, hint // 4)
+        run.chunk_hint = hint
     else:
         run.chunk_hint = 100
     return run

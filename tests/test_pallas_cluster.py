@@ -227,3 +227,69 @@ def test_hbm_streaming_matches_xla(monkeypatch):
     a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
     xa_mean = np.abs(xla["albedo"]).mean(axis=(0, 1))
     assert np.abs(a_mean - xa_mean).max() < 0.05
+
+
+def fog_mesh_scene():
+    """Volpath scene whose fog container is a big triangle mesh: the
+    cluster table must carry (material, interior, exterior) so medium
+    interfaces survive cluster hits."""
+    verts, idx = uv_sphere(r=1.4, cy=0.0)
+    p = " ".join(f"{x:.5f} {y:.5f} {z:.5f}" for x, y, z in verts)
+    i = " ".join(map(str, idx))
+    txt = f"""
+Integrator "volpath" "integer maxdepth" [5]
+LookAt 0 0.4 -4.2  0 0 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [24] "integer yresolution" [16]
+WorldBegin
+LightSource "distant" "rgb L" [2 2 2] "point from" [0 2 -1] "point to" [0 0 0]
+AttributeBegin
+  MakeNamedMedium "fog" "rgb sigma_a" [.15 .2 .25] "rgb sigma_s" [.7 .6 .5]
+    "float g" 0.1
+  MediumInterface "fog" ""
+  Material "none"
+  Shape "trianglemesh" "point P" [ {p} ] "integer indices" [ {i} ]
+AttributeEnd
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [8 6 4]
+  Material "matte" "rgb Kd" [0 0 0]
+  Shape "trianglemesh" "point P" [ -0.5 2.4 -0.5  0.5 2.4 -0.5  0.5 2.4 0.5
+    -0.5 2.4 0.5 ] "integer indices" [ 0 1 2 0 2 3 ]
+AttributeEnd
+Material "matte" "rgb Kd" [0.5 0.45 0.4]
+Shape "trianglemesh" "point P" [ -6 -1.6 -6  6 -1.6 -6  6 -1.6 6  -6 -1.6 6 ]
+  "integer indices" [ 0 1 2 0 2 3 ]
+WorldEnd
+"""
+    return create_scene(parse_pbrt(txt), ".")
+
+
+def test_volpath_cluster_packing():
+    scene = fog_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    assert cfg.integrator == "volpath"
+    assert cfg.num_triangles > pp.MAX_TRIS
+    assert pp.pallas_eligible(bn, cfg)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.n_clusters > 0 and ps.integrator == "volpath"
+    # the fog mesh's material slot carries its interior medium index
+    assert any(r["imed"] != 0 for r in ps.mesh_mats)
+    assert any(r["mat_type"] == 0 for r in ps.mesh_mats)  # MAT_NONE
+
+
+@pytest.mark.slow
+def test_volpath_cluster_matches_xla(monkeypatch):
+    """Interpret-mode volpath through the cluster march statistically
+    matches the XLA volpath integrator."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = fog_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(5, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=9, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
