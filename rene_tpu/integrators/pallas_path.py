@@ -24,8 +24,9 @@ Design:
   pixel and streams `num_samples` samples back-to-back.
 
 Eligibility (`pallas_eligible`): path or volpath integrator, all 8
-reference materials (matte Kd may be checker/imagemap/scale), <=8
-spheres, <=4 distant lights, solid or image-mapped background. Scenes up
+reference materials (the Kd slot of matte/substrate/plastic/uber may be
+checker/imagemap/scale), <=8 spheres, <=4 distant lights, solid or
+image-mapped background. Scenes up
 to MAX_TRIS triangles are fully baked as immediates; bigger scenes (e.g.
 teapot/dragon) keep emissive/per-hit-uv tris as immediates and march the
 rest through a VMEM cluster table gated by a compact box table; meshes
@@ -211,15 +212,21 @@ def _tex_kernel_desc(buffers_np, ti: int):
     return None
 
 
+# materials whose Kd (slot 0, the diffuse component feeding the shared
+# albedo attributes) may be any kernel texture descriptor; their other
+# slots must stay solid
+KD_TEX_MATS = {T.MAT_MATTE, T.MAT_SUBSTRATE, T.MAT_PLASTIC, T.MAT_UBER}
+
+
 def _kernel_images(buffers_np, config: RenderConfig):
     """Image ids the kernel would fetch: the background env map plus every
-    used matte material whose Kd resolves to an image descriptor."""
+    used material whose Kd resolves to an image descriptor."""
     used = set()
     bg_tex = int(buffers_np["background_texture"])
     if int(buffers_np["tex_type"][bg_tex]) == T.TEX_IMAGEMAP:
         used.add(int(buffers_np["tex_u0"][bg_tex, 0]))
     for m in set(buffers_np["inst_material"].tolist()):
-        if int(buffers_np["mat_type"][m]) != T.MAT_MATTE:
+        if int(buffers_np["mat_type"][m]) not in KD_TEX_MATS:
             continue
         desc = _tex_kernel_desc(buffers_np,
                                 int(buffers_np["mat_u0"][m][0]))
@@ -253,9 +260,9 @@ def _mat_solid_only(buffers_np, mat_idx: int) -> bool:
 
 def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
     """Material representable in the megakernel: a supported type whose
-    textures are solid, except matte's Kd slot may be any kernel texture
-    descriptor (checker with solid subs, imagemap, scale; evaluated
-    per-hit from interpolated/spherical uv)."""
+    textures are solid, except the Kd slot of matte/substrate/plastic/
+    uber may be any kernel texture descriptor (checker with solid subs,
+    imagemap, scale; evaluated per-hit from interpolated/spherical uv)."""
     mt = int(buffers_np["mat_type"][mat_idx])
     if mt not in OK_MATS:
         return False
@@ -263,7 +270,7 @@ def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
         tt = int(buffers_np["tex_type"][ti])
         if tt == T.TEX_SOLID:
             continue
-        if (mt == T.MAT_MATTE and slot == 0
+        if (mt in KD_TEX_MATS and slot == 0
                 and _tex_kernel_desc(buffers_np, ti) is not None):
             continue
         return False
@@ -346,17 +353,23 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
            "alpha": (0.0, 0.0), "ir": 1.5, "tex": ("solid",),
            "op": (0.0, 0.0, 0.0), "kr2": (0.0, 0.0, 0.0),
            "kt2": (0.0, 0.0, 0.0)}
-    if mt == T.MAT_MATTE:
-        desc = _tex_kernel_desc(buffers_np, int(u0[0]))
+
+    def kd_tex(ti):
+        """Kd slot: solid folds into albedo; checker/imagemap become a
+        per-hit descriptor (image descriptors are resolved to atlas rows
+        in pack_scene once image base offsets are known)."""
+        desc = _tex_kernel_desc(buffers_np, int(ti))
         if desc is None or desc[0] == "solid":
-            rec["albedo"] = desc[1] if desc else tex_rgb(u0[0])
+            rec["albedo"] = desc[1] if desc else tex_rgb(ti)
         elif desc[0] == "checker":
             rec["tex"] = desc
             rec["albedo"] = desc[3]
-        else:  # ("image", img_idx, base_rgb): resolved to atlas rows in
-            # pack_scene once image base offsets are known
+        else:
             rec["tex"] = desc
             rec["albedo"] = desc[2]
+
+    if mt == T.MAT_MATTE:
+        kd_tex(u0[0])
     elif mt == T.MAT_MIRROR:
         rec["albedo"] = tex_rgb(u0[0])
     elif mt == T.MAT_GLASS:
@@ -364,7 +377,7 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
     elif mt == T.MAT_SUBSTRATE:
         # FresnelBlend: Kd -> albedo (diffuse + AOV), Ks -> k slots
         # (material.rs:187-226)
-        rec["albedo"] = tex_rgb(u0[0])
+        kd_tex(u0[0])
         rec["k"] = tex_rgb(u0[1])
         ru = tex_rgb(u0[2])[0]
         rv = tex_rgb(u0[3])[0]
@@ -383,7 +396,7 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
     elif mt == T.MAT_PLASTIC:
         # lambert(Kd) + microfacet(Ks, dielectric 1.5->1.0)
         # (material.rs:679-707); roughness texture u0.w, remap flag u1.z
-        rec["albedo"] = tex_rgb(u0[0])
+        kd_tex(u0[0])
         rec["k"] = tex_rgb(u0[1])
         r = tex_rgb(u0[3])[0]
         if int(u1[2]):
@@ -393,12 +406,11 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
         # up to 5 conditional lobes (material.rs:578-630): opacity
         # spec-transmission, lambert(Kd), microfacet(Ks, dielectric
         # 1->eta), spec-reflection(op*Kr), spec-transmission(op*Kt, eta)
-        kd = tex_rgb(u0[0])
         ks = tex_rgb(u0[1])
         kr = tex_rgb(u0[2])
         kt = tex_rgb(u0[3])
         op = tex_rgb(u1[0])
-        rec["albedo"] = kd
+        kd_tex(u0[0])
         rec["k"] = ks
         rec["op"] = tuple(1.0 - c for c in op)  # transmission weight
         rec["kr2"] = tuple(op[i] * kr[i] for i in range(3))

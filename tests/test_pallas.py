@@ -316,3 +316,45 @@ def test_sphere_scene_pallas(sample_scenes):
     # center = red-ish sphere
     c = img[12, 16]
     assert c[0] > c[1] and c[0] > c[2]
+
+
+def test_substrate_plastic_kd_imagemap_matches(tmp_path):
+    """Imagemap Kd on substrate and plastic (the diffuse slot feeding the
+    shared albedo attributes) is pallas-eligible and matches XLA."""
+    tex = np.zeros((8, 16, 3), np.float32)
+    tex[..., 0] = np.linspace(0.1, 0.8, 16)[None, :]
+    tex[..., 1] = 0.4
+    tex[..., 2] = np.linspace(0.7, 0.1, 8)[:, None]
+    _write_pfm(tmp_path / "kd.pfm", tex)
+    src = """
+LookAt 0 -4 1.2  0 0 0.6  0 0 1
+Camera "perspective" "float fov" 55
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" 4
+WorldBegin
+LightSource "infinite" "rgb L" [.8 .8 .8]
+Texture "kdmap" "spectrum" "imagemap" "string filename" "kd.pfm"
+Material "substrate" "texture Kd" "kdmap" "rgb Ks" [.15 .15 .15]
+  "float uroughness" [0.1] "float vroughness" [0.1]
+  "bool remaproughness" ["false"]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-2 1 -2  -2 1 2  2 1 2  2 1 -2]
+  "float uv" [0 0  0 1  1 1  1 0]
+Material "plastic" "texture Kd" "kdmap" "rgb Ks" [.2 .2 .2]
+  "float roughness" [0.2] "bool remaproughness" ["false"]
+Shape "sphere" "float radius" 0.8
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 16
+    out = run(11, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+    from rene_tpu.render import render
+    xla = render(scene, spp=32, seed=8, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+    a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
+    xa_mean = xla["albedo"].mean(axis=(0, 1))
+    assert np.abs(a_mean - xa_mean).max() < 0.05
