@@ -18,7 +18,9 @@ log = logging.getLogger("rene_tpu.native")
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "bvh_builder.cpp")
+_SRCS = [os.path.join(_REPO_ROOT, "native", f)
+         for f in ("bvh_builder.cpp", "piz_huf.cpp")]
+_SRC = _SRCS[0]
 _LIB = os.path.join(_REPO_ROOT, "native", "librene_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -26,7 +28,8 @@ _tried = False
 
 
 def _compile() -> bool:
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", _LIB]
+    cmd = (["g++", "-O3", "-fPIC", "-shared", "-std=c++17"] + _SRCS
+           + ["-o", _LIB])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -41,10 +44,11 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SRC):
+        if not all(os.path.exists(s) for s in _SRCS):
             return None
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                for s in _SRCS)):
             if not _compile():
                 return None
         try:
@@ -58,6 +62,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.rene_huf_decode.restype = ctypes.c_int32
+        lib.rene_huf_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
         ]
         _lib = lib
         return _lib
@@ -94,3 +103,20 @@ def native_build_bvh(tri_p: np.ndarray, leaf_size: int):
         return None
     return (aabb_min[:n_nodes], aabb_max[:n_nodes], left[:n_nodes],
             right[:n_nodes], is_leaf[:n_nodes].astype(bool), order)
+
+
+def native_huf_decode(data: bytes, n_out: int):
+    """PIZ canonical-Huffman decode via the C++ library; None if
+    unavailable, raises ValueError on a corrupt stream."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros(n_out, np.uint16)
+    rc = lib.rene_huf_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)), ctypes.c_int64(n_out),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"bad PIZ huffman stream (native rc={rc})")
+    return out

@@ -148,6 +148,10 @@ def _huf_unpack_lengths(br: _BitReader, im: int, iM: int) -> np.ndarray:
 
 
 def _huf_decode(data: bytes, n_out: int) -> np.ndarray:
+    from ...ops.native import native_huf_decode
+    out = native_huf_decode(data, n_out)
+    if out is not None:
+        return out
     im, iM, _table_len, n_bits, _room = struct.unpack("<5I", data[:20])
     br = _BitReader(data, 20)
     lens = _huf_unpack_lengths(br, im, iM)
