@@ -85,6 +85,13 @@ MESH_ROWS = 24  # 20 used rows padded to the f32 sublane tile (8) so the
 SUB_TRIS = 64   # measured best (32 was ~-5% @320x180 and -16% @720p)
 _PROFILE_SKIP_MT = False  # profiling knob: march boxes but skip the MT
                           # unrolls (isolates the box-sweep floor)
+MEMBER_FORI = True  # fori over a group's member clusters: ONE MT unroll
+                    # in the program instead of SUPER*N_SUB (unrolled box
+                    # tests collapse to scalar flags selected by the
+                    # traced member index). Measured: volpath+cluster
+                    # compile 1024s -> 62s, dragon 0.017 -> 0.015 s/spp,
+                    # teapot 0.152 -> 0.165 (the one small loss);
+                    # bit-identical images either way.
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
 # at lanes 0-5, member sub-block AABBs at 6+(g*n_sub+s)*6. The march
@@ -1015,22 +1022,56 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                         SUPER * CLUSTER)], scr, sem)
                     cp.start()
                     cp.wait()
+                if not MEMBER_FORI:
+                    for g in range(SUPER):
+                        if HBM_MESH:
+                            blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
+                        else:
+                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                                                CLUSTER)]
+                        for s in range(N_SUB):
+                            r_, lane = ROWLANE(g * N_SUB + s)
+                            enter_s = _box_enter_row(brow, r_, lane, ox, oy,
+                                                     oz, ix, iy, iz, tmin,
+                                                     carry[0])
+                            carry = jax.lax.cond(
+                                jnp.any(enter_s),
+                                functools.partial(_sub_closest, blk, s, ox,
+                                                  oy, oz, dx, dy, dz, tmin),
+                                lambda c_: c_, carry)
+                    return carry
+                # member fori: one MT unroll in the program instead of
+                # SUPER*N_SUB — the box tests stay unrolled (tiny code)
+                # and collapse to scalar any-lane flags selected by the
+                # traced member index
+                flags = []
                 for g in range(SUPER):
-                    if HBM_MESH:
-                        blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
-                    else:
-                        blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
-                                            CLUSTER)]
+                    eg = jnp.zeros(SHAPE, bool)
                     for s in range(N_SUB):
                         r_, lane = ROWLANE(g * N_SUB + s)
-                        enter_s = _box_enter_row(brow, r_, lane, ox, oy, oz,
+                        eg = eg | _box_enter_row(brow, r_, lane, ox, oy, oz,
                                                  ix, iy, iz, tmin, carry[0])
-                        carry = jax.lax.cond(
-                            jnp.any(enter_s),
-                            functools.partial(_sub_closest, blk, s, ox, oy,
-                                              oz, dx, dy, dz, tmin),
-                            lambda c_: c_, carry)
-                return carry
+                    flags.append(jnp.any(eg))
+
+                def member(g, carry):
+                    flag = flags[0]
+                    for k in range(1, SUPER):
+                        flag = jax.lax.select(g == k, flags[k], flag)
+
+                    def hit_blk(carry):
+                        if HBM_MESH:
+                            blk = scr[:, pl.ds(g * CLUSTER, CLUSTER)]
+                        else:
+                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                                                CLUSTER)]
+                        for s in range(N_SUB):
+                            carry = _sub_closest(blk, s, ox, oy, oz,
+                                                 dx, dy, dz, tmin, carry)
+                        return carry
+
+                    return jax.lax.cond(flag, hit_blk, lambda c_: c_, carry)
+
+                return jax.lax.fori_loop(0, SUPER, member, carry)
 
             return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
 
@@ -1060,22 +1101,53 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                         SUPER * CLUSTER)], scr, sem)
                     cp.start()
                     cp.wait()
+                if not MEMBER_FORI:
+                    for g in range(SUPER):
+                        if HBM_MESH:
+                            blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
+                        else:
+                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                                                CLUSTER)]
+                        for s in range(N_SUB):
+                            r_, lane = ROWLANE(g * N_SUB + s)
+                            enter_s = _box_enter_row(brow, r_, lane, ox, oy,
+                                                     oz, ix, iy, iz, tmin,
+                                                     tmax)
+                            hf = jax.lax.cond(
+                                jnp.any(enter_s & (hf < 0.5)),
+                                functools.partial(_sub_any, blk, s, ox, oy,
+                                                  oz, dx, dy, dz, tmin,
+                                                  tmax),
+                                lambda h: h, hf)
+                    return hf
+                flags = []
                 for g in range(SUPER):
-                    if HBM_MESH:
-                        blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
-                    else:
-                        blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
-                                            CLUSTER)]
+                    eg = jnp.zeros(SHAPE, bool)
                     for s in range(N_SUB):
                         r_, lane = ROWLANE(g * N_SUB + s)
-                        enter_s = _box_enter_row(brow, r_, lane, ox, oy, oz,
+                        eg = eg | _box_enter_row(brow, r_, lane, ox, oy, oz,
                                                  ix, iy, iz, tmin, tmax)
-                        hf = jax.lax.cond(
-                            jnp.any(enter_s & (hf < 0.5)),
-                            functools.partial(_sub_any, blk, s, ox, oy, oz,
-                                              dx, dy, dz, tmin, tmax),
-                            lambda h: h, hf)
-                return hf
+                    flags.append(jnp.any(eg & (hf < 0.5)))
+
+                def member(g, hf):
+                    flag = flags[0]
+                    for k in range(1, SUPER):
+                        flag = jax.lax.select(g == k, flags[k], flag)
+
+                    def hit_blk(hf):
+                        if HBM_MESH:
+                            blk = scr[:, pl.ds(g * CLUSTER, CLUSTER)]
+                        else:
+                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                                                CLUSTER)]
+                        for s in range(N_SUB):
+                            hf = _sub_any(blk, s, ox, oy, oz, dx, dy, dz,
+                                          tmin, tmax, hf)
+                        return hf
+
+                    return jax.lax.cond(flag, hit_blk, lambda h: h, hf)
+
+                return jax.lax.fori_loop(0, SUPER, member, hf)
 
             return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
                                 lambda h: h, hf)
