@@ -83,14 +83,62 @@ class UNetDenoiser:
         import flax.linen as nn
         import jax.numpy as jnp
 
+        class Conv3(nn.Module):
+            """3x3 SAME conv as 9 shifted matmuls. The TPU runtime here
+            executes XLA convolution ops ~100x below matmul rate (a
+            1024^2 film cost ~80 s through nn.Conv); dot_general runs at
+            full MXU rate. Parameter names/shapes match nn.Conv, so
+            weights trained either way stay loadable."""
+            ch: int
+
+            @nn.compact
+            def __call__(self, x):
+                cin = x.shape[-1]
+                k = self.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    (3, 3, cin, self.ch))
+                b = self.param("bias", nn.initializers.zeros, (self.ch,))
+                h, w = x.shape[1], x.shape[2]
+                xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                out = None
+                for dy in range(3):
+                    for dx in range(3):
+                        t = jnp.einsum("bhwc,co->bhwo",
+                                       xp[:, dy:dy + h, dx:dx + w, :],
+                                       k[dy, dx])
+                        out = t if out is None else out + t
+                return out + b
+
+        class ConvZero(Conv3):
+            """Conv3 with a zero-init kernel (the residual head)."""
+
+            @nn.compact
+            def __call__(self, x):
+                cin = x.shape[-1]
+                k = self.param("kernel", nn.initializers.zeros,
+                               (3, 3, cin, self.ch))
+                b = self.param("bias", nn.initializers.zeros, (self.ch,))
+                h, w = x.shape[1], x.shape[2]
+                xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                out = None
+                for dy in range(3):
+                    for dx in range(3):
+                        t = jnp.einsum("bhwc,co->bhwo",
+                                       xp[:, dy:dy + h, dx:dx + w, :],
+                                       k[dy, dx])
+                        out = t if out is None else out + t
+                return out + b
+
         class Block(nn.Module):
             ch: int
 
             @nn.compact
             def __call__(self, x):
-                x = nn.Conv(self.ch, (3, 3), padding="SAME")(x)
+                # explicit nn.Conv-style names keep the param pytree
+                # compatible with weights trained under nn.Conv
+                x = Conv3(self.ch, name="Conv_0")(x)
                 x = nn.silu(x)
-                x = nn.Conv(self.ch, (3, 3), padding="SAME")(x)
+                x = Conv3(self.ch, name="Conv_1")(x)
                 return nn.silu(x)
 
         class UNet(nn.Module):
@@ -112,8 +160,7 @@ class UNetDenoiser:
                     h = h[:, :sh[1], :sh[2]]
                     h = jnp.concatenate([h, skips[l]], axis=-1)
                     h = Block(self.feats << l)(h)
-                return nn.Conv(3, (3, 3), padding="SAME",
-                               kernel_init=nn.initializers.zeros)(h)
+                return ConvZero(3, name="Conv_0")(h)
 
         self.module = UNet(features, levels)
         self.features = features
