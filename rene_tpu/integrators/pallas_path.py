@@ -80,8 +80,12 @@ HBM_MIN_TRIS = 1 << 17
 # host-side source the table is packed from.
 ROW_V0, ROW_E1, ROW_E2, ROW_MID = 0, 3, 6, 9
 ROW_N0, ROW_D1, ROW_D2, ROW_BOX = 10, 13, 16, 19
+ROW_UV0, ROW_DUV1, ROW_DUV2 = 20, 22, 24  # (u,v) pairs, only present
+                                          # when a mesh material needs
+                                          # per-hit uv (mesh_rows == 32)
 MESH_ROWS = 24  # 20 used rows padded to the f32 sublane tile (8) so the
-                # HBM DMA's row slice stays tile-aligned
+                # HBM DMA's row slice stays tile-aligned; 32 with uv rows
+MESH_ROWS_UV = 32
 SUB_TRIS = 64   # measured best (32 was ~-5% @320x180 and -16% @720p)
 _PROFILE_SKIP_MT = False  # profiling knob: march boxes but skip the MT
                           # unrolls (isolates the box-sweep floor)
@@ -325,14 +329,29 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
 
 
 def _immediate_tri_mask(buffers_np) -> np.ndarray:
-    """(T,) bool: tris that must stay baked immediates (emissive, or a
-    material needing per-hit uv) when the scene uses the cluster table."""
+    """(T,) bool: tris that stay baked immediates when the scene uses
+    the cluster table. Emissive tris always do. Tris whose material
+    needs per-hit uv (checker/imagemap Kd) stay immediates too while
+    they fit under MAX_TRIS — the immediates path is faster and keeps
+    the mesh table at 24 rows; only when they don't fit do they drop
+    into the cluster table, which then carries uv rows (32-row mode)."""
     em = _emissive_tri_mask(buffers_np)
     n_mats = buffers_np["mat_type"].shape[0]
     solid = np.array([_mat_solid_only(buffers_np, m)
                       for m in range(n_mats)], bool)
     tri_mat = buffers_np["inst_material"][buffers_np["tri_inst"]]
-    return em | ~solid[tri_mat]
+    with_tex = em | ~solid[tri_mat]
+    if int(with_tex.sum()) <= MAX_TRIS:
+        return with_tex
+    return em
+
+
+def _mesh_needs_uv(buffers_np, mesh_idx: np.ndarray) -> bool:
+    """True when any cluster-table triangle's material carries a non-solid
+    Kd descriptor (checker/imagemap/scale), i.e. the table needs uv rows."""
+    mats = set(buffers_np["inst_material"][
+        buffers_np["tri_inst"][mesh_idx]].tolist())
+    return not all(_mat_solid_only(buffers_np, int(m)) for m in mats)
 
 
 def _remap_rough(r: float) -> float:
@@ -454,6 +473,9 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     """
     p = buffers_np["tri_p"][mesh_idx].astype(np.float64)   # (M,3,3)
     n = buffers_np["tri_n"][mesh_idx].astype(np.float64)
+    needs_uv = _mesh_needs_uv(buffers_np, mesh_idx)
+    mesh_rows = MESH_ROWS_UV if needs_uv else MESH_ROWS
+    uv = buffers_np["tri_uv"][mesh_idx].astype(np.float64)  # (M,3,2)
     # material slot = unique (material row, interior medium, exterior
     # medium) triple, so volpath medium-interface tracking works for
     # cluster hits too
@@ -474,7 +496,7 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     ext = np.maximum(c.max(axis=0) - lo_all, 1e-12)
     g = np.clip(((c - lo_all) / ext * 1023.0), 0, 1023).astype(np.uint64)
     order = np.argsort(_morton3(g[:, 0], g[:, 1], g[:, 2]), kind="stable")
-    p, n, inv = p[order], n[order], inv[order]
+    p, n, inv, uv = p[order], n[order], inv[order], uv[order]
 
     m = p.shape[0]
     n_clusters = (m + CLUSTER - 1) // CLUSTER
@@ -482,7 +504,7 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     # blocks carry inverted AABBs and degenerate triangles)
     n_clusters = ((n_clusters + SUPER - 1) // SUPER) * SUPER
     slots = n_clusters * CLUSTER
-    geom = np.zeros((MESH_ROWS, slots), np.float32)
+    geom = np.zeros((mesh_rows, slots), np.float32)
     v0, v1, v2 = p[:, 0], p[:, 1], p[:, 2]
     geom[ROW_V0:ROW_V0 + 3, :m] = v0.T
     geom[ROW_E1:ROW_E1 + 3, :m] = (v1 - v0).T
@@ -491,6 +513,10 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     geom[ROW_N0:ROW_N0 + 3, :m] = n[:, 0].T
     geom[ROW_D1:ROW_D1 + 3, :m] = (n[:, 1] - n[:, 0]).T
     geom[ROW_D2:ROW_D2 + 3, :m] = (n[:, 2] - n[:, 0]).T
+    if needs_uv:
+        geom[ROW_UV0:ROW_UV0 + 2, :m] = uv[:, 0].T
+        geom[ROW_DUV1:ROW_DUV1 + 2, :m] = (uv[:, 1] - uv[:, 0]).T
+        geom[ROW_DUV2:ROW_DUV2 + 2, :m] = (uv[:, 2] - uv[:, 0]).T
     # per-sub-block AABBs in lanes s*6..s*6+5 of ROW_BOX
     n_sub, sub = _sub_split(CLUSTER)
     tlo = np.full((slots, 3), 3e38, np.float32)
@@ -516,8 +542,8 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     gctr = 0.5 * (glo + ghi)
     gorder = np.argsort(((gctr - cam) ** 2).sum(axis=1), kind="stable")
     geom = np.ascontiguousarray(
-        geom.reshape(MESH_ROWS, n_super, SUPER * CLUSTER)[:, gorder, :]
-        .reshape(MESH_ROWS, slots))
+        geom.reshape(mesh_rows, n_super, SUPER * CLUSTER)[:, gorder, :]
+        .reshape(mesh_rows, slots))
     # member clusters front-to-back within each group too (also
     # correctness-neutral): early member hits shrink t_best for the rest
     # of the group's unrolled marches
@@ -528,8 +554,8 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     morder = np.argsort(cdist, axis=1, kind="stable")
     flat = (np.arange(n_super)[:, None] * SUPER + morder).reshape(-1)
     geom = np.ascontiguousarray(
-        geom.reshape(MESH_ROWS, n_clusters, CLUSTER)[:, flat, :]
-        .reshape(MESH_ROWS, slots))
+        geom.reshape(mesh_rows, n_clusters, CLUSTER)[:, flat, :]
+        .reshape(mesh_rows, slots))
     box = geom[ROW_BOX].reshape(n_clusters, CLUSTER)
     box[::SUPER, sup_lane:sup_lane + 3] = glo[gorder]
     box[::SUPER, sup_lane + 3:sup_lane + 6] = ghi[gorder]
@@ -690,6 +716,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             resolve(rec)
         for rec in spheres:
             resolve(rec)
+        for rec in (mesh_mats or []):
+            resolve(rec)
 
     # miss radiance = texture(background) * background_color; a solid
     # texture folds into the constant, an imagemap is fetched per miss
@@ -776,13 +804,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
     MATSET = {r["mat_type"] for r in _all_recs}
     HAS_UBER = T.MAT_UBER in MATSET
     HAS_IMG = ps.img_table is not None
+    HAS_MESH_UV = any(r.get("tex", ("solid",))[0] != "solid"
+                      for r in (ps.mesh_mats or []))
     HAS_IMG_MATS = any(r.get("tex", ("solid",))[0] == "image"
-                       for r in ps.tris + ps.spheres)
+                       for r in ps.tris + ps.spheres
+                       + (ps.mesh_mats or []))
     BG_IMG = ps.bg_img
     NPAGES = (ps.img_rows // IMG_PAGE) if HAS_IMG else 0
     IMG_ROWS = ps.img_rows
     # static page ranges per fetch site
     _kd_imgs = [r["tex"] for r in ps.tris + ps.spheres
+                + (ps.mesh_mats or [])
                 if r.get("tex", ("solid",))[0] == "image"]
     if _kd_imgs:
         KD_PMIN = min(t[1] for t in _kd_imgs) // IMG_PAGE
@@ -970,10 +1002,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
     def _sub_closest(blk, s, ox, oy, oz, dx, dy, dz, tmin, carry):
         """Unrolled MT closest-hit over sub-block s of a loaded cluster
-        block; carry = (t_best, nx, ny, nz, matid)."""
+        block; carry = (t_best, nx, ny, nz, matid[, u, v])."""
         if _PROFILE_SKIP_MT:
             return carry
-        t_b, nx, ny, nz, mid = carry
+        if HAS_MESH_UV:
+            t_b, nx, ny, nz, mid, mu, mv = carry
+        else:
+            t_b, nx, ny, nz, mid = carry
         for k in range(s * SUB, (s + 1) * SUB):
             t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
             ok = okg & (t >= tmin) & (t < t_b)
@@ -985,6 +1020,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             nz = jnp.where(ok, blk[ROW_N0 + 2, k] + u * blk[ROW_D1 + 2, k]
                            + v * blk[ROW_D2 + 2, k], nz)
             mid = jnp.where(ok, blk[ROW_MID, k], mid)
+            if HAS_MESH_UV:
+                mu = jnp.where(ok, blk[ROW_UV0, k]
+                               + u * blk[ROW_DUV1, k]
+                               + v * blk[ROW_DUV2, k], mu)
+                mv = jnp.where(ok, blk[ROW_UV0 + 1, k]
+                               + u * blk[ROW_DUV1 + 1, k]
+                               + v * blk[ROW_DUV2 + 1, k], mv)
+        if HAS_MESH_UV:
+            return (t_b, nx, ny, nz, mid, mu, mv)
         return (t_b, nx, ny, nz, mid)
 
     def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf):
@@ -1075,8 +1119,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
 
             return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
 
-        return jax.lax.fori_loop(
-            0, NSUP, sup_body, (t_init, zero, zero, zero, zero - 1.0))
+        init = (t_init, zero, zero, zero, zero - 1.0)
+        if HAS_MESH_UV:
+            init = init + (zero, zero)
+        return jax.lax.fori_loop(0, NSUP, sup_body, init)
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit0):
         """Any-hit over all clusters; skips groups/clusters once a lane
@@ -1317,8 +1363,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 attr[key] = jnp.where(ok, val, attr[key])
 
         if NC:
-            tm, mnx, mny, mnz, mid = mesh_closest(
-                mref, ox, oy, oz, dx, dy, dz, tmin, t_best)
+            mres = mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, t_best)
+            tm, mnx, mny, mnz, mid = mres[:5]
+            if HAS_MESH_UV:
+                mu, mv = mres[5], mres[6]
             win = tm < t_best
             t_best = jnp.where(win, tm, t_best)
             attr["nx"] = jnp.where(win, mnx, attr["nx"])
@@ -1328,8 +1376,19 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                 attr[key] = jnp.where(win, 0.0, attr[key])
             for mi, rec in enumerate(ps.mesh_mats):
                 sel = win & (mid == float(mi))
-                vals = {"abr": rec["albedo"][0], "abg": rec["albedo"][1],
-                        "abb": rec["albedo"][2],
+                tex = rec.get("tex", ("solid",))
+                if tex[0] == "checker":
+                    # checker Kd from the table's interpolated uv
+                    xs = mu * tex[1]
+                    ys = mv * tex[2]
+                    even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
+                            == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
+                    ab_r = jnp.where(even, tex[3][0], tex[4][0])
+                    ab_g = jnp.where(even, tex[3][1], tex[4][1])
+                    ab_b = jnp.where(even, tex[3][2], tex[4][2])
+                else:
+                    ab_r, ab_g, ab_b = rec["albedo"]
+                vals = {"abr": ab_r, "abg": ab_g, "abb": ab_b,
                         "etar": rec["eta"][0], "etag": rec["eta"][1],
                         "etab": rec["eta"][2],
                         "kr": rec["k"][0], "kg": rec["k"][1],
@@ -1346,7 +1405,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                 ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                                 ktb=rec["kt2"][2])
                 if HAS_IMG_MATS:
-                    vals["kdb"] = -1.0  # cluster materials are solid-only
+                    img = tex[0] == "image"
+                    vals.update(
+                        kdb=float(tex[1]) if img else -1.0,
+                        kdw=float(tex[2]) if img else 0.0,
+                        kdh=float(tex[3]) if img else 0.0)
+                    if HAS_MESH_UV:
+                        vals["u"] = mu
+                        vals["v"] = mv
                 for key, val in vals.items():
                     attr[key] = jnp.where(sel, val, attr[key])
 
@@ -2833,7 +2899,8 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                       pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)]
         mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
-        scratch_shapes = [pltpu.VMEM((MESH_ROWS, SUPER * CLUSTER),
+        scratch_shapes = [pltpu.VMEM((ps.mesh_geom.shape[0],
+                                      SUPER * CLUSTER),
                                      jnp.float32),
                           pltpu.SemaphoreType.DMA]
     elif ps.n_clusters:

@@ -293,3 +293,107 @@ def test_volpath_cluster_matches_xla(monkeypatch):
     xla = render(scene, spp=24, seed=9, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+
+
+def textured_mesh_scene(tmp_path=None, image=False):
+    """Big mesh whose matte Kd is a checker (or imagemap) — per-hit uv
+    must come from the cluster table's uv rows."""
+    verts, idx = uv_sphere()
+    # spherical uvs per vertex (nu x (nv+1) grid)
+    nu, nv = 24, 14
+    uvs = []
+    for j in range(nv + 1):
+        for i in range(nu):
+            uvs.append((i / nu, j / nv))
+    p = " ".join(f"{x:.5f} {y:.5f} {z:.5f}" for x, y, z in verts)
+    i_s = " ".join(map(str, idx))
+    uv_s = " ".join(f"{u:.5f} {v:.5f}" for u, v in uvs)
+    if image:
+        import numpy as np_
+        tex = np_.zeros((8, 16, 3), np_.float32)
+        tex[..., 0] = np_.linspace(0.1, 0.9, 16)[None, :]
+        tex[..., 1] = 0.35
+        tex[..., 2] = np_.linspace(0.8, 0.1, 8)[:, None]
+        with open(tmp_path / "kd.pfm", "wb") as f:
+            f.write(b"PF\n16 8\n-1.0\n")
+            f.write(tex[::-1].astype("<f4").tobytes())
+        kd = ('Texture "kdmap" "spectrum" "imagemap" '
+              '"string filename" "kd.pfm"\n'
+              'Material "matte" "texture Kd" ["kdmap"]')
+    else:
+        kd = ('Texture "chk" "spectrum" "checkerboard" "float uscale" [6]'
+              ' "float vscale" [3] "rgb tex1" [0.8 0.2 0.2]'
+              ' "rgb tex2" [0.2 0.2 0.8]\n'
+              'Material "matte" "texture Kd" ["chk"]')
+    txt = f"""
+Integrator "path" "integer maxdepth" [5]
+LookAt 0 1.2 -3.2  0 0.6 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [24] "integer yresolution" [16]
+WorldBegin
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [12 11 9]
+  Shape "trianglemesh" "point P" [ -0.7 2.2 -0.7  0.7 2.2 -0.7  0.7 2.2 0.7
+    -0.7 2.2 0.7 ] "integer indices" [ 0 1 2 0 2 3 ]
+AttributeEnd
+{kd}
+Shape "trianglemesh" "point P" [ {p} ] "integer indices" [ {i_s} ]
+  "float uv" [ {uv_s} ]
+Material "matte" "rgb Kd" [0.5 0.5 0.5]
+Shape "trianglemesh" "point P" [ -6 0 -6  6 0 -6  6 0 6  -6 0 6 ]
+  "integer indices" [ 0 1 2 0 2 3 ]
+WorldEnd
+"""
+    base = str(tmp_path) if tmp_path is not None else "."
+    return create_scene(parse_pbrt(txt), base)
+
+
+def test_textured_cluster_packing():
+    scene = textured_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    assert cfg.num_triangles > pp.MAX_TRIS
+    assert pp.pallas_eligible(bn, cfg)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.mesh_geom.shape[0] == pp.MESH_ROWS_UV
+    assert any(r.get("tex", ("solid",))[0] == "checker"
+               for r in ps.mesh_mats)
+
+
+@pytest.mark.slow
+def test_checker_cluster_matches_xla(monkeypatch):
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = textured_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(5, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=7, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+    # checker albedo AOV is deterministic
+    a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
+    xa_mean = xla["albedo"].mean(axis=(0, 1))
+    assert np.abs(a_mean - xa_mean).max() < 0.05
+
+
+@pytest.mark.slow
+def test_imagemap_cluster_matches_xla(monkeypatch, tmp_path):
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = textured_mesh_scene(tmp_path, image=True)
+    bn, cfg = build_device_scene(scene)
+    assert pp.pallas_eligible(bn, cfg)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(5, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=7, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+    a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
+    xa_mean = xla["albedo"].mean(axis=(0, 1))
+    assert np.abs(a_mean - xa_mean).max() < 0.05
