@@ -397,3 +397,28 @@ def test_imagemap_cluster_matches_xla(monkeypatch, tmp_path):
     a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
     xa_mean = xla["albedo"].mean(axis=(0, 1))
     assert np.abs(a_mean - xa_mean).max() < 0.05
+
+
+@pytest.mark.slow
+def test_hbm_textured_cluster_matches_xla(monkeypatch, tmp_path):
+    """HBM streaming + uv rows + imagemap Kd together: the 32-row table
+    DMA stays tile-aligned and the fetch matches XLA."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    scene = textured_mesh_scene(tmp_path, image=True)
+    bn, cfg = build_device_scene(scene)
+    assert pp.pallas_eligible(bn, cfg)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.mesh_hbm and ps.mesh_geom.shape[0] == pp.MESH_ROWS_UV
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(5, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=7, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+    a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
+    xa_mean = xla["albedo"].mean(axis=(0, 1))
+    assert np.abs(a_mean - xa_mean).max() < 0.05
