@@ -64,10 +64,46 @@ def render_sample_sharded(mesh, config, accel=None, axis: str = "spp"):
     return jax.jit(fn)
 
 
+def render_tiles_sharded(mesh, config, accel=None, axis: str = "spp"):
+    """Build the jitted pixel-sharded step (film-tile parallelism).
+
+    The ray batch is split across the mesh's devices — each chip traces
+    its own pixel shard of the SAME sample — and the sharded films are
+    reassembled by the sharding layer. Sample-DP (`render_sample_sharded`)
+    scales samples/second; this scales single-sample latency, the better
+    axis when frames are large and spp targets small. The ray-batch
+    length must divide the device count (the driver pads)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if config.integrator == "volpath":
+        from ..integrators.volpath import render_sample
+    else:
+        from ..integrators.path import render_sample
+
+    def per_device(buffers, px, py, seed):
+        out = render_sample(buffers, config, px, py, seed, accel=accel)
+        out["rays"] = jax.lax.psum(out["rays"], axis)
+        return out
+
+    sh = P(axis)
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), sh, sh, P()),
+        out_specs={"radiance": sh, "normal": sh, "albedo": sh,
+                   "rays": P()},
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
-                     tile_rays: int = 1 << 18):
-    """Full multi-chip render driver: like rene_tpu.render.render but each
-    host step produces `n_devices` samples."""
+                     tile_rays: int = 1 << 18, mode: str = "samples"):
+    """Full multi-chip render driver: like rene_tpu.render.render but
+    parallelized over the mesh. mode="samples": each chip traces the
+    whole frame at its own sample (spp throughput scales). mode="tiles":
+    each chip traces a pixel shard of the same sample (per-sample
+    latency scales)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -84,16 +120,26 @@ def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
     from ..ops.accel import make_accel
     accel = make_accel(buffers_np, config)
 
-    run = render_sample_sharded(mesh, config, accel=accel)
+    if mode == "tiles":
+        run = render_tiles_sharded(mesh, config, accel=accel)
+    elif mode == "samples":
+        run = render_sample_sharded(mesh, config, accel=accel)
+    else:
+        raise ValueError(f"unknown multichip mode {mode!r} "
+                         "(expected 'samples' or 'tiles')")
 
     w = config.film.xresolution
     h = config.film.yresolution
     n = w * h
     ys, xs = np.mgrid[0:h, 0:w]
-    px = jnp.asarray(xs.reshape(-1).astype(np.int32))
-    py = jnp.asarray(ys.reshape(-1).astype(np.int32))
+    px_all = xs.reshape(-1).astype(np.int32)
+    py_all = ys.reshape(-1).astype(np.int32)
+    # tile mode: every device call's batch must divide the mesh; pad with
+    # clamped repeats of the last pixel (their results are dropped)
+    tile_rays = (tile_rays + ndev - 1) // ndev * ndev
 
-    steps = max(1, (spp + ndev - 1) // ndev)
+    steps = (max(1, (spp + ndev - 1) // ndev) if mode == "samples"
+             else max(1, spp))
     host_rng = np.random.default_rng(seed)
     accum = {k: np.zeros((n, 3), np.float32)
              for k in ("radiance", "normal", "albedo")}
@@ -102,15 +148,22 @@ def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
         s = np.uint32(host_rng.integers(0, 2 ** 32, dtype=np.uint32))
         for lo in range(0, n, tile_rays):
             hi = min(lo + tile_rays, n)
-            out = run(buffers, px[lo:hi], py[lo:hi], jnp.uint32(s))
+            px = px_all[lo:hi]
+            py = py_all[lo:hi]
+            pad = (-len(px)) % ndev
+            if pad and mode == "tiles":
+                px = np.concatenate([px, np.repeat(px[-1:], pad)])
+                py = np.concatenate([py, np.repeat(py[-1:], pad)])
+            out = run(buffers, jnp.asarray(px), jnp.asarray(py),
+                      jnp.uint32(s))
             for k in accum:
-                accum[k][lo:hi] += np.asarray(out[k])
+                accum[k][lo:hi] += np.asarray(out[k])[:hi - lo]
             total_rays += float(out["rays"])
     return {
         "color": rays_to_image(accum["radiance"] / steps, w, h),
         "normal": rays_to_image(accum["normal"] / steps, w, h),
         "albedo": rays_to_image(accum["albedo"] / steps, w, h),
         "total_rays": total_rays,
-        "effective_spp": steps * ndev,
+        "effective_spp": steps * (ndev if mode == "samples" else 1),
         "config": config,
     }
