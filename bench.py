@@ -87,13 +87,49 @@ def main():
         dt = time.time() - t0
 
     mrays = total_rays / dt / 1e6
-    print(json.dumps({
+    result = {
         "metric": f"Mrays/s cornell-box @{res}x{res} "
                   f"({jax.devices()[0].platform}/{engine})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-    }))
+    }
+
+    # second metric: big-mesh cluster-march throughput (the round-2/3
+    # optimization target regresses invisibly on cornell alone). Dragon
+    # @320x180 marginal s/spp, TPU only (interpret mode would crawl).
+    cl_path = os.environ.get(
+        "RENE_BENCH_CLUSTER_SCENE",
+        "/root/reference/sample_scenes/dragon/scene.pbrt")
+    if (os.environ.get("RENE_BENCH_CLUSTER", "1") != "0"
+            and jax.devices()[0].platform == "tpu"
+            and os.path.exists(cl_path)):
+        try:
+            from rene_tpu.integrators.pallas_path import \
+                make_pallas_batch_fn
+            cscene = load_scene(cl_path)
+            cscene.set_film_resolution(320, 180)
+            cbn, cconfig = build_device_scene(cscene)
+            crun = make_pallas_batch_fn(cbn, cconfig)
+            if crun is not None:
+                k1, k2 = 2, 6
+                np.asarray(crun(0, k1)["radiance"])  # compile + warm
+                t0 = time.time()
+                float(crun(1, k1)["rays"])
+                t1 = time.time()
+                float(crun(2, k2)["rays"])
+                t2 = time.time()
+                marginal = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+                result["extra"] = {
+                    "metric": "s/spp dragon @320x180 (pallas cluster, "
+                              "marginal)",
+                    "value": round(marginal, 4),
+                    "unit": "s/spp",
+                }
+        except Exception as e:  # never break the primary metric
+            result["extra"] = {"error": f"cluster bench failed: {e}"}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

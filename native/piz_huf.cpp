@@ -127,6 +127,10 @@ extern "C" int rene_huf_decode(const uint8_t* data, int64_t len,
         int l;
         if (s >= 0) {
             l = flen[peek];
+            // truncated stream: the zero-padded peek matched a code
+            // longer than the bits actually available; consuming it
+            // would drive nacc negative (UB in the shifts below)
+            if (nacc < l) return 4;
         } else {
             l = -1;
             for (int ll = kDecBits + 1; ll <= kMaxLen; ++ll) {

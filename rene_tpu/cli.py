@@ -4,7 +4,9 @@ Mirrors the reference CLI (rene/src/main.rs:47-71): positional pbrt scene,
 `--aov-normal`, `--aov-albedo`, `--denoiser`, `--dump-module` — plus the
 knobs the reference hardcodes (SURVEY.md §5 config table): `--spp`
 (reference N_SAMPLES=5000), `--seed`, `--tile-rays`, `--checkpoint/--resume`,
-`--output` override, `--devices` for multi-chip sample sharding.
+`--output` override, `--devices N --multichip-mode {samples,tiles}` for
+multi-chip rendering, and `--warm-cache` to pre-compile a scene's kernels
+into the persistent JAX compilation cache.
 """
 from __future__ import annotations
 
@@ -44,15 +46,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if present")
     p.add_argument("--bvh", choices=["auto", "on", "off"], default="auto")
-    p.add_argument("--engine", choices=["auto", "pallas", "xla"],
+    p.add_argument("--engine", choices=["auto", "pallas", "wave", "xla"],
                    default="auto",
-                   help="auto: pallas megakernel on TPU for eligible "
-                        "scenes, XLA wavefront otherwise")
+                   help="auto: pallas on TPU for eligible scenes (the "
+                        "wavefront engine for big-mesh scenes, the "
+                        "megakernel otherwise), XLA wavefront fallback; "
+                        "pallas/wave force an engine")
     p.add_argument("--color-space", choices=["linear", "srgb",
                                              "srgb-lights"],
                    default="linear",
                    help="rgb value interpretation; srgb-lights matches the "
                         "shipped Tungsten goldens")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="render across N chips of the device mesh "
+                        "(sharded pallas megakernel for eligible scenes, "
+                        "psum film reduction over ICI)")
+    p.add_argument("--multichip-mode", choices=["samples", "tiles"],
+                   default="samples",
+                   help="samples: each chip traces the frame at its own "
+                        "sample (spp throughput scales); tiles: chips "
+                        "split the frame (per-sample latency scales)")
+    p.add_argument("--warm-cache", action="store_true",
+                   help="compile the scene's render kernels (populating "
+                        "the persistent JAX compilation cache) and exit "
+                        "without rendering")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -92,12 +109,41 @@ def main(argv=None) -> int:
         print(lowered.as_text())
         return 0
 
+    if args.warm_cache:
+        import jax
+        t = time.time()
+        from .render import warm_cache
+        n_kernels = warm_cache(scene, engine=args.engine)
+        log.info("warmed %d kernel(s) in %.1fs (cache: %s)", n_kernels,
+                 time.time() - t,
+                 os.environ.get("JAX_COMPILATION_CACHE_DIR", "<unset>"))
+        return 0
+
     from .render import DEFAULT_SPP, render
     spp = args.spp if args.spp is not None else DEFAULT_SPP
     use_bvh = {"auto": None, "on": True, "off": False}[args.bvh]
-    out = render(scene, spp=spp, seed=args.seed, tile_rays=args.tile_rays,
-                 checkpoint=args.checkpoint, resume=args.resume,
-                 use_bvh=use_bvh, engine=args.engine)
+    if args.devices > 1:
+        import jax
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            log.error("--devices %d requested but only %d present",
+                      args.devices, len(devs))
+            return 1
+        from .parallel.shard import make_mesh, render_multichip
+        mesh = make_mesh(devs[:args.devices])
+        t_mc = time.time()
+        out = render_multichip(scene, spp=spp, seed=args.seed, mesh=mesh,
+                               tile_rays=args.tile_rays,
+                               mode=args.multichip_mode,
+                               engine=args.engine)
+        out["wall_time"] = time.time() - t_mc
+        log.info("multichip: %d devices, mode=%s, effective spp %d",
+                 args.devices, args.multichip_mode, out["effective_spp"])
+    else:
+        out = render(scene, spp=spp, seed=args.seed,
+                     tile_rays=args.tile_rays,
+                     checkpoint=args.checkpoint, resume=args.resume,
+                     use_bvh=use_bvh, engine=args.engine)
 
     color = out["color"]
     if args.denoiser != "none":

@@ -64,17 +64,24 @@ def sample_emit_object(buffers, config, position: V3, state):
 
     tri_dir = (tri_pt - position).normalized()
     if config.num_emit_spheres > 0:
-        # sphere: uniform direction within the visible cone
+        # sphere: uniform direction within the visible cone; radius from
+        # the o2w column norms (rotation-safe), and a uniform-sphere
+        # fallback when the shading point is inside the emitter (where
+        # cos_max clamps to 0 and the cone density would be wrong)
         import math
         m = jnp.take(buffers["eo_matrixT"], eo, axis=1)
         center = V3(m[3], m[7], m[11])
-        radius = (jnp.abs(m[0]) + jnp.abs(m[5]) + jnp.abs(m[10])) / 3.0
+        radius = (jnp.sqrt(m[0] ** 2 + m[4] ** 2 + m[8] ** 2)
+                  + jnp.sqrt(m[1] ** 2 + m[5] ** 2 + m[9] ** 2)
+                  + jnp.sqrt(m[2] ** 2 + m[6] ** 2 + m[10] ** 2)) / 3.0
         to_c = center - position
         d2 = jnp.maximum(to_c.dot(to_c), 1e-12)
         cos_max = jnp.sqrt(jnp.maximum(1.0 - radius * radius / d2, 0.0))
+        inside = d2 <= radius * radius
         u1, state = rng.next_f32(state)
         u2, state = rng.next_f32(state)
-        cos_t = 1.0 - u1 * (1.0 - cos_max)
+        cos_t = jnp.where(inside, 1.0 - 2.0 * u1,
+                          1.0 - u1 * (1.0 - cos_max))
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
         phi = 2.0 * math.pi * u2
         onb = v3.Onb.from_w(to_c.normalized())

@@ -25,8 +25,8 @@ Design:
 
 Eligibility (`pallas_eligible`): path or volpath integrator, all 8
 reference materials (the Kd slot of matte/substrate/plastic/uber may be
-checker/imagemap/scale), <=8 spheres, <=4 distant lights, solid or
-image-mapped background. Scenes up
+checker/imagemap/scale), <=MAX_SPHERES spheres, <=MAX_LIGHTS distant
+lights, solid or image-mapped background. Scenes up
 to MAX_TRIS triangles are fully baked as immediates; bigger scenes (e.g.
 teapot/dragon) keep emissive/per-hit-uv tris as immediates and march the
 rest through a VMEM cluster table gated by a compact box table; meshes
@@ -47,7 +47,8 @@ from ..scene import types as T
 from ..scene.device import RenderConfig
 
 MAX_TRIS = 512
-MAX_SPHERES = 8
+MAX_SPHERES = 64       # unrolled per-sphere tests; baked immediates
+MAX_LIGHTS = 16        # unrolled distant-light NEE loops
 TILE_SUB = 64          # ray tile = (TILE_SUB, 128) lanes
 TILE = TILE_SUB * 128
 MESH_TILE_SUB = 8      # smaller tiles for cluster scenes: tighter ray beams
@@ -96,6 +97,17 @@ MEMBER_FORI = True  # fori over a group's member clusters: ONE MT unroll
                     # compile 1024s -> 62s, dragon 0.017 -> 0.015 s/spp,
                     # teapot 0.152 -> 0.165 (the one small loss);
                     # bit-identical images either way.
+# -- wavefront engine ray-state layout (see pallas_wave.py) -----------------
+# One (W_NROWS, N) f32 array carries every in-flight ray; the host sorts
+# lanes by direction-octant x origin-cell between k-bounce kernel launches
+# so tiles re-enter the cluster march with coherent rays.
+WROW_O, WROW_D, WROW_C, WROW_R = 0, 3, 6, 9    # origin, dir, throughput,
+                                               # accumulated radiance
+WROW_AN, WROW_AA = 12, 15                      # AOV normal / albedo
+WROW_ALIVE, WROW_RAYS, WROW_LANE = 18, 19, 20
+W_NROWS = 21
+DEAD_ORIGIN = 1e30  # dead lanes park here: outside every AABB, so they
+                    # never enter a box and add no MT-unroll work
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
 # at lanes 0-5, member sub-block AABBs at 6+(g*n_sub+s)*6. The march
@@ -293,7 +305,7 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
         return False
     if config.num_spheres > MAX_SPHERES:
         return False
-    if config.num_lights > 4:
+    if config.num_lights > MAX_LIGHTS:
         return False
     # miss shader (lib.rs:120-139) = texture(background_matrix*dir) *
     # background_color: a solid texture folds into a constant, an imagemap
@@ -303,11 +315,17 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
                                                    T.TEX_IMAGEMAP):
         return False
     # VMEM budget for the image atlas (coexists with the cluster table;
-    # HBM-streamed meshes leave VMEM free for the full budget)
+    # HBM-streamed meshes leave VMEM free for the full budget). The cap
+    # is keyed off the NON-IMMEDIATE triangle count — the same quantity
+    # pack_scene's mesh_hbm switch uses — so a scene whose cluster table
+    # is VMEM-resident never gets the full image budget.
     imgs = _kernel_images(buffers_np, config)
     texels = sum(_image_rows(buffers_np, i) for i in imgs) * 128
-    cap = (MAX_IMG_TEXELS_CLUSTER
-           if MAX_TRIS < config.num_triangles <= HBM_MIN_TRIS
+    n_mesh = 0
+    if config.num_triangles > MAX_TRIS:
+        n_mesh = int((~_immediate_tri_mask(buffers_np)
+                      [:config.num_triangles]).sum())
+    cap = (MAX_IMG_TEXELS_CLUSTER if 0 < n_mesh <= HBM_MIN_TRIS
            else MAX_IMG_TEXELS)
     if texels > cap:
         return False
@@ -352,6 +370,15 @@ def _mesh_needs_uv(buffers_np, mesh_idx: np.ndarray) -> bool:
     mats = set(buffers_np["inst_material"][
         buffers_np["tri_inst"][mesh_idx]].tolist())
     return not all(_mat_solid_only(buffers_np, int(m)) for m in mats)
+
+
+def _sphere_radius(m) -> float:
+    """World radius of a unit sphere under o2w matrix `m` (4x4 nested
+    list): mean column norm of the 3x3 part — rotation-safe, unlike the
+    diagonal average (which diverges from the sampled cone for rotated
+    instance matrices)."""
+    return sum(math.sqrt(m[0][c] ** 2 + m[1][c] ** 2 + m[2][c] ** 2)
+               for c in range(3)) / 3.0
 
 
 def _remap_rough(r: float) -> float:
@@ -754,13 +781,20 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
+def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
+                  wave_k: int = 0):
+    """num_samples: regeneration target of the megakernel (ignored in
+    wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
+    k-bounce chunk over an externally sorted ray-state array (see
+    pallas_wave.py — cross-tile ray redistribution between launches
+    breaks the any-lane SIMT wall of the cluster march)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    SHAPE = ((MESH_TILE_SUB if ps.n_clusters else TILE_SUB), 128)
+    SHAPE = ((MESH_TILE_SUB if (ps.n_clusters or wave_k) else TILE_SUB),
+             128)
     W = ps.width
     H = ps.height
     NPIX = W * H
@@ -1509,12 +1543,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                           jnp.where(okd & (r1 >= TMIN), r1, BIG))
             ok = t < t_best
             t_best = jnp.where(ok, t, t_best)
-            radius = (abs(o2w[0][0]) + abs(o2w[1][1]) + abs(o2w[2][2])) / 3.0
+            radius = _sphere_radius(o2w)
             cxx, cyy, czz = o2w[0][3], o2w[1][3], o2w[2][3]
             d2 = ((cxx - ox) ** 2 + (cyy - oy) ** 2 + (czz - oz) ** 2)
             cos_max = jnp.sqrt(jnp.maximum(
                 1.0 - radius * radius / jnp.maximum(d2, 1e-20), 0.0))
-            p = 1.0 / jnp.maximum(TWO_PI * (1.0 - cos_max), 1e-20)
+            # uniform-sphere pdf when the origin is inside the emitter
+            # (cone degenerates; matches sample_emit)
+            p = jnp.where(d2 <= radius * radius,
+                          1.0 / (2.0 * TWO_PI),
+                          1.0 / jnp.maximum(TWO_PI * (1.0 - cos_max),
+                                            1e-20))
             pdf = jnp.where(ok, p, pdf)
         return jnp.where(t_best < BIG, pdf, 0.0)
 
@@ -1706,12 +1745,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             else:
                 m = eo["o2w"]
                 cx, cy, cz = m[0][3], m[1][3], m[2][3]
-                radius = (abs(m[0][0]) + abs(m[1][1]) + abs(m[2][2])) / 3.0
+                radius = _sphere_radius(m)
                 wx_, wy_, wz_ = cx - px_, cy - py_, cz - pz_
                 d2 = jnp.maximum(wx_ * wx_ + wy_ * wy_ + wz_ * wz_, 1e-12)
                 cos_max = jnp.sqrt(jnp.maximum(
                     1.0 - radius * radius / d2, 0.0))
-                cos_t = 1.0 - r * (1.0 - cos_max)
+                # inside the emitter: uniform sphere (matches the pdf)
+                cos_t = jnp.where(d2 <= radius * radius,
+                                  1.0 - 2.0 * r,
+                                  1.0 - r * (1.0 - cos_max))
                 sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
                 phi = TWO_PI * s
                 wx_, wy_, wz_ = normalize3(wx_, wy_, wz_)
@@ -2339,6 +2381,39 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         return dx, dy, dz
 
     # ------------------------------------------------------------------
+    def apply_images(iref, c, attr, hit, miss):
+        """Per-bounce texture fetches: imagemap Kd multiplied into the
+        albedo rows, and the env-map background for missed lanes
+        (miss shader lib.rs:120-139). Returns (attr, bg_rgb)."""
+        if HAS_IMG_MATS:
+            sel_img = (attr["kdb"] >= 0.0) & hit
+            iv = fetch_image(iref, attr["u"], attr["v"], attr["kdw"],
+                             attr["kdh"], attr["kdb"], sel_img,
+                             KD_PMIN, KD_PMAX)
+            attr = dict(attr)
+            for ch, key in enumerate(("abr", "abg", "abb")):
+                attr[key] = jnp.where(sel_img, attr[key] * iv[ch],
+                                      attr[key])
+        if BG_IMG is not None:
+            bm = ps.bg_matrix
+            bdx = (bm[0, 0] * c["dx"] + bm[0, 1] * c["dy"]
+                   + bm[0, 2] * c["dz"])
+            bdy = (bm[1, 0] * c["dx"] + bm[1, 1] * c["dy"]
+                   + bm[1, 2] * c["dz"])
+            bdz = (bm[2, 0] * c["dx"] + bm[2, 1] * c["dy"]
+                   + bm[2, 2] * c["dz"])
+            bu_, bv_ = sphere_uv_of(bdx, bdy, bdz)
+            base, bw_, bh_ = BG_IMG
+            bg = fetch_image(iref, bu_, bv_,
+                             jnp.full(SHAPE, float(bw_)),
+                             jnp.full(SHAPE, float(bh_)),
+                             jnp.full(SHAPE, float(base)), miss,
+                             BG_PMIN, BG_PMAX)
+            return attr, (bg[0] * ps.background[0],
+                          bg[1] * ps.background[1],
+                          bg[2] * ps.background[2])
+        return attr, ps.background
+
     def kernel(seed_ref, *refs):
         import jax.numpy as jnp
         if NC and HBM_MESH:
@@ -2356,39 +2431,6 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
             iref = None
         (px_ref, py_ref, rad_r, rad_g, rad_b,
          an_x, an_y, an_z, aa_r, aa_g, aa_b, rays_out) = refs
-
-        def apply_images(c, attr, hit, miss):
-            """Per-bounce texture fetches: imagemap Kd multiplied into the
-            albedo rows, and the env-map background for missed lanes
-            (miss shader lib.rs:120-139). Returns (attr, bg_rgb)."""
-            if HAS_IMG_MATS:
-                sel_img = (attr["kdb"] >= 0.0) & hit
-                iv = fetch_image(iref, attr["u"], attr["v"], attr["kdw"],
-                                 attr["kdh"], attr["kdb"], sel_img,
-                                 KD_PMIN, KD_PMAX)
-                attr = dict(attr)
-                for ch, key in enumerate(("abr", "abg", "abb")):
-                    attr[key] = jnp.where(sel_img, attr[key] * iv[ch],
-                                          attr[key])
-            if BG_IMG is not None:
-                bm = ps.bg_matrix
-                bdx = (bm[0, 0] * c["dx"] + bm[0, 1] * c["dy"]
-                       + bm[0, 2] * c["dz"])
-                bdy = (bm[1, 0] * c["dx"] + bm[1, 1] * c["dy"]
-                       + bm[1, 2] * c["dz"])
-                bdz = (bm[2, 0] * c["dx"] + bm[2, 1] * c["dy"]
-                       + bm[2, 2] * c["dz"])
-                bu_, bv_ = sphere_uv_of(bdx, bdy, bdz)
-                base, bw_, bh_ = BG_IMG
-                bg = fetch_image(iref, bu_, bv_,
-                                 jnp.full(SHAPE, float(bw_)),
-                                 jnp.full(SHAPE, float(bh_)),
-                                 jnp.full(SHAPE, float(base)), miss,
-                                 BG_PMIN, BG_PMAX)
-                return attr, (bg[0] * ps.background[0],
-                              bg[1] * ps.background[1],
-                              bg[2] * ps.background[2])
-            return attr, ps.background
         pid = pl.program_id(0)
         if not interpret:
             pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(65537))
@@ -2426,7 +2468,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                     c["dx"], c["dy"], c["dz"], TMIN, mref)
             hit = t < BIG
             miss = active & ~hit
-            attr, bg = apply_images(c, attr, hit, miss)
+            attr, bg = apply_images(iref, c, attr, hit, miss)
             rr_ = c["rr"] + jnp.where(miss, cr * bg[0], 0.0)
             rg_ = c["rg"] + jnp.where(miss, cg * bg[1], 0.0)
             rb_ = c["rb"] + jnp.where(miss, cb * bg[2], 0.0)
@@ -2600,7 +2642,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
                                     c["dx"], c["dy"], c["dz"], TMIN, mref)
             hit = t < BIG
             miss = active & ~hit
-            attr, bg = apply_images(c, attr, hit, miss)
+            attr, bg = apply_images(iref, c, attr, hit, miss)
             rr_ = c["rr"] + jnp.where(miss, cr * bg[0], 0.0)
             rg_ = c["rg"] + jnp.where(miss, cg * bg[1], 0.0)
             rb_ = c["rb"] + jnp.where(miss, cb * bg[2], 0.0)
@@ -2841,13 +2883,273 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool):
         aa_b[:] = out["aab"]
         rays_out[:] = out["rays"]
 
-    return kernel
+    if not wave_k:
+        return kernel
+
+    # ------------------------------------------------------------------
+    # Wavefront kernel: one launch advances every alive lane by wave_k
+    # bounces. The host sorts/compacts the ray state between launches
+    # (pallas_wave.py) so every tile re-enters the march with coherent
+    # rays — cross-tile redistribution, the fix for the any-lane SIMT
+    # wall of the cluster march. Same estimator as the megakernel body
+    # (NEE + 50/50 emitter MIS + RR); no regeneration — a lane carries
+    # one sample per wave and dies in place (origin parked at
+    # DEAD_ORIGIN so dead lanes never enter an AABB).
+    def wave_bounce(c, dep0, j, mref, iref):
+        dep = dep0 + j  # traced scalar: bounce index of this step
+        was_alive = c["alive"] > 0.5
+        cr, cg, cb = c["cr"], c["cg"], c["cb"]
+        rays = c["rays"] + jnp.where(was_alive, 1.0, 0.0) \
+            * (1.0 + len(ps.lights) + (1.0 if E > 0 else 0.0))
+
+        t, attr = trace_closest(c["ox"], c["oy"], c["oz"],
+                                c["dx"], c["dy"], c["dz"], TMIN, mref)
+        hit = t < BIG
+        miss = was_alive & ~hit
+        attr, bg = apply_images(iref, c, attr, hit, miss)
+        rr_ = c["rr"] + jnp.where(miss, cr * bg[0], 0.0)
+        rg_ = c["rg"] + jnp.where(miss, cg * bg[1], 0.0)
+        rb_ = c["rb"] + jnp.where(miss, cb * bg[2], 0.0)
+        alive = was_alive & hit
+
+        hx = c["ox"] + t * c["dx"]
+        hy = c["oy"] + t * c["dy"]
+        hz = c["oz"] + t * c["dz"]
+        nx, ny, nz = normalize3(attr["nx"], attr["ny"], attr["nz"])
+        wox, woy, woz = -c["dx"], -c["dy"], -c["dz"]
+        ux, uy, uz, vx, vy, vz = onb_from_w(nx, ny, nz)
+
+        # emitter hit (one-sided)
+        al_on = alive & ((attr["alr"] != 0.0) | (attr["alg"] != 0.0)
+                         | (attr["alb"] != 0.0)) \
+            & (dot3(wox, woy, woz, nx, ny, nz) > 0.0)
+        rr_ = rr_ + jnp.where(al_on, cr * attr["alr"], 0.0)
+        rg_ = rg_ + jnp.where(al_on, cg * attr["alg"], 0.0)
+        rb_ = rb_ + jnp.where(al_on, cb * attr["alb"], 0.0)
+
+        # AOVs at bounce 0
+        first = alive & (dep == 0)
+        anx = c["anx"] + jnp.where(first, nx, 0.0)
+        any_ = c["any"] + jnp.where(first, ny, 0.0)
+        anz = c["anz"] + jnp.where(first, nz, 0.0)
+        aar = c["aar"] + jnp.where(first, attr["abr"], 0.0)
+        aag = c["aag"] + jnp.where(first, attr["abg"], 0.0)
+        aab = c["aab"] + jnp.where(first, attr["abb"], 0.0)
+
+        lox_, loy_, loz_ = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                    wox, woy, woz)
+
+        # NEE for distant lights
+        for lt in ps.lights:
+            ldx, ldy, ldz = lt["dir"]
+            shadowed = trace_any(hx, hy, hz,
+                                 jnp.full(SHAPE, ldx),
+                                 jnp.full(SHAPE, ldy),
+                                 jnp.full(SHAPE, ldz), TMIN, 1e5, mref)
+            lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
+                                     nx, ny, nz,
+                                     jnp.full(SHAPE, ldx),
+                                     jnp.full(SHAPE, ldy),
+                                     jnp.full(SHAPE, ldz))
+            fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
+                                            lwx, lwy, lwz)
+            cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
+            okl = alive & ~shadowed
+            rr_ = rr_ + jnp.where(okl, cr * fe_r * cosl * lt["color"][0],
+                                  0.0)
+            rg_ = rg_ + jnp.where(okl, cg * fe_g * cosl * lt["color"][1],
+                                  0.0)
+            rb_ = rb_ + jnp.where(okl, cb * fe_b * cosl * lt["color"][2],
+                                  0.0)
+
+        # scatter (with emitter MIS, identical estimator to body())
+        st = c["st"]
+        u_coin, st = uniform(st)
+        u1, st = uniform(st)
+        u2, st = uniform(st)
+        ul, st = uniform(st)
+        swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
+            attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
+        swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                 swx, swy, swz)
+
+        if E > 0:
+            coin, st = uniform(st)
+            ue1, st = uniform(st)
+            ue2, st = uniform(st)
+            ue3, st = uniform(st)
+            ue4, st = uniform(st)
+            ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
+                                              ue3, ue4)
+            take_light = (coin > 0.5) & is_diffuse(attr)
+            wx_ = jnp.where(take_light, ls_wx, swx)
+            wy_ = jnp.where(take_light, ls_wy, swy)
+            wz_ = jnp.where(take_light, ls_wz, swz)
+            llx, lly, llz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                     ls_wx, ls_wy, ls_wz)
+            fe_r, fe_g, fe_b, fe_pdf = bsdf_eval(attr, lox_, loy_, loz_,
+                                                 llx, lly, llz)
+            f_r = jnp.where(take_light, fe_r, sfr)
+            f_g = jnp.where(take_light, fe_g, sfg)
+            f_b = jnp.where(take_light, fe_b, sfb)
+            pdf_b = jnp.where(take_light, fe_pdf, spdf)
+            lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+            mis = is_diffuse(attr)
+            pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
+            f_r = jnp.where(mis, f_r, sfr)
+            f_g = jnp.where(mis, f_g, sfg)
+            f_b = jnp.where(mis, f_b, sfb)
+            wx_ = jnp.where(mis, wx_, swx)
+            wy_ = jnp.where(mis, wy_, swy)
+            wz_ = jnp.where(mis, wz_, swz)
+        else:
+            wx_, wy_, wz_, f_r, f_g, f_b, pdf = (swx, swy, swz, sfr,
+                                                 sfg, sfb, spdf)
+
+        alive = alive & (pdf >= 1e-5)
+        cosw = jnp.abs(wx_ * nx + wy_ * ny + wz_ * nz)
+        scale = cosw / jnp.maximum(pdf, 1e-20)
+        cr = cr * f_r * scale
+        cg = cg * f_g * scale
+        cb = cb * f_b * scale
+        alive = alive & ((cr != 0.0) | (cg != 0.0) | (cb != 0.0))
+
+        if use_rr:
+            rrv, st = uniform(st)
+            p_cont = jnp.clip(jnp.maximum(cr, jnp.maximum(cg, cb)),
+                              0.0, 1.0)
+            do_rr = dep > RR_START  # traced scalar, broadcasts
+            alive = alive & (~do_rr | (rrv <= p_cont))
+            inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
+            keep = do_rr & alive
+            cr = jnp.where(keep, cr * inv_p, cr)
+            cg = jnp.where(keep, cg * inv_p, cg)
+            cb = jnp.where(keep, cb * inv_p, cb)
+
+        alive = alive & (dep + 1 < MAXD)
+
+        died = was_alive & ~alive
+        return {
+            "ox": jnp.where(alive, hx,
+                            jnp.where(died, DEAD_ORIGIN, c["ox"])),
+            "oy": jnp.where(alive, hy,
+                            jnp.where(died, DEAD_ORIGIN, c["oy"])),
+            "oz": jnp.where(alive, hz,
+                            jnp.where(died, DEAD_ORIGIN, c["oz"])),
+            "dx": jnp.where(alive, wx_, c["dx"]),
+            "dy": jnp.where(alive, wy_, c["dy"]),
+            "dz": jnp.where(alive, wz_, c["dz"]),
+            "cr": jnp.where(alive, cr, c["cr"]),
+            "cg": jnp.where(alive, cg, c["cg"]),
+            "cb": jnp.where(alive, cb, c["cb"]),
+            "rr": rr_, "rg": rg_, "rb": rb_,
+            "anx": anx, "any": any_, "anz": anz,
+            "aar": aar, "aag": aag, "aab": aab,
+            "alive": jnp.where(alive, c["alive"] * 0.0 + 1.0,
+                               c["alive"] * 0.0),
+            "rays": rays,
+            "st": st,
+        }
+
+    def wave_kernel(sc_ref, *refs):
+        # sc_ref: SMEM int32 [seed, depth0, n_alive_tiles]
+        if NC and HBM_MESH:
+            mref = (refs[0], refs[1], refs[-2], refs[-1])
+            refs = refs[2:-2]
+        elif NC:
+            mref, refs = (refs[0], refs[1]), refs[2:]
+        else:
+            mref = None
+        if HAS_IMG:
+            iref, refs = refs[0], refs[1:]
+        else:
+            iref = None
+        sin, sout = refs
+        pid = pl.program_id(0)
+        dep0 = sc_ref[1]
+        if not interpret:
+            pltpu.prng_seed(sc_ref[0] + pid * jnp.int32(65537)
+                            + dep0 * jnp.int32(7919))
+
+        # interpret-mode RNG stream: lane-unique ids (row WROW_LANE)
+        # hashed with (seed, depth); pass-through on TPU
+        lane_f = sin[WROW_LANE, :, :]
+        if interpret:
+            lane_i = jax.lax.bitcast_convert_type(
+                lane_f.astype(jnp.int32), jnp.uint32)
+            seed_u = jax.lax.bitcast_convert_type(
+                jnp.full(SHAPE, sc_ref[0] + (dep0 + jnp.int32(1))
+                         * jnp.int32(7919), jnp.int32), jnp.uint32)
+        else:
+            lane_i = pltpu.bitcast(lane_f.astype(jnp.int32), jnp.uint32)
+            seed_u = pltpu.bitcast(
+                jnp.full(SHAPE, sc_ref[0] + (dep0 + jnp.int32(1))
+                         * jnp.int32(7919), jnp.int32), jnp.uint32)
+        st0 = (lane_i * jnp.uint32(2654435761) ^ seed_u) | jnp.uint32(1)
+
+        c = {
+            "ox": sin[WROW_O, :, :], "oy": sin[WROW_O + 1, :, :],
+            "oz": sin[WROW_O + 2, :, :],
+            "dx": sin[WROW_D, :, :], "dy": sin[WROW_D + 1, :, :],
+            "dz": sin[WROW_D + 2, :, :],
+            "cr": sin[WROW_C, :, :], "cg": sin[WROW_C + 1, :, :],
+            "cb": sin[WROW_C + 2, :, :],
+            "rr": sin[WROW_R, :, :], "rg": sin[WROW_R + 1, :, :],
+            "rb": sin[WROW_R + 2, :, :],
+            "anx": sin[WROW_AN, :, :], "any": sin[WROW_AN + 1, :, :],
+            "anz": sin[WROW_AN + 2, :, :],
+            "aar": sin[WROW_AA, :, :], "aag": sin[WROW_AA + 1, :, :],
+            "aab": sin[WROW_AA + 2, :, :],
+            "alive": sin[WROW_ALIVE, :, :],
+            "rays": sin[WROW_RAYS, :, :],
+            "st": st0,
+        }
+
+        def chunk(cc):
+            for j in range(wave_k):
+                cc = wave_bounce(cc, dep0, j, mref, iref)
+            return cc
+
+        # tiles past the alive prefix (rays sorted dead-last) are a copy
+        c = jax.lax.cond(pid < sc_ref[2], chunk, lambda cc: cc, c)
+        sout[WROW_O, :, :] = c["ox"]
+        sout[WROW_O + 1, :, :] = c["oy"]
+        sout[WROW_O + 2, :, :] = c["oz"]
+        sout[WROW_D, :, :] = c["dx"]
+        sout[WROW_D + 1, :, :] = c["dy"]
+        sout[WROW_D + 2, :, :] = c["dz"]
+        sout[WROW_C, :, :] = c["cr"]
+        sout[WROW_C + 1, :, :] = c["cg"]
+        sout[WROW_C + 2, :, :] = c["cb"]
+        sout[WROW_R, :, :] = c["rr"]
+        sout[WROW_R + 1, :, :] = c["rg"]
+        sout[WROW_R + 2, :, :] = c["rb"]
+        sout[WROW_AN, :, :] = c["anx"]
+        sout[WROW_AN + 1, :, :] = c["any"]
+        sout[WROW_AN + 2, :, :] = c["anz"]
+        sout[WROW_AA, :, :] = c["aar"]
+        sout[WROW_AA + 1, :, :] = c["aag"]
+        sout[WROW_AA + 2, :, :] = c["aab"]
+        sout[WROW_ALIVE, :, :] = c["alive"]
+        sout[WROW_RAYS, :, :] = c["rays"]
+        sout[WROW_LANE, :, :] = lane_f
+
+    return wave_kernel
 
 
 def make_pallas_batch_fn(buffers_np, config: RenderConfig,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         pad_tiles_to: int = 1):
     """Returns run(seed: int32 scalar, num_samples static) -> dict of (N,3)
-    radiance/normal/albedo + rays, or None if the scene is ineligible."""
+    radiance/normal/albedo + rays, or None if the scene is ineligible.
+
+    `pad_tiles_to`: round the tile count up to a multiple (so the ray-tile
+    grid divides a device mesh; see parallel.shard.make_pallas_multichip).
+    The returned callable also exposes the multichip building blocks:
+    `.call_tiles(seed, num_samples, px, py)` (traceable, per-tile-block
+    pallas call), `.finish(outs)` (lane -> pixel gather), `.px_host` /
+    `.py_host`, `.tile_sub`, `.n_tiles`.
+    """
     if not pallas_eligible(buffers_np, config):
         return None
     import jax
@@ -2868,20 +3170,24 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         bw = (ps.width + bs - 1) // bs
         bh = (ps.height + bs - 1) // bs
         n_tiles = bw * bh
+        n_tiles = -(-n_tiles // pad_tiles_to) * pad_tiles_to
         rows = n_tiles * tile_sub
         t_idx = np.arange(n_tiles)[:, None]
         j = np.arange(tile)[None, :]
+        # padding tiles (t_idx >= bw*bh) clamp to the last pixel rows
         pxi = np.minimum((t_idx % bw) * bs + j % bs, ps.width - 1)
-        pyi = np.minimum((t_idx // bw) * bs + j // bs, ps.height - 1)
+        pyi = np.minimum(np.minimum(t_idx // bw, bh - 1) * bs + j // bs,
+                         ps.height - 1)
         pix = (pyi * ps.width + pxi).reshape(-1)
-        # first lane owning each pixel (edge blocks duplicate clamped
-        # pixels; the output gather reads one representative lane)
+        # first lane owning each pixel (edge/padding blocks duplicate
+        # clamped pixels; the output gather reads one representative lane)
         inv_idx = np.zeros(npix, np.int64)
         inv_idx[pix[::-1]] = np.arange(pix.size - 1, -1, -1)
         px_host = pix.astype(np.float32).reshape(rows, 128) % ps.width
         py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
     else:
         n_tiles = (npix + tile - 1) // tile
+        n_tiles = -(-n_tiles // pad_tiles_to) * pad_tiles_to
         rows = n_tiles * tile_sub
         lanes = np.arange(rows * 128, dtype=np.int64)
         pix = np.minimum(lanes, npix - 1)
@@ -2917,14 +3223,14 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                                        memory_space=pltpu.VMEM))
         mesh_args.append(jnp.asarray(ps.img_table))
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def run(seed, num_samples):
+    def call_tiles(seed, num_samples, px, py):
+        """Traceable pallas call over a (rows_local, 128) lane block —
+        the unit a shard_map shards; returns the 10 raw lane outputs."""
         kernel = _build_kernel(ps, num_samples, interpret)
-        px = jnp.asarray(px_host)
-        py = jnp.asarray(py_host)
-        outs = pl.pallas_call(
+        rows_l = px.shape[0]
+        return pl.pallas_call(
             kernel,
-            grid=(n_tiles,),
+            grid=(rows_l // tile_sub,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + mesh_specs
             + [pl.BlockSpec((tile_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)] * 2,
@@ -2932,10 +3238,14 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                 [pl.BlockSpec((tile_sub, 128), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * 10),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 10),
+                [jax.ShapeDtypeStruct((rows_l, 128), jnp.float32)] * 10),
             scratch_shapes=tuple(scratch_shapes),
             interpret=interpret,
-        )(jnp.asarray([seed], jnp.int32), *mesh_args, px, py)
+        )(jnp.asarray([seed], jnp.int32).astype(jnp.int32), *mesh_args,
+          px, py)
+
+    def finish(outs):
+        """Full-rows lane outputs -> per-pixel dict."""
         if inv_idx is not None:
             sel = jnp.asarray(inv_idx)
             def to_pix(o):
@@ -2948,6 +3258,12 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         alb = jnp.stack([to_pix(o) for o in outs[6:9]], axis=-1)
         return {"radiance": rad, "normal": nrm, "albedo": alb,
                 "rays": jnp.sum(outs[9])}
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(seed, num_samples):
+        return finish(call_tiles(seed, num_samples,
+                                 jnp.asarray(px_host),
+                                 jnp.asarray(py_host)))
 
     # samples per device call: the runtime watchdog kills executions that
     # run for minutes, and cluster-march cost scales with tiles x clusters
@@ -2962,4 +3278,11 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         run.chunk_hint = hint
     else:
         run.chunk_hint = 100
+    run.call_tiles = call_tiles
+    run.finish = finish
+    run.px_host = px_host
+    run.py_host = py_host
+    run.tile_sub = tile_sub
+    run.n_tiles = n_tiles
+    run.npix = npix
     return run

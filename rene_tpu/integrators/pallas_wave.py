@@ -1,0 +1,279 @@
+"""Wavefront pallas engine: cross-tile ray redistribution.
+
+The megakernel cluster march (pallas_path.py) pays the SIMT wall on
+big-mesh scenes: after the first diffuse bounce a tile's 1024 lanes point
+everywhere, any lane entering a cluster AABB forces the 64-triangle MT
+unroll for the whole tile, and profiling (round 2, _PROFILE_SKIP_MT)
+showed teapot@720p spends ~100% of its time in those entered unrolls.
+Within-tile mitigations were measured and rejected; the fix is
+CROSS-TILE: re-bin rays between bounces so each tile re-enters the march
+with a coherent beam. This is the TPU replacement for the ray-reordering
+the reference gets from RT-core hardware scheduling
+(rene/src/main.rs:2417-2908).
+
+Design:
+* The whole in-flight wave (npix x samples_per_wave rays, one sample per
+  lane, no regeneration) lives in ONE (W_NROWS, N) f32 HBM array
+  (layout: pallas_path.WROW_*).
+* A k-bounce Pallas kernel (_build_kernel(..., wave_k=k)) advances every
+  alive lane; lanes die in place (origin parked at DEAD_ORIGIN so dead
+  lanes never enter an AABB).
+* Between launches, XLA computes a bin key = direction-octant (3 bits,
+  major) x origin Morton cell (6 bits/axis), argsorts it (stable, so
+  coherent runs survive), and gathers the state — one sort + one gather
+  per step, O(instructions)-cheap on this runtime.
+* Dead lanes sort to the end; a tile count of ceil(alive/1024) is passed
+  in SMEM and trailing tiles skip the march entirely (copy-through).
+* Film: each lane carries its pixel id (side array, permuted alongside);
+  at wave end one argsort by pixel groups each pixel's samples_per_wave
+  lanes for a segment sum — no scatter-add (TPU scatter is serial).
+
+The estimator is identical to the megakernel body: NEE + 50/50 emitter
+MIS + RR@12, reference semantics from rene-shader/src/lib.rs:141-357.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from ..scene.device import RenderConfig
+from . import pallas_path as pp
+
+
+def wave_supported(buffers_np, config: RenderConfig) -> bool:
+    """Wave engine handles the pallas-eligible `path` scenes (volpath
+    keeps the megakernel: its per-bounce medium marches don't suffer the
+    same any-lane geometry wall)."""
+    return (config.integrator == "path"
+            and pp.pallas_eligible(buffers_np, config))
+
+
+def make_pallas_wave_fn(buffers_np, config: RenderConfig,
+                        interpret: bool = False,
+                        k_bounces: int = 2,
+                        samples_per_wave: int = 0,
+                        sort_rays: bool = True,
+                        check_every: int = 4):
+    """Build the wavefront runner; returns run(seed, num_samples) with the
+    same contract as make_pallas_batch_fn (radiance/normal/albedo sums
+    over num_samples + ray count), or None if unsupported.
+
+    num_samples per call is capped at run.chunk_hint (= samples carried
+    by one wave); the render driver already chunks to that."""
+    if not wave_supported(buffers_np, config):
+        return None
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ps = pp.pack_scene(buffers_np, config)
+    W, H = ps.width, ps.height
+    npix = W * H
+    maxd = ps.max_depth
+    tile_sub = pp.MESH_TILE_SUB
+    tile = tile_sub * 128
+    NR = pp.W_NROWS
+
+    spw = samples_per_wave or max(1, min(32, (1 << 20) // npix))
+    n_real = npix * spw
+    n_tiles = -(-n_real // tile)
+    n_pad = n_tiles * tile
+
+    # scene bounds for the origin Morton cells (10% margin)
+    ntri = config.num_triangles
+    pts = buffers_np["tri_p"][:ntri].reshape(-1, 3).astype(np.float64)
+    if pts.size == 0:
+        lo = np.zeros(3)
+        hi = np.ones(3)
+    else:
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+    for s in range(config.num_spheres):
+        m = buffers_np["sph_o2w"][s].astype(np.float64)
+        r = pp._sphere_radius(m.tolist())
+        c = m[:3, 3]
+        lo = np.minimum(lo, c - r)
+        hi = np.maximum(hi, c + r)
+    ext = np.maximum(hi - lo, 1e-9)
+    lo = lo - 0.05 * ext
+    ext = ext * 1.1
+
+    # mesh/image operand plumbing — identical to make_pallas_batch_fn
+    mesh_specs = []
+    mesh_args = []
+    scratch_shapes = []
+    if ps.n_clusters and ps.mesh_hbm:
+        mesh_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
+        scratch_shapes = [pltpu.VMEM((ps.mesh_geom.shape[0],
+                                      pp.SUPER * pp.CLUSTER),
+                                     jnp.float32),
+                          pltpu.SemaphoreType.DMA]
+    elif ps.n_clusters:
+        mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
+    if ps.img_table is not None:
+        mesh_specs.append(pl.BlockSpec(ps.img_table.shape,
+                                       lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM))
+        mesh_args.append(jnp.asarray(ps.img_table))
+
+    kernel = pp._build_kernel(ps, 0, interpret, wave_k=k_bounces)
+    state_spec = pl.BlockSpec((NR, tile_sub, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+
+    def call_kernel(sc, state3):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + mesh_specs
+            + [state_spec],
+            out_specs=state_spec,
+            out_shape=jax.ShapeDtypeStruct((NR, n_tiles * tile_sub, 128),
+                                           jnp.float32),
+            scratch_shapes=tuple(scratch_shapes),
+            interpret=interpret,
+        )(sc, *mesh_args, state3)
+
+    def _morton_part(v):
+        """Spread 10 low bits of an int32 to every 3rd bit."""
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    def bin_key(state):
+        """Direction-octant (major) x 6-bit/axis origin Morton cell;
+        dead lanes to the end."""
+        ox, oy, oz = state[pp.WROW_O], state[pp.WROW_O + 1], \
+            state[pp.WROW_O + 2]
+        dx, dy, dz = state[pp.WROW_D], state[pp.WROW_D + 1], \
+            state[pp.WROW_D + 2]
+        alive = state[pp.WROW_ALIVE] > 0.5
+
+        def q(v, axis):
+            return jnp.clip((v - lo[axis]) / ext[axis] * 64.0,
+                            0.0, 63.0).astype(jnp.int32)
+
+        morton = (_morton_part(q(ox, 0)) | (_morton_part(q(oy, 1)) << 1)
+                  | (_morton_part(q(oz, 2)) << 2))
+        oct_ = ((dx < 0).astype(jnp.int32) * 4
+                + (dy < 0).astype(jnp.int32) * 2
+                + (dz < 0).astype(jnp.int32))
+        key = (oct_ << 18) | morton
+        return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+
+    @jax.jit
+    def wave_step(state, pix, seed, dep0):
+        if sort_rays:
+            perm = jnp.argsort(bin_key(state))
+            state = jnp.take(state, perm, axis=1)
+            pix = jnp.take(pix, perm)
+        n_alive = jnp.sum(state[pp.WROW_ALIVE] > 0.5).astype(jnp.int32)
+        # sorted waves compact alive lanes into a prefix -> trailing
+        # tiles skip the march; unsorted waves must march every tile
+        nt = ((n_alive + tile - 1) // tile if sort_rays
+              else jnp.int32(n_tiles))
+        sc = jnp.stack([seed.astype(jnp.int32), dep0.astype(jnp.int32),
+                        nt])
+        out = call_kernel(sc, state.reshape(NR, n_tiles * tile_sub, 128))
+        return out.reshape(NR, n_pad), pix, n_alive
+
+    # camera init (camera.rs:77-90 math, vectorized in XLA)
+    PI_ = ps.cam_proj_inv
+    CW = ps.cam_to_world
+    cam_o = np.array([CW[0, 3], CW[1, 3], CW[2, 3]], np.float32)
+    pix_host = np.concatenate([
+        np.tile(np.arange(npix, dtype=np.int64), spw),
+        npix + np.arange(n_pad - n_real, dtype=np.int64)]).astype(np.int32)
+    pxf_host = (np.minimum(pix_host, npix - 1) % W).astype(np.float32)
+    pyf_host = (np.minimum(pix_host, npix - 1) // W).astype(np.float32)
+    lane_host = np.arange(n_pad, dtype=np.int64).astype(np.float32)
+
+    @jax.jit
+    def init_state(seed, n_want):
+        """Fresh wave: camera rays for lanes < n_want, dead otherwise."""
+        key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 seed.astype(jnp.uint32))
+        ju, jv = jax.random.uniform(key, (2, n_pad), jnp.float32)
+        pxf = jnp.asarray(pxf_host)
+        pyf = jnp.asarray(pyf_host)
+        u = (pxf + ju) * (1.0 / max(W - 1, 1))
+        v = (pyf + jv) * (1.0 / max(H - 1, 1))
+        nx_ = u * 2.0 - 1.0
+        ny_ = v * 2.0 - 1.0
+        tcx = PI_[0, 0] * nx_ + PI_[0, 1] * ny_ + PI_[0, 2] + PI_[0, 3]
+        tcy = PI_[1, 0] * nx_ + PI_[1, 1] * ny_ + PI_[1, 2] + PI_[1, 3]
+        tcz = PI_[2, 0] * nx_ + PI_[2, 1] * ny_ + PI_[2, 2] + PI_[2, 3]
+        twx = CW[0, 0] * tcx + CW[0, 1] * tcy + CW[0, 2] * tcz + CW[0, 3]
+        twy = CW[1, 0] * tcx + CW[1, 1] * tcy + CW[1, 2] * tcz + CW[1, 3]
+        twz = CW[2, 0] * tcx + CW[2, 1] * tcy + CW[2, 2] * tcz + CW[2, 3]
+        dx = twx - cam_o[0]
+        dy = twy - cam_o[1]
+        dz = twz - cam_o[2]
+        inv = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz,
+                                         1e-20))
+        alive = (jnp.arange(n_pad) < n_want).astype(jnp.float32)
+        zeros = jnp.zeros((n_pad,), jnp.float32)
+        state = jnp.stack([
+            jnp.where(alive > 0.5, cam_o[0], pp.DEAD_ORIGIN),
+            jnp.where(alive > 0.5, cam_o[1], pp.DEAD_ORIGIN),
+            jnp.where(alive > 0.5, cam_o[2], pp.DEAD_ORIGIN),
+            dx * inv, dy * inv, dz * inv,
+            zeros + 1.0, zeros + 1.0, zeros + 1.0,   # throughput
+            zeros, zeros, zeros,                      # radiance
+            zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs
+            alive, zeros,                             # alive, rays
+            jnp.asarray(lane_host),
+        ])
+        return state, jnp.asarray(pix_host)
+
+    @jax.jit
+    def finish_wave(state, pix):
+        order = jnp.argsort(pix)
+        rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 9], order, axis=1)
+        # each pixel's spw lanes are consecutive after the pixel sort
+        sums = rows[:, :n_real].reshape(9, npix, spw).sum(axis=2)
+        return sums, jnp.sum(state[pp.WROW_RAYS])
+
+    steps = -(-maxd // k_bounces)
+
+    def run(seed, num_samples):
+        """One wave of min(num_samples, spw) samples; sums like the
+        megakernel runner."""
+        import jax.numpy as jnp
+        want = min(int(num_samples), spw)
+        state, pix = init_state(jnp.int32(seed), jnp.int32(npix * want))
+        for si in range(steps):
+            state, pix, n_alive = wave_step(state, pix, jnp.int32(seed),
+                                            jnp.int32(si * k_bounces))
+            last = si == steps - 1
+            if not last and (si + 1) % check_every == 0 \
+                    and int(n_alive) == 0:
+                break
+        sums, rays = finish_wave(state, pix)
+        sums = np.asarray(sums)
+        return {
+            "radiance": np.ascontiguousarray(sums[0:3].T),
+            "normal": np.ascontiguousarray(sums[3:6].T),
+            "albedo": np.ascontiguousarray(sums[6:9].T),
+            "rays": float(rays),
+        }
+
+    run.chunk_hint = spw
+    run.samples_per_wave = spw
+    run.n_tiles = n_tiles
+    run.steps = steps
+    run.wave_step = wave_step
+    run.init_state = init_state
+    run.finish_wave = finish_wave
+    return run

@@ -346,16 +346,23 @@ def trace_emissive_pdf(buffers, config, org: V3, direction: V3, tmin, tmax,
             closer = t < best_t
             best_t = jnp.where(closer, t, best_t)
             best_k = jnp.where(closer, k, best_k)
-        # cone pdf from the o2w diagonal radius (lib.rs:1047-1066)
+        # cone pdf (lib.rs:1047-1066); radius from the o2w column norms so
+        # rotated instance matrices keep sampler and pdf consistent, and a
+        # uniform-sphere pdf when the shading point is inside the emitter
+        # (where the cone degenerates; matches sample_emit_object)
         o2wT = buffers["sph_o2wT"]  # rows (12, S)
         sel = buffers["emit_sph_ids"][best_k]
         g = jnp.take(o2wT, sel, axis=1)
-        radius = (jnp.abs(g[0]) + jnp.abs(g[5]) + jnp.abs(g[10])) / 3.0
+        radius = (jnp.sqrt(g[0] ** 2 + g[4] ** 2 + g[8] ** 2)
+                  + jnp.sqrt(g[1] ** 2 + g[5] ** 2 + g[9] ** 2)
+                  + jnp.sqrt(g[2] ** 2 + g[6] ** 2 + g[10] ** 2)) / 3.0
         center = V3(g[3], g[7], g[11])
         d2 = (center - org).length_squared()
         cos_max = jnp.sqrt(jnp.maximum(
             1.0 - radius * radius / jnp.maximum(d2, 1e-20), 0.0))
-        solid_angle = 2.0 * math.pi * (1.0 - cos_max)
+        inside = d2 <= radius * radius
+        solid_angle = jnp.where(inside, 4.0 * math.pi,
+                                2.0 * math.pi * (1.0 - cos_max))
         sph_t = best_t
         sph_pdf = 1.0 / jnp.maximum(solid_angle, 1e-20)
 

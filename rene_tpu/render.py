@@ -30,6 +30,21 @@ DEFAULT_SPP = 5000  # reference N_SAMPLES, main.rs:80
 LOG_EVERY = 100     # reference N_SAMPLES_ITER, main.rs:81
 
 
+def _wave_default(buffers_np, config) -> bool:
+    """auto-engine policy: the wavefront engine is the default for
+    cluster (big-mesh) path scenes, where cross-tile ray redistribution
+    breaks the SIMT wall; immediates scenes keep the megakernel (they
+    have no any-lane gating to win back and the megakernel's
+    regeneration amortizes better). Override with RENE_WAVE=0/1."""
+    ov = os.environ.get("RENE_WAVE")
+    if ov is not None:
+        return ov != "0"
+    from .integrators.pallas_path import MAX_TRIS
+    from .integrators.pallas_wave import wave_supported
+    return (config.num_triangles > MAX_TRIS
+            and wave_supported(buffers_np, config))
+
+
 def _sample_fn(config: RenderConfig, accel=None):
     import jax
 
@@ -63,6 +78,50 @@ def _batch_fn(config: RenderConfig, accel=None):
     return run, LOG_EVERY
 
 
+def warm_cache(scene: FlatScene, engine: str = "auto") -> int:
+    """Pre-compile the scene's render kernels WITHOUT executing them,
+    populating the persistent JAX compilation cache
+    (JAX_COMPILATION_CACHE_DIR) so a later render process skips the
+    multi-minute Mosaic compile. Returns the number of kernels compiled.
+
+    Note: the per-process pallas program-load cost (~1-2 min the first
+    time a kernel executes on the axon runtime) is NOT covered — only
+    compilation is; a warm second process starts tracing in seconds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    buffers_np, config = build_device_scene(scene)
+    n = 0
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pallas_run = None
+    if engine in ("auto", "pallas") and (on_tpu or engine == "pallas"):
+        from .integrators.pallas_path import make_pallas_batch_fn
+        pallas_run = make_pallas_batch_fn(buffers_np, config,
+                                          interpret=not on_tpu)
+    if pallas_run is not None:
+        chunk = min(LOG_EVERY, getattr(pallas_run, "chunk_hint",
+                                       LOG_EVERY))
+        for c in {chunk, 1}:
+            log.info("compiling pallas kernel (chunk=%d)...", c)
+            pallas_run.lower(0, c).compile()
+            n += 1
+        return n
+    # XLA wavefront fallback: compile the driver's batch shape
+    from .ops.accel import make_accel
+    from .scene.device import to_jax
+    accel = make_accel(buffers_np, config)
+    run, max_chunk = _batch_fn(config, accel=accel)
+    buffers = to_jax(buffers_np)
+    npix = config.film.xresolution * config.film.yresolution
+    t = min(1 << 18, npix)
+    px = jnp.zeros((t,), jnp.int32)
+    py = jnp.zeros((t,), jnp.int32)
+    log.info("compiling XLA wavefront kernel (%d rays)...", t)
+    run.lower(buffers, px, py, jnp.uint32(0), max_chunk).compile()
+    return 1
+
+
 def render(scene: FlatScene, spp: int = DEFAULT_SPP,
            seed: int = 0, tile_rays: int = 1 << 18,
            checkpoint: Optional[str] = None,
@@ -86,12 +145,22 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     buffers = to_jax(buffers_np)
 
     pallas_run = None
-    if engine in ("auto", "pallas"):
+    engine_name = "pallas"
+    if engine in ("auto", "pallas", "wave"):
         on_tpu = jax.devices()[0].platform == "tpu"
-        if on_tpu or engine == "pallas":
+        if engine == "wave" or (engine == "auto" and on_tpu
+                                and _wave_default(buffers_np, config)):
+            from .integrators.pallas_wave import make_pallas_wave_fn
+            pallas_run = make_pallas_wave_fn(buffers_np, config,
+                                             interpret=not on_tpu)
+            engine_name = "pallas wavefront"
+            if pallas_run is None and engine == "wave":
+                raise ValueError("scene not eligible for the wave engine")
+        if pallas_run is None and (on_tpu or engine == "pallas"):
             from .integrators.pallas_path import make_pallas_batch_fn
             pallas_run = make_pallas_batch_fn(buffers_np, config,
                                               interpret=not on_tpu)
+            engine_name = "pallas megakernel"
             if pallas_run is None and engine == "pallas":
                 raise ValueError("scene not eligible for the pallas engine")
     fingerprint = ""
@@ -104,7 +173,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
             "pallas" if pallas_run is not None else "xla")
 
     if pallas_run is not None:
-        log.info("engine: pallas megakernel")
+        log.info("engine: %s", engine_name)
         return _render_pallas(pallas_run, config, spp, seed, checkpoint,
                               resume, progress, fingerprint)
 

@@ -1,0 +1,137 @@
+"""Wavefront pallas engine (cross-tile ray redistribution) tests.
+
+Interpret-mode RNG streams are attached to the lane id row, so the
+between-launch sort is a PURE permutation: sorted and unsorted waves must
+produce bit-identical films. Statistical parity vs the XLA integrator
+validates the estimator; the cluster test (CLUSTER monkeypatched to 16,
+as in test_pallas_cluster) validates the march under redistribution.
+"""
+import numpy as np
+import pytest
+
+from rene_tpu.integrators import pallas_path as pp
+from rene_tpu.integrators.pallas_wave import (make_pallas_wave_fn,
+                                              wave_supported)
+from rene_tpu.pbrt import parse_pbrt
+from rene_tpu.scene import create_scene
+from rene_tpu.scene.device import build_device_scene
+
+from .test_pallas_cluster import big_mesh_scene
+
+SRC = """
+LookAt 3 4 1.5 0 0 0 0 0 1
+Camera "perspective" "float fov" 45
+Film "image" "integer xresolution" [24] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" 5
+WorldBegin
+LightSource "infinite" "rgb L" [.4 .45 .5]
+LightSource "distant" "rgb L" [1 .9 .8] "point from" [2 1 4]
+  "point to" [0 0 0]
+AttributeBegin
+  Material "matte" "rgb Kd" [ .7 .2 .2 ]
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [8 7 5]
+  Material "matte" "rgb Kd" [0 0 0]
+  Translate 0 0 2.2
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-.5 -.5 0  .5 -.5 0  .5 .5 0  -.5 .5 0]
+AttributeEnd
+Material "matte" "rgb Kd" [.5 .5 .45]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-5 -5 -1.2  -5 5 -1.2  5 5 -1.2  5 -5 -1.2]
+WorldEnd
+"""
+
+
+def test_wave_supported():
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    assert wave_supported(bn, cfg)
+
+
+def test_wave_sort_is_pure_permutation():
+    """sorted and unsorted waves agree bit-for-bit (lane-attached RNG)."""
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_rays=True,
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_rays=False,
+                            samples_per_wave=2)
+    oa = a(9, 2)
+    ob = b(9, 2)
+    # per-lane paths are identical; only the per-pixel summation order
+    # differs (fp non-associativity), so allclose not array_equal
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(oa["albedo"], ob["albedo"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+def test_wave_matches_xla_immediates():
+    """Wave estimator (NEE + MIS + distant lights + emitters) matches the
+    XLA integrator on an immediates scene."""
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_wave_fn(bn, cfg, interpret=True, k_bounces=2)
+    spp = min(16, run.samples_per_wave)
+    out = run(3, spp)
+    mean = out["radiance"].mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=32, seed=5, engine="xla")
+    np.testing.assert_allclose(mean, xla["color"].mean(axis=(0, 1)),
+                               rtol=0.1)
+    # AOVs accumulate at bounce 0 only
+    a_mean = out["albedo"].mean(axis=0) / spp
+    xa = xla["albedo"].mean(axis=(0, 1))
+    assert np.abs(a_mean - xa).max() < 0.05
+
+
+def test_wave_odd_film_padding():
+    """A film whose lane count doesn't divide the tile renders finitely
+    and pad lanes contribute nothing."""
+    src = SRC.replace('[24]', '[23]').replace('[16]', '[13]')
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_wave_fn(bn, cfg, interpret=True,
+                              samples_per_wave=3)
+    out = run(2, 3)
+    assert out["radiance"].shape == (23 * 13, 3)
+    assert np.isfinite(out["radiance"]).all()
+    assert (out["radiance"] >= 0).all()
+
+
+@pytest.mark.slow
+def test_wave_matches_xla_cluster(monkeypatch):
+    """Cluster-march wave (redistribution between bounces) matches XLA."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_wave_fn(bn, cfg, interpret=True, k_bounces=2,
+                              samples_per_wave=8)
+    spp = 8
+    out = run(3, spp)
+    mean = out["radiance"].mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=5, engine="xla")
+    np.testing.assert_allclose(mean, xla["color"].mean(axis=(0, 1)),
+                               rtol=0.15)
+    n_mean = np.abs(out["normal"] / spp).mean(axis=0)
+    xn_mean = np.abs(xla["normal"]).mean(axis=(0, 1))
+    assert np.abs(n_mean - xn_mean).max() < 0.05
+
+
+def test_wave_render_driver():
+    """render(engine='wave') drives the wave engine end-to-end."""
+    from rene_tpu.render import render
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    out = render(scene, spp=4, seed=1, engine="wave")
+    img = out["color"]
+    assert img.shape == (16, 24, 3)
+    assert np.isfinite(img).all()
+    # background pixel = infinite light color (unoccluded from camera)
+    np.testing.assert_allclose(img[0, 0], [0.4, 0.45, 0.5], atol=0.25)
