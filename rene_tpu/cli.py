@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="linear",
                    help="rgb value interpretation; srgb-lights matches the "
                         "shipped Tungsten goldens")
+    p.add_argument("--scene-overrides", metavar="FILE",
+                   help="JSON instance/material override file applied "
+                        "after scene flattening (diagnostic/compat "
+                        "layer; see rene_tpu/scene/overrides.py)")
     p.add_argument("--devices", type=int, default=1, metavar="N",
                    help="render across N chips of the device mesh "
                         "(sharded pallas megakernel for eligible scenes, "
@@ -91,6 +95,10 @@ def main(argv=None) -> int:
         # ariadne reports, rene/src/main.rs:129-190)
         print(e.render(args.scene), file=sys.stderr)
         return 1
+    if args.scene_overrides:
+        from .scene.overrides import apply_overrides
+        apply_overrides(scene, args.scene_overrides)
+        log.info("applied scene overrides from %s", args.scene_overrides)
     log.info("scene compiled in %.2fs", time.time() - t0)
 
     if args.dump_module:

@@ -236,25 +236,64 @@ def _tex_kernel_desc(buffers_np, ti: int):
 
 
 # materials whose Kd (slot 0, the diffuse component feeding the shared
-# albedo attributes) may be any kernel texture descriptor; their other
-# slots must stay solid
+# albedo attributes) may be any kernel texture descriptor (legacy name;
+# superseded by _SLOT_CLASSES but kept for the record docs)
 KD_TEX_MATS = {T.MAT_MATTE, T.MAT_SUBSTRATE, T.MAT_PLASTIC, T.MAT_UBER}
+
+# ANY-SLOT kernel textures: payload slot -> semantic class per material
+# (texture.rs:176-211 sampled from every material.rs per-slot color()
+# call). Classes map onto kernel attr rows: kd -> ab*, ks -> k*,
+# ru/rv -> ax/ay (rp = plastic's single roughness driving both), op ->
+# uber opacity (op*, and the kr2/kt2 products), kr/kt -> uber Kr/Kt.
+# Metal eta/k (slots 0/1) stay solid-only: per-hit conductor constants
+# buy nothing for the shipped corpus and cost 6 more attr rows.
+_SLOT_CLASSES = {
+    T.MAT_MATTE: {0: "kd"},
+    T.MAT_MIRROR: {0: "kd"},
+    T.MAT_SUBSTRATE: {0: "kd", 1: "ks", 2: "ru", 3: "rv"},
+    T.MAT_METAL: {2: "ru", 3: "rv"},
+    T.MAT_PLASTIC: {0: "kd", 1: "ks", 3: "rp"},
+    T.MAT_UBER: {0: "kd", 1: "ks", 2: "kr", 3: "kt", 4: "op",
+                 5: "ru", 6: "rv"},
+}
+# image-descriptor classes carried as attr rows (rp expands to ru+rv)
+IMG_CLASSES = ("kd", "ks", "ru", "rv", "op", "kr", "kt")
+
+
+def _mat_slot_descs(buffers_np, mat_idx: int):
+    """{class: descriptor} for every NON-SOLID texture slot of a
+    material, or None if any slot is non-representable."""
+    mt = int(buffers_np["mat_type"][mat_idx])
+    cls_map = _SLOT_CLASSES.get(mt, {})
+    out = {}
+    for slot, ti in enumerate(_mat_tex_indices(buffers_np, mat_idx)):
+        if int(buffers_np["tex_type"][ti]) == T.TEX_SOLID:
+            continue
+        cls = cls_map.get(slot)
+        if cls is None:
+            return None
+        desc = _tex_kernel_desc(buffers_np, ti)
+        if desc is None:
+            return None
+        if cls == "op" and desc[0] == "image" \
+                and tuple(desc[2]) != (1.0, 1.0, 1.0):
+            return None  # op applies 1-v; a scale base has no fold
+        out[cls] = desc
+    return out
 
 
 def _kernel_images(buffers_np, config: RenderConfig):
-    """Image ids the kernel would fetch: the background env map plus every
-    used material whose Kd resolves to an image descriptor."""
+    """Image ids the kernel would fetch: the background env map plus
+    every used material slot that resolves to an image descriptor."""
     used = set()
     bg_tex = int(buffers_np["background_texture"])
     if int(buffers_np["tex_type"][bg_tex]) == T.TEX_IMAGEMAP:
         used.add(int(buffers_np["tex_u0"][bg_tex, 0]))
     for m in set(buffers_np["inst_material"].tolist()):
-        if int(buffers_np["mat_type"][m]) not in KD_TEX_MATS:
-            continue
-        desc = _tex_kernel_desc(buffers_np,
-                                int(buffers_np["mat_u0"][m][0]))
-        if desc is not None and desc[0] == "image":
-            used.add(desc[1])
+        descs = _mat_slot_descs(buffers_np, int(m))
+        for desc in (descs or {}).values():
+            if desc[0] == "image":
+                used.add(desc[1])
     return sorted(used)
 
 
@@ -282,22 +321,15 @@ def _mat_solid_only(buffers_np, mat_idx: int) -> bool:
 
 
 def _mat_kernel_ok(buffers_np, mat_idx: int) -> bool:
-    """Material representable in the megakernel: a supported type whose
-    textures are solid, except the Kd slot of matte/substrate/plastic/
-    uber may be any kernel texture descriptor (checker with solid subs,
-    imagemap, scale; evaluated per-hit from interpolated/spherical uv)."""
-    mt = int(buffers_np["mat_type"][mat_idx])
-    if mt not in OK_MATS:
+    """Material representable in the megakernel: a supported type where
+    every non-solid texture slot has a kernel descriptor (checker with
+    solid subs, imagemap, scale) in a class _SLOT_CLASSES supports —
+    Kd, Ks, roughness, opacity, Kr/Kt — evaluated per hit from
+    interpolated/spherical uv (texture.rs:176-211 across material.rs's
+    per-slot fetches)."""
+    if int(buffers_np["mat_type"][mat_idx]) not in OK_MATS:
         return False
-    for slot, ti in enumerate(_mat_tex_indices(buffers_np, mat_idx)):
-        tt = int(buffers_np["tex_type"][ti])
-        if tt == T.TEX_SOLID:
-            continue
-        if (mt in KD_TEX_MATS and slot == 0
-                and _tex_kernel_desc(buffers_np, ti) is not None):
-            continue
-        return False
-    return True
+    return _mat_slot_descs(buffers_np, mat_idx) is not None
 
 
 def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
@@ -390,90 +422,132 @@ def _remap_rough(r: float) -> float:
 
 
 def _mat_record(buffers_np, mat_idx: int) -> dict:
-    """Resolve a material row + its textures into plain floats. A matte
-    checker Kd becomes a ("checker", us, vs, rgb_even, rgb_odd) descriptor
-    evaluated per hit from interpolated uv."""
+    """Resolve a material row + its textures into plain floats plus
+    per-hit texture descriptors. `rec["texs"]` maps a slot class
+    (IMG_CLASSES) to a ("checker", us, vs, rgb_e, rgb_o) or ("image",
+    img_idx, base_rgb) descriptor; the rec's plain fields then hold the
+    trace-time BASE value the fetch multiplies into (image) or a
+    fallback (checker). Image descriptors are resolved to atlas rows in
+    pack_scene once image base offsets are known."""
     mt = int(buffers_np["mat_type"][mat_idx])
     u0 = buffers_np["mat_u0"][mat_idx]
     u1 = buffers_np["mat_u1"][mat_idx]
     v0 = buffers_np["mat_v0"][mat_idx]
+    descs = _mat_slot_descs(buffers_np, mat_idx) or {}
+    texs = {}
 
     def tex_rgb(ti):
         return tuple(float(x) for x in buffers_np["tex_v0"][int(ti), :3])
 
     rec = {"mat_type": mt, "albedo": (0.0, 0.0, 0.0),
            "eta": (1.0, 1.0, 1.0), "k": (0.0, 0.0, 0.0),
-           "alpha": (0.0, 0.0), "ir": 1.5, "tex": ("solid",),
+           "alpha": (0.0, 0.0), "ir": 1.5, "texs": texs, "rrm": 0,
            "op": (0.0, 0.0, 0.0), "kr2": (0.0, 0.0, 0.0),
            "kt2": (0.0, 0.0, 0.0)}
 
-    def kd_tex(ti):
-        """Kd slot: solid folds into albedo; checker/imagemap become a
-        per-hit descriptor (image descriptors are resolved to atlas rows
-        in pack_scene once image base offsets are known)."""
-        desc = _tex_kernel_desc(buffers_np, int(ti))
-        if desc is None or desc[0] == "solid":
-            rec["albedo"] = desc[1] if desc else tex_rgb(ti)
-        elif desc[0] == "checker":
-            rec["tex"] = desc
-            rec["albedo"] = desc[3]
-        else:
-            rec["tex"] = desc
-            rec["albedo"] = desc[2]
+    def slot_rgb(ti, cls):
+        """Trace-time rgb base of a slot; registers its descriptor."""
+        d = descs.get(cls)
+        if d is None:
+            return tex_rgb(ti)
+        texs[cls] = d
+        return d[3] if d[0] == "checker" else d[2]
+
+    def slot_rough(ti, cls, remap):
+        """Trace-time alpha of a roughness slot. Checker values are
+        pre-remapped host-side; image roughness defers the remap to the
+        kernel (rec["rrm"])."""
+        d = descs.get(cls)
+        if d is None:
+            r = tex_rgb(ti)[0]
+            return _remap_rough(r) if remap else r
+        if d[0] == "checker":
+            if remap:
+                d = (d[0], d[1], d[2],
+                     (_remap_rough(d[3][0]),) * 3,
+                     (_remap_rough(d[4][0]),) * 3)
+            texs[cls] = d
+            return d[3][0]
+        texs[cls] = d
+        if remap:
+            rec["rrm"] = 1
+        return float(d[2][0])  # scale-fold base (plain imagemap: 1.0)
 
     if mt == T.MAT_MATTE:
-        kd_tex(u0[0])
+        rec["albedo"] = slot_rgb(u0[0], "kd")
     elif mt == T.MAT_MIRROR:
-        rec["albedo"] = tex_rgb(u0[0])
+        rec["albedo"] = slot_rgb(u0[0], "kd")
     elif mt == T.MAT_GLASS:
         rec["ir"] = float(v0[0])
     elif mt == T.MAT_SUBSTRATE:
         # FresnelBlend: Kd -> albedo (diffuse + AOV), Ks -> k slots
         # (material.rs:187-226)
-        kd_tex(u0[0])
-        rec["k"] = tex_rgb(u0[1])
-        ru = tex_rgb(u0[2])[0]
-        rv = tex_rgb(u0[3])[0]
-        if int(u1[0]):
-            ru, rv = _remap_rough(ru), _remap_rough(rv)
-        rec["alpha"] = (ru, rv)
+        rec["albedo"] = slot_rgb(u0[0], "kd")
+        rec["k"] = slot_rgb(u0[1], "ks")
+        remap = bool(int(u1[0]))
+        rec["alpha"] = (slot_rough(u0[2], "ru", remap),
+                        slot_rough(u0[3], "rv", remap))
     elif mt == T.MAT_METAL:
-        rec["eta"] = tex_rgb(u0[0])
+        rec["eta"] = tex_rgb(u0[0])  # solid-only (_SLOT_CLASSES)
         rec["k"] = tex_rgb(u0[1])
-        ru = tex_rgb(u0[2])[0]
-        rv = tex_rgb(u0[3])[0]
-        if int(u1[0]):
-            ru, rv = _remap_rough(ru), _remap_rough(rv)
-        rec["alpha"] = (ru, rv)
+        remap = bool(int(u1[0]))
+        rec["alpha"] = (slot_rough(u0[2], "ru", remap),
+                        slot_rough(u0[3], "rv", remap))
         rec["albedo"] = rec["k"]  # AOV albedo (material.rs:309-317)
     elif mt == T.MAT_PLASTIC:
         # lambert(Kd) + microfacet(Ks, dielectric 1.5->1.0)
         # (material.rs:679-707); roughness texture u0.w, remap flag u1.z
-        kd_tex(u0[0])
-        rec["k"] = tex_rgb(u0[1])
-        r = tex_rgb(u0[3])[0]
-        if int(u1[2]):
-            r = _remap_rough(r)
-        rec["alpha"] = (r, r)
+        rec["albedo"] = slot_rgb(u0[0], "kd")
+        rec["k"] = slot_rgb(u0[1], "ks")
+        if "rp" in descs:  # one roughness slot drives both axes
+            descs["ru"] = descs["rp"]
+            descs["rv"] = descs["rp"]
+        remap = bool(int(u1[2]))
+        r_u = slot_rough(u0[3], "ru", remap)
+        r_v = slot_rough(u0[3], "rv", remap)
+        rec["alpha"] = (r_u, r_v)
     elif mt == T.MAT_UBER:
         # up to 5 conditional lobes (material.rs:578-630): opacity
         # spec-transmission, lambert(Kd), microfacet(Ks, dielectric
         # 1->eta), spec-reflection(op*Kr), spec-transmission(op*Kt, eta)
-        ks = tex_rgb(u0[1])
-        kr = tex_rgb(u0[2])
-        kt = tex_rgb(u0[3])
-        op = tex_rgb(u1[0])
-        kd_tex(u0[0])
-        rec["k"] = ks
-        rec["op"] = tuple(1.0 - c for c in op)  # transmission weight
-        rec["kr2"] = tuple(op[i] * kr[i] for i in range(3))
-        rec["kt2"] = tuple(op[i] * kt[i] for i in range(3))
+        rec["albedo"] = slot_rgb(u0[0], "kd")
+        rec["k"] = slot_rgb(u0[1], "ks")
+        kr = slot_rgb(u0[2], "kr")
+        kt = slot_rgb(u0[3], "kt")
+        op_desc = descs.get("op")
+        if op_desc is None:
+            op = tex_rgb(u1[0])
+            rec["op"] = tuple(1.0 - c for c in op)  # transmission weight
+            rec["kr2"] = tuple(op[i] * kr[i] for i in range(3))
+            rec["kt2"] = tuple(op[i] * kt[i] for i in range(3))
+            # fold solid op into textured Kr/Kt descriptors
+            for cls in ("kr", "kt"):
+                d = texs.get(cls)
+                if d is None:
+                    continue
+                if d[0] == "checker":
+                    texs[cls] = (d[0], d[1], d[2],
+                                 tuple(op[i] * d[3][i] for i in range(3)),
+                                 tuple(op[i] * d[4][i] for i in range(3)))
+                else:
+                    texs[cls] = (d[0], d[1],
+                                 tuple(op[i] * d[2][i] for i in range(3)))
+        else:
+            # textured opacity: kr2/kt2 carry the OP-LESS products; the
+            # per-hit op (checker inline / image fetch) multiplies them
+            # and sets op = 1 - v
+            texs["op"] = op_desc
+            rec["op"] = (0.0, 0.0, 0.0)
+            rec["kr2"] = tuple(kr)
+            rec["kt2"] = tuple(kt)
         rec["ir"] = float(v0[0])
-        ru = tex_rgb(u1[2])[0]
-        rv = tex_rgb(u1[3])[0]
-        if int(u1[1]):
-            ru, rv = _remap_rough(ru), _remap_rough(rv)
-        rec["alpha"] = (ru, rv)
+        remap = bool(int(u1[1]))
+        rec["alpha"] = (slot_rough(u1[2], "ru", remap),
+                        slot_rough(u1[3], "rv", remap))
+    # legacy alias: the Kd descriptor (pack_scene/_pack_mesh and the
+    # kernel's HAS_* switches read rec["texs"] but a few paths still
+    # look at rec["tex"])
+    rec["tex"] = texs.get("kd", ("solid",))
     return rec
 
 
@@ -733,12 +807,16 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
                     pad[:, ch].reshape(nr, 128)
 
         def resolve(rec):
-            tex = rec.get("tex", ("solid",))
-            if tex[0] == "image":
-                ii = tex[1]
-                rec["tex"] = ("image", bases[ii],
-                              int(buffers_np["img_width"][ii]),
-                              int(buffers_np["img_height"][ii]))
+            """Image descriptors -> atlas (base_row, w, h) across every
+            slot class."""
+            for cls, d in list(rec.get("texs", {}).items()):
+                if d[0] == "image":
+                    ii = d[1]
+                    rec["texs"][cls] = (
+                        "image", bases[ii],
+                        int(buffers_np["img_width"][ii]),
+                        int(buffers_np["img_height"][ii]))
+            rec["tex"] = rec.get("texs", {}).get("kd", ("solid",))
         for rec in tris:
             resolve(rec)
         for rec in spheres:
@@ -838,22 +916,28 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     MATSET = {r["mat_type"] for r in _all_recs}
     HAS_UBER = T.MAT_UBER in MATSET
     HAS_IMG = ps.img_table is not None
-    HAS_MESH_UV = any(r.get("tex", ("solid",))[0] != "solid"
-                      for r in (ps.mesh_mats or []))
-    HAS_IMG_MATS = any(r.get("tex", ("solid",))[0] == "image"
-                       for r in ps.tris + ps.spheres
-                       + (ps.mesh_mats or []))
+    HAS_MESH_UV = any(r.get("texs") for r in (ps.mesh_mats or []))
+
+    def _img_descs(cls):
+        return [r["texs"][cls] for r in _all_recs
+                if r.get("texs", {}).get(cls, ("solid",))[0] == "image"]
+
+    # image-descriptor slot classes this scene actually uses; each gets
+    # (base,w,h) attr rows and one bounded fetch sweep per bounce
+    ACTIVE_IMG_CLASSES = tuple(c for c in IMG_CLASSES if _img_descs(c))
+    HAS_IMG_MATS = bool(ACTIVE_IMG_CLASSES)
+    HAS_RRM = any(r.get("rrm") for r in _all_recs)
     BG_IMG = ps.bg_img
     NPAGES = (ps.img_rows // IMG_PAGE) if HAS_IMG else 0
     IMG_ROWS = ps.img_rows
-    # static page ranges per fetch site
-    _kd_imgs = [r["tex"] for r in ps.tris + ps.spheres
-                + (ps.mesh_mats or [])
-                if r.get("tex", ("solid",))[0] == "image"]
-    if _kd_imgs:
-        KD_PMIN = min(t[1] for t in _kd_imgs) // IMG_PAGE
-        KD_PMAX = -(-max(t[1] + (t[2] * t[3] + 127) // 128
-                         for t in _kd_imgs) // IMG_PAGE)
+    # static page ranges per fetch site (class)
+    CLS_PRANGE = {}
+    for _c in ACTIVE_IMG_CLASSES:
+        _ds = _img_descs(_c)
+        CLS_PRANGE[_c] = (
+            min(t[1] for t in _ds) // IMG_PAGE,
+            -(-max(t[1] + (t[2] * t[3] + 127) // 128
+                   for t in _ds) // IMG_PAGE))
     if BG_IMG is not None:
         BG_PMIN = BG_IMG[0] // IMG_PAGE
         BG_PMAX = -(-(BG_IMG[0] + (BG_IMG[1] * BG_IMG[2] + 127) // 128)
@@ -1234,6 +1318,64 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
         return jax.lax.fori_loop(0, NSUP, sup_body, hf0) > 0.5
 
+    def _apply_rec_texs(rec, uu, vv, vals):
+        """Per-hit texture-slot values of a record: checkers evaluate
+        inline from uv; image slots publish (base,w,h) descriptor rows
+        fetched once post-trace (apply_images). Every active class gets
+        a default so stale lanes reset. uu=None -> descriptor-row
+        defaults only (mesh tables without uv rows carry no texs)."""
+        texs = rec.get("texs", {}) if uu is not None else {}
+        opv = None
+        for cls, d in texs.items():
+            if cls not in IMG_CLASSES:
+                continue
+            if d[0] == "checker":
+                xs = uu * d[1]
+                ys = vv * d[2]
+                even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
+                        == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
+                v = tuple(jnp.where(even, d[3][ch], d[4][ch])
+                          for ch in range(3))
+                if cls == "kd":
+                    vals["abr"], vals["abg"], vals["abb"] = v
+                elif cls == "ks":
+                    vals["kr"], vals["kg"], vals["kb"] = v
+                elif cls == "ru":
+                    vals["ax"] = v[0]
+                elif cls == "rv":
+                    vals["ay"] = v[0]
+                elif cls == "kr":
+                    vals["krr"], vals["krg"], vals["krb"] = v
+                elif cls == "kt":
+                    vals["ktr"], vals["ktg"], vals["ktb"] = v
+                elif cls == "op":
+                    opv = v
+            else:
+                vals[f"ib_{cls}"] = float(d[1])
+                vals[f"iw_{cls}"] = float(d[2])
+                vals[f"ih_{cls}"] = float(d[3])
+        if opv is not None:
+            # checker opacity: op = 1-v; v multiplies the op-less
+            # kr2/kt2 bases (material.rs:578-630 products, per hit)
+            vals["opr"] = 1.0 - opv[0]
+            vals["opg"] = 1.0 - opv[1]
+            vals["opb"] = 1.0 - opv[2]
+            for ch, keys in enumerate((("krr", "ktr"), ("krg", "ktg"),
+                                       ("krb", "ktb"))):
+                for key in keys:
+                    vals[key] = opv[ch] * vals[key]
+        if HAS_IMG_MATS:
+            if uu is not None:
+                vals["u"] = uu
+                vals["v"] = vv
+            for c in ACTIVE_IMG_CLASSES:
+                vals.setdefault(f"ib_{c}", -1.0)
+                vals.setdefault(f"iw_{c}", 0.0)
+                vals.setdefault(f"ih_{c}", 0.0)
+            if HAS_RRM:
+                vals["rrm"] = 1.0 if rec.get("rrm") else 0.0
+        return vals
+
     # ---- closest hit: unrolled over primitives; returns t + shading record
     def trace_closest(ox, oy, oz, dx, dy, dz, tmin, mref=None):
         wx = oy * dz - oz * dy
@@ -1255,9 +1397,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if HAS_IMG_MATS:
             attr["u"] = jnp.zeros(SHAPE)
             attr["v"] = jnp.zeros(SHAPE)
-            attr["kdb"] = jnp.full(SHAPE, -1.0)
-            attr["kdw"] = jnp.zeros(SHAPE)
-            attr["kdh"] = jnp.zeros(SHAPE)
+            for c in ACTIVE_IMG_CLASSES:
+                attr[f"ib_{c}"] = jnp.full(SHAPE, -1.0)
+                attr[f"iw_{c}"] = jnp.zeros(SHAPE)
+                attr[f"ih_{c}"] = jnp.zeros(SHAPE)
+            if HAS_RRM:
+                attr["rrm"] = jnp.zeros(SHAPE)
 
         for rec in ps.tris:
             s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
@@ -1279,29 +1424,19 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             nx = w0 * rec["n0"][0] + bu * rec["n1"][0] + bv * rec["n2"][0]
             ny = w0 * rec["n0"][1] + bu * rec["n1"][1] + bv * rec["n2"][1]
             nz = w0 * rec["n0"][2] + bu * rec["n1"][2] + bv * rec["n2"][2]
-            tex = rec.get("tex", ("solid",))
-            if tex[0] != "solid" or HAS_IMG_MATS:
+            if rec.get("texs") or HAS_IMG_MATS:
                 uu = (w0 * rec["uv0"][0] + bu * rec["uv1"][0]
                       + bv * rec["uv2"][0])
                 vv = (w0 * rec["uv0"][1] + bu * rec["uv1"][1]
                       + bv * rec["uv2"][1])
-            if tex[0] == "checker":
-                # checker Kd from interpolated uv (texture.rs:96-119; the
-                # floor-parity form matches i32 truncation for uv >= 0)
-                xs = uu * tex[1]
-                ys = vv * tex[2]
-                even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
-                        == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
-                ab_r = jnp.where(even, tex[3][0], tex[4][0])
-                ab_g = jnp.where(even, tex[3][1], tex[4][1])
-                ab_b = jnp.where(even, tex[3][2], tex[4][2])
             else:
-                ab_r, ab_g, ab_b = rec["albedo"]
+                uu = vv = None
             vals = {"nx": nx, "ny": ny, "nz": nz,
                     "alr": rec["emit"][0] if rec["emissive"] else 0.0,
                     "alg": rec["emit"][1] if rec["emissive"] else 0.0,
                     "alb": rec["emit"][2] if rec["emissive"] else 0.0,
-                    "abr": ab_r, "abg": ab_g, "abb": ab_b,
+                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                    "abb": rec["albedo"][2],
                     "etar": rec["eta"][0], "etag": rec["eta"][1],
                     "etab": rec["eta"][2],
                     "kr": rec["k"][0], "kg": rec["k"][1], "kb": rec["k"][2],
@@ -1316,12 +1451,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             krg=rec["kr2"][1], krb=rec["kr2"][2],
                             ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                             ktb=rec["kt2"][2])
-            if HAS_IMG_MATS:
-                img = tex[0] == "image"
-                vals.update(u=uu, v=vv,
-                            kdb=float(tex[1]) if img else -1.0,
-                            kdw=float(tex[2]) if img else 0.0,
-                            kdh=float(tex[3]) if img else 0.0)
+            vals = _apply_rec_texs(rec, uu, vv, vals)
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -1354,25 +1484,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             nx = m[0][0] * px_ + m[1][0] * py_ + m[2][0] * pz_
             ny = m[0][1] * px_ + m[1][1] * py_ + m[2][1] * pz_
             nz = m[0][2] * px_ + m[1][2] * py_ + m[2][2] * pz_
-            tex = rec.get("tex", ("solid",))
-            if tex[0] != "solid" or HAS_IMG_MATS:
+            if rec.get("texs") or HAS_IMG_MATS:
                 # spherical uv from the object-space hit (lib.rs:874-880)
                 uu, vv = sphere_uv_of(px_, py_, pz_)
-            if tex[0] == "checker":
-                xs = uu * tex[1]
-                ys = vv * tex[2]
-                even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
-                        == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
-                ab_r = jnp.where(even, tex[3][0], tex[4][0])
-                ab_g = jnp.where(even, tex[3][1], tex[4][1])
-                ab_b = jnp.where(even, tex[3][2], tex[4][2])
             else:
-                ab_r, ab_g, ab_b = rec["albedo"]
+                uu = vv = None
             vals = {"nx": nx, "ny": ny, "nz": nz,
                     "alr": rec["emit"][0] if rec["emissive"] else 0.0,
                     "alg": rec["emit"][1] if rec["emissive"] else 0.0,
                     "alb": rec["emit"][2] if rec["emissive"] else 0.0,
-                    "abr": ab_r, "abg": ab_g, "abb": ab_b,
+                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                    "abb": rec["albedo"][2],
                     "etar": rec["eta"][0], "etag": rec["eta"][1],
                     "etab": rec["eta"][2],
                     "kr": rec["k"][0], "kg": rec["k"][1], "kb": rec["k"][2],
@@ -1387,12 +1509,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             krg=rec["kr2"][1], krb=rec["kr2"][2],
                             ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                             ktb=rec["kt2"][2])
-            if HAS_IMG_MATS:
-                img = tex[0] == "image"
-                vals.update(u=uu, v=vv,
-                            kdb=float(tex[1]) if img else -1.0,
-                            kdw=float(tex[2]) if img else 0.0,
-                            kdh=float(tex[3]) if img else 0.0)
+            vals = _apply_rec_texs(rec, uu, vv, vals)
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
@@ -1410,19 +1527,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 attr[key] = jnp.where(win, 0.0, attr[key])
             for mi, rec in enumerate(ps.mesh_mats):
                 sel = win & (mid == float(mi))
-                tex = rec.get("tex", ("solid",))
-                if tex[0] == "checker":
-                    # checker Kd from the table's interpolated uv
-                    xs = mu * tex[1]
-                    ys = mv * tex[2]
-                    even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
-                            == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
-                    ab_r = jnp.where(even, tex[3][0], tex[4][0])
-                    ab_g = jnp.where(even, tex[3][1], tex[4][1])
-                    ab_b = jnp.where(even, tex[3][2], tex[4][2])
-                else:
-                    ab_r, ab_g, ab_b = rec["albedo"]
-                vals = {"abr": ab_r, "abg": ab_g, "abb": ab_b,
+                vals = {"abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                        "abb": rec["albedo"][2],
                         "etar": rec["eta"][0], "etag": rec["eta"][1],
                         "etab": rec["eta"][2],
                         "kr": rec["k"][0], "kg": rec["k"][1],
@@ -1438,15 +1544,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                 krg=rec["kr2"][1], krb=rec["kr2"][2],
                                 ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                                 ktb=rec["kt2"][2])
-                if HAS_IMG_MATS:
-                    img = tex[0] == "image"
-                    vals.update(
-                        kdb=float(tex[1]) if img else -1.0,
-                        kdw=float(tex[2]) if img else 0.0,
-                        kdh=float(tex[3]) if img else 0.0)
-                    if HAS_MESH_UV:
-                        vals["u"] = mu
-                        vals["v"] = mv
+                # mesh tables without uv rows guarantee solid mesh mats
+                vals = _apply_rec_texs(
+                    rec, mu if HAS_MESH_UV else None,
+                    mv if HAS_MESH_UV else None, vals)
                 for key, val in vals.items():
                     attr[key] = jnp.where(sel, val, attr[key])
 
@@ -2381,19 +2482,57 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return dx, dy, dz
 
     # ------------------------------------------------------------------
+    def _remap_rough_k(r):
+        """pbrt roughness->alpha polynomial, in-kernel (for imagemap
+        roughness whose value is only known per hit)."""
+        x = jnp.log(jnp.maximum(r, 1e-3))
+        return (1.62142 + 0.819955 * x + 0.1734 * x * x
+                + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
+
     def apply_images(iref, c, attr, hit, miss):
-        """Per-bounce texture fetches: imagemap Kd multiplied into the
-        albedo rows, and the env-map background for missed lanes
-        (miss shader lib.rs:120-139). Returns (attr, bg_rgb)."""
+        """Per-bounce texture fetches: one bounded sweep per active slot
+        class (imagemap Kd/Ks/roughness/opacity/Kr/Kt multiplied or
+        applied into the matching attr rows), plus the env-map
+        background for missed lanes (miss shader lib.rs:120-139).
+        Returns (attr, bg_rgb)."""
         if HAS_IMG_MATS:
-            sel_img = (attr["kdb"] >= 0.0) & hit
-            iv = fetch_image(iref, attr["u"], attr["v"], attr["kdw"],
-                             attr["kdh"], attr["kdb"], sel_img,
-                             KD_PMIN, KD_PMAX)
             attr = dict(attr)
-            for ch, key in enumerate(("abr", "abg", "abb")):
-                attr[key] = jnp.where(sel_img, attr[key] * iv[ch],
-                                      attr[key])
+            for cls in ACTIVE_IMG_CLASSES:
+                sel_img = (attr[f"ib_{cls}"] >= 0.0) & hit
+                iv = fetch_image(iref, attr["u"], attr["v"],
+                                 attr[f"iw_{cls}"], attr[f"ih_{cls}"],
+                                 attr[f"ib_{cls}"], sel_img,
+                                 *CLS_PRANGE[cls])
+                if cls == "kd":
+                    rows = ("abr", "abg", "abb")
+                elif cls == "ks":
+                    rows = ("kr", "kg", "kb")
+                elif cls == "kr":
+                    rows = ("krr", "krg", "krb")
+                elif cls == "kt":
+                    rows = ("ktr", "ktg", "ktb")
+                elif cls in ("ru", "rv"):
+                    key = "ax" if cls == "ru" else "ay"
+                    r = attr[key] * iv[0]
+                    if HAS_RRM:
+                        r = jnp.where(attr["rrm"] > 0.5,
+                                      _remap_rough_k(r), r)
+                    attr[key] = jnp.where(sel_img, r, attr[key])
+                    continue
+                else:  # op: op = 1 - v; v multiplies op-less kr2/kt2
+                    for ch, okey in enumerate(("opr", "opg", "opb")):
+                        attr[okey] = jnp.where(sel_img, 1.0 - iv[ch],
+                                               attr[okey])
+                    for ch, keys in enumerate(
+                            (("krr", "ktr"), ("krg", "ktg"),
+                             ("krb", "ktb"))):
+                        for key in keys:
+                            attr[key] = jnp.where(
+                                sel_img, attr[key] * iv[ch], attr[key])
+                    continue
+                for ch, key in enumerate(rows):
+                    attr[key] = jnp.where(sel_img, attr[key] * iv[ch],
+                                          attr[key])
         if BG_IMG is not None:
             bm = ps.bg_matrix
             bdx = (bm[0, 0] * c["dx"] + bm[0, 1] * c["dy"]

@@ -55,6 +55,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         k_bounces: int = 2,
                         samples_per_wave: int = 0,
                         sort_rays: bool = True,
+                        sort_from: int = 1,
+                        sort_first: int = 0,
+                        oct_major: bool = True,
                         check_every: int = 4):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -152,8 +155,10 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         return v
 
     def bin_key(state):
-        """Direction-octant (major) x 6-bit/axis origin Morton cell;
-        dead lanes to the end."""
+        """Direction octant x 8-bit/axis origin Morton cell (27 bits;
+        octant major by default — `oct_major=False` swaps to cell-major).
+        The sort is stable, so within-bucket order keeps the previous
+        (spatially coherent) arrangement. Dead lanes to the end."""
         ox, oy, oz = state[pp.WROW_O], state[pp.WROW_O + 1], \
             state[pp.WROW_O + 2]
         dx, dy, dz = state[pp.WROW_D], state[pp.WROW_D + 1], \
@@ -161,32 +166,36 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         alive = state[pp.WROW_ALIVE] > 0.5
 
         def q(v, axis):
-            return jnp.clip((v - lo[axis]) / ext[axis] * 64.0,
-                            0.0, 63.0).astype(jnp.int32)
+            return jnp.clip((v - lo[axis]) / ext[axis] * 256.0,
+                            0.0, 255.0).astype(jnp.int32)
 
         morton = (_morton_part(q(ox, 0)) | (_morton_part(q(oy, 1)) << 1)
                   | (_morton_part(q(oz, 2)) << 2))
         oct_ = ((dx < 0).astype(jnp.int32) * 4
                 + (dy < 0).astype(jnp.int32) * 2
                 + (dz < 0).astype(jnp.int32))
-        key = (oct_ << 18) | morton
+        key = ((oct_ << 24) | morton) if oct_major \
+            else ((morton << 3) | oct_)
         return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
-    @jax.jit
-    def wave_step(state, pix, seed, dep0):
-        if sort_rays:
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def wave_step(state, pix, seed, dep0, nt, do_sort):
+        """One k-bounce launch. `nt` = tile count to march (a host-side
+        UPPER bound on alive tiles — alive lanes only shrink, so a stale
+        count is safe); sorted steps compact alive lanes into the tile
+        prefix, unsorted steps march every tile. Returns the post-launch
+        alive count (a cheap (N,)-row sum, read back every check_every
+        steps for early exit)."""
+        if do_sort:
             perm = jnp.argsort(bin_key(state))
             state = jnp.take(state, perm, axis=1)
             pix = jnp.take(pix, perm)
-        n_alive = jnp.sum(state[pp.WROW_ALIVE] > 0.5).astype(jnp.int32)
-        # sorted waves compact alive lanes into a prefix -> trailing
-        # tiles skip the march; unsorted waves must march every tile
-        nt = ((n_alive + tile - 1) // tile if sort_rays
-              else jnp.int32(n_tiles))
         sc = jnp.stack([seed.astype(jnp.int32), dep0.astype(jnp.int32),
-                        nt])
+                        nt.astype(jnp.int32)])
         out = call_kernel(sc, state.reshape(NR, n_tiles * tile_sub, 128))
-        return out.reshape(NR, n_pad), pix, n_alive
+        out = out.reshape(NR, n_pad)
+        n_alive = jnp.sum(out[pp.WROW_ALIVE] > 0.5).astype(jnp.int32)
+        return out, pix, n_alive
 
     # camera init (camera.rs:77-90 math, vectorized in XLA)
     PI_ = ps.cam_proj_inv
@@ -253,13 +262,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         import jax.numpy as jnp
         want = min(int(num_samples), spw)
         state, pix = init_state(jnp.int32(seed), jnp.int32(npix * want))
+        last_alive = npix * want
         for si in range(steps):
-            state, pix, n_alive = wave_step(state, pix, jnp.int32(seed),
-                                            jnp.int32(si * k_bounces))
-            last = si == steps - 1
-            if not last and (si + 1) % check_every == 0 \
-                    and int(n_alive) == 0:
-                break
+            do_sort = sort_rays and (sort_first <= 0 or si < sort_first)
+            nt = (-(-last_alive // tile) if do_sort else n_tiles)
+            state, pix, n_alive = wave_step(
+                state, pix, jnp.int32(seed),
+                jnp.int32(si * k_bounces), jnp.int32(nt), do_sort)
+            if si != steps - 1 and (si + 1) % check_every == 0:
+                last_alive = int(n_alive)
+                if last_alive == 0:
+                    break
         sums, rays = finish_wave(state, pix)
         sums = np.asarray(sums)
         return {

@@ -1,0 +1,178 @@
+"""Round-3 TPU session B: veach Tungsten-compat demonstration.
+
+VALIDATION.md's round-2 forensics concluded the veach pbrt port and the
+Tungsten original are different scenes (backdrop ~1.85x brighter, plates
+~3.16x darker response). This session turns that claim into evidence:
+render the port with the hypothesized overrides (--scene-overrides
+mechanism) and measure per-surface ratios + SSIM vs the goldens.
+
+Experiments:
+  R. per-surface ratio sweep @320x180 (linear, vs the EXR golden):
+     base / backdrop-0.925 / plates-F0x0.316 / plates-alpha-sq / combos.
+  S. full golden SSIM @1280x720 (srgb-lights, vs TungstenRender.png)
+     for the base and the best override set; target >= 0.95 with
+     overrides (VERDICT #3).
+
+Usage: timeout 5400 python scripts/tpu_session_r3b.py [R S]
+"""
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+from rene_tpu.render import render
+from rene_tpu.scene import load_scene
+from rene_tpu.scene.overrides import apply_overrides
+
+SAMPLES = "/root/reference/sample_scenes"
+VEACH = f"{SAMPLES}/veach-mis/scene.pbrt"
+
+# visible-face unit normals of the veach surfaces (scene.pbrt:15-48)
+SURFACES = {
+    "smooth": (0.641183, 0.767388, 0.0),
+    "glossy": (0.37809, 0.925769, 0.0),
+    "rough": (0.184835, 0.98277, 0.0),
+    "super": (0.121887, 0.992544, 0.0),
+    "floor": (0.0, 1.0, 0.0),
+    "backdrop": (1.0, 0.0, 0.0),
+}
+
+# metal constants of the plates (scene.pbrt:9-13)
+ETA = (0.200438, 0.924033, 1.102212)
+K = (3.912949, 2.452848, 2.142188)
+ROUGH = {"smooth": 0.01, "glossy": 0.05, "rough": 0.10, "super": 0.25}
+PLATE_IDX = {"smooth": 0, "glossy": 1, "rough": 2, "super": 8}
+
+
+def f0_of(eta, k):
+    return tuple(((e - 1) ** 2 + kk ** 2) / ((e + 1) ** 2 + kk ** 2)
+                 for e, kk in zip(eta, k))
+
+
+def k_for_f0(f0):
+    """n=1 conductor with the requested normal-incidence reflectance."""
+    return tuple(2.0 * math.sqrt(f / max(1.0 - f, 1e-6)) for f in f0)
+
+
+def plate_override(name, f0_scale=None, alpha_sq=False):
+    r = ROUGH[name]
+    eta, k = ETA, K
+    if f0_scale is not None:
+        f0 = tuple(min(0.999, f0_scale * f) for f in f0_of(ETA, K))
+        eta, k = (1.0, 1.0, 1.0), k_for_f0(f0)
+    m = {"eta": list(eta), "k": list(k),
+         "uroughness": r, "vroughness": r, "remap": False}
+    if alpha_sq:
+        m["alpha_from_roughness"] = "square"
+    return {"index": PLATE_IDX[name], "metal": m}
+
+
+def spec_for(backdrop=None, f0_scale=None, alpha_sq=False):
+    inst = []
+    if backdrop is not None:
+        inst.append({"index": 4, "matte_kd": [backdrop] * 3})
+    if f0_scale is not None or alpha_sq:
+        for nm in PLATE_IDX:
+            inst.append(plate_override(nm, f0_scale, alpha_sq))
+    return {"instances": inst}
+
+
+def golden_linear(w=320, h=180):
+    from rene_tpu.scene.assets.images import load_exr
+    from validate import box_downsample
+    img = load_exr(f"{SAMPLES}/veach-mis/TungstenRender.exr")
+    data = np.asarray(img.data, np.float32)[..., :3]
+    s = data.shape[1] // w
+    return box_downsample(data, s)
+
+
+def surface_masks(normal):
+    """Classify pixels by nearest scene normal (|n| ~ 1 where lit)."""
+    n = np.asarray(normal, np.float32)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    ok = ln[..., 0] > 0.5
+    nn = n / np.maximum(ln, 1e-9)
+    masks = {}
+    for name, ref in SURFACES.items():
+        d = nn @ np.asarray(ref, np.float32)
+        masks[name] = ok & (d > 0.998)
+    return masks
+
+
+def per_surface(tag, spec, spp=256, seed=0):
+    scene = load_scene(VEACH)
+    scene.set_film_resolution(320, 180)
+    if spec is not None:
+        apply_overrides(scene, spec)
+    t0 = time.time()
+    out = render(scene, spp=spp, seed=seed)
+    g = golden_linear()
+    masks = surface_masks(out["normal"])
+    print(f"{tag} ({time.time()-t0:.0f}s):", flush=True)
+    for name, m in masks.items():
+        if m.sum() < 20:
+            continue
+        ours = out["color"][m].mean(axis=0)
+        gold = g[m].mean(axis=0)
+        ratio = ours / np.maximum(gold, 1e-9)
+        print(f"  {name:9s} ours {ours.round(4)} golden {gold.round(4)} "
+              f"ratio {ratio.round(3)}", flush=True)
+    return out
+
+
+def golden_ssim_720(tag, spec, spp=512):
+    from PIL import Image as PILImage
+
+    from rene_tpu.utils.film import save_png, to_rgb8
+    from rene_tpu.utils.ssim import ssim
+    scene = load_scene(VEACH, color_space="srgb-lights")
+    if spec is not None:
+        apply_overrides(scene, spec)
+    golden = np.asarray(PILImage.open(
+        f"{SAMPLES}/veach-mis/TungstenRender.png").convert("RGB"),
+        np.float32) / 255.0
+    t0 = time.time()
+    out = render(scene, spp=spp, seed=0)
+    img8 = to_rgb8(out["color"])
+    s = ssim(img8.astype(np.float32) / 255.0, golden)
+    print(f"S.{tag} @720p spp={spp}: SSIM {s:.4f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    save_png(f"docs/renders/veach_r3_{tag}.png", img8)
+    return s
+
+
+def main():
+    import jax
+    todo = set(sys.argv[1:]) or {"R"}
+    print("platform:", jax.devices()[0].platform, flush=True)
+
+    if "R" in todo:
+        per_surface("R.base", None)
+        per_surface("R.backdrop0.925", spec_for(backdrop=0.925))
+        per_surface("R.platesF0x0.316", spec_for(f0_scale=0.316))
+        per_surface("R.platesAlphaSq", spec_for(alpha_sq=True))
+        per_surface("R.backdrop+F0",
+                    spec_for(backdrop=0.925, f0_scale=0.316))
+        per_surface("R.backdrop+F0+alphaSq",
+                    spec_for(backdrop=0.925, f0_scale=0.316,
+                             alpha_sq=True))
+
+    if "S" in todo:
+        golden_ssim_720("base", None)
+        golden_ssim_720("compat",
+                        spec_for(backdrop=0.925, f0_scale=0.316))
+
+    if "S2" in todo:
+        golden_ssim_720("compat_alphasq",
+                        spec_for(backdrop=0.925, f0_scale=0.316,
+                                 alpha_sq=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -442,3 +442,84 @@ WorldEnd"""
     xla = render(scene, spp=48, seed=5, engine="xla")
     np.testing.assert_allclose(mean, xla["color"].mean(axis=(0, 1)),
                                rtol=0.12)
+
+
+def test_textured_roughness_and_ks_eligible_and_match(tmp_path):
+    """ANY-SLOT kernel textures (round-3): imagemap roughness (with
+    remap) on substrate and checker Ks on plastic keep the scene at
+    megakernel rate and match the XLA integrator (the round-2 kernel
+    demoted any non-Kd textured slot to the XLA path)."""
+    rough = np.zeros((8, 8, 3), np.float32)
+    rough[..., 0] = np.linspace(0.02, 0.6, 8)[None, :]
+    rough[..., 1] = rough[..., 0]
+    rough[..., 2] = rough[..., 0]
+    _write_pfm(tmp_path / "rough.pfm", rough)
+    src = """
+LookAt 0 -4 1.2  0 0 0.6  0 0 1
+Camera "perspective" "float fov" 55
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" 4
+WorldBegin
+LightSource "infinite" "rgb L" [.8 .8 .8]
+LightSource "distant" "rgb L" [2 1.8 1.5] "point from" [1 -2 4]
+  "point to" [0 0 0]
+Texture "rmap" "float" "imagemap" "string filename" "rough.pfm"
+Texture "kscheck" "spectrum" "checkerboard" "float uscale" 4
+  "float vscale" 4 "rgb tex1" [.05 .05 .05] "rgb tex2" [.4 .4 .4]
+Material "substrate" "rgb Kd" [.3 .25 .2] "rgb Ks" [.2 .2 .2]
+  "texture uroughness" "rmap" "texture vroughness" "rmap"
+  "bool remaproughness" ["true"]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-2 1 -2  -2 1 2  2 1 2  2 1 -2]
+  "float uv" [0 0  0 1  1 1  1 0]
+Material "plastic" "rgb Kd" [.4 .2 .15] "texture Ks" "kscheck"
+  "float roughness" [0.15] "bool remaproughness" ["false"]
+Shape "sphere" "float radius" 0.8
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config), \
+        "textured roughness/Ks must stay kernel-eligible"
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 16
+    out = run(21, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+    from rene_tpu.render import render
+    xla = render(scene, spp=32, seed=8, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+
+
+def test_uber_textured_opacity_matches(tmp_path):
+    """uber with checker opacity (the op/kr2/kt2 products become
+    per-hit) stays eligible and matches XLA."""
+    src = """
+LookAt 0 -4 1  0 0 0.5  0 0 1
+Camera "perspective" "float fov" 55
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" 5
+WorldBegin
+LightSource "infinite" "rgb L" [.7 .7 .75]
+Texture "opcheck" "spectrum" "checkerboard" "float uscale" 3
+  "float vscale" 3 "rgb tex1" [1 1 1] "rgb tex2" [.2 .2 .2]
+Material "uber" "rgb Kd" [.35 .3 .2] "rgb Ks" [.15 .15 .15]
+  "texture opacity" "opcheck" "float roughness" [0.2]
+  "bool remaproughness" ["false"]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-1.5 0.5 -1.5  -1.5 0.5 1.5  1.5 0.5 1.5  1.5 0.5 -1.5]
+  "float uv" [0 0  0 1  1 1  1 0]
+Material "matte" "rgb Kd" [.5 .4 .3]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-4 3 -4  -4 3 4  4 3 4  4 3 -4]
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 24
+    out = run(17, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+    from rene_tpu.render import render
+    xla = render(scene, spp=48, seed=4, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.12)

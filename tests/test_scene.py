@@ -145,3 +145,56 @@ def test_dragon_missing_meshes_skipped(sample_scenes):
     # warns and skips them instead of aborting.
     buffers, config = build_device_scene(scene)
     assert config.num_triangles > 40000
+
+
+def test_scene_overrides():
+    """Post-flatten overrides: per-instance material replacement and
+    emission scaling (the --scene-overrides compat layer)."""
+    import numpy as np
+
+    from rene_tpu.pbrt import parse_pbrt
+    from rene_tpu.scene import create_scene
+    from rene_tpu.scene import types as T
+    from rene_tpu.scene.overrides import apply_overrides
+
+    src = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Material "matte" "rgb Kd" [.7 .2 .2]
+Shape "sphere" "float radius" 1
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [10 8 6]
+  Shape "trianglemesh" "integer indices" [0 1 2]
+    "point P" [0 0 3  1 0 3  0 1 3]
+AttributeEnd
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    apply_overrides(scene, {"instances": [
+        {"index": 0, "matte_kd": [0.1, 0.2, 0.9]},
+        {"index": 1, "emission_scale": 0.5},
+    ]})
+    mi = scene.tlas[0].material_index
+    assert scene.mat_type[mi] == T.MAT_MATTE
+    kd = scene.tex_v0[scene.mat_u0[mi][0]]
+    np.testing.assert_allclose(kd[:3], [0.1, 0.2, 0.9])
+    ai = scene.tlas[1].area_light_index
+    np.testing.assert_allclose(scene.area_color[ai], [5, 4, 3])
+
+    # metal override with Tungsten alpha convention
+    apply_overrides(scene, {"instances": [
+        {"index": 0, "metal": {"eta": [0.2, 0.9, 1.1],
+                               "k": [3.9, 2.5, 2.1],
+                               "uroughness": 0.1, "vroughness": 0.1,
+                               "alpha_from_roughness": "square"}}]})
+    mi = scene.tlas[0].material_index
+    assert scene.mat_type[mi] == T.MAT_METAL
+    ru = scene.tex_v0[scene.mat_u0[mi][2]][0]
+    assert abs(ru - 0.01) < 1e-7
+    # out-of-range index errors
+    try:
+        apply_overrides(scene, {"instances": [{"index": 99,
+                                               "matte_kd": [1, 1, 1]}]})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
