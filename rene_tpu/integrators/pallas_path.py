@@ -165,6 +165,9 @@ class PallasScene:
     # HBM streaming mode: geometry in HBM, per-group box table in VMEM
     mesh_hbm: bool = False
     mesh_box: Optional[np.ndarray] = None    # (n_super_pad8, 128)
+    # shared instanced BLAS tables (object space, one per shared blas):
+    # dicts of geom/box/n_clusters/inst_rows/n_inst (_pack_inst_mesh)
+    inst_meshes: Optional[List[dict]] = None
     # volpath: integrator tag + homogeneous-medium records (index 0 = vacuum)
     integrator: str = "path"
     media: Optional[List[dict]] = None
@@ -353,11 +356,17 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     # is VMEM-resident never gets the full image budget.
     imgs = _kernel_images(buffers_np, config)
     texels = sum(_image_rows(buffers_np, i) for i in imgs) * 128
-    n_mesh = 0
+    n_mesh = n_shared_tris = 0
     if config.num_triangles > MAX_TRIS:
-        n_mesh = int((~_immediate_tri_mask(buffers_np)
-                      [:config.num_triangles]).sum())
-    cap = (MAX_IMG_TEXELS_CLUSTER if 0 < n_mesh <= HBM_MIN_TRIS
+        mesh_idx = np.nonzero(
+            ~_immediate_tri_mask(buffers_np)[:config.num_triangles])[0]
+        rest_idx, shared = _shared_split(buffers_np, mesh_idx)
+        n_mesh = int(rest_idx.size)
+        n_shared_tris = sum(
+            int(buffers_np["inst_prim_count"][insts[0]])
+            for _, insts in shared)
+    cap = (MAX_IMG_TEXELS_CLUSTER
+           if (0 < n_mesh <= HBM_MIN_TRIS) or n_shared_tris
            else MAX_IMG_TEXELS)
     if texels > cap:
         return False
@@ -369,9 +378,10 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     # spheres compute spherical uv in the kernel (lib.rs:874-880), so the
     # same material set as triangles qualifies (solid + matte checker Kd)
     if config.num_triangles > MAX_TRIS:
-        # clustered path: emissive or checker-textured tris stay
-        # immediates, the rest go to the VMEM cluster table
-        if config.num_triangles > MESH_MAX_TRIS:
+        # clustered path: emissive or small-textured tris stay
+        # immediates; shared-blas instances march one object-space
+        # table each; the rest go to the merged world-space table
+        if n_mesh > MESH_MAX_TRIS:
             return False
         if int(_immediate_tri_mask(buffers_np).sum()) > MAX_TRIS:
             return False
@@ -563,7 +573,7 @@ def _morton3(xi: np.ndarray, yi: np.ndarray, zi: np.ndarray) -> np.ndarray:
     return part(xi) | (part(yi) << np.uint64(1)) | (part(zi) << np.uint64(2))
 
 
-def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
+def _pack_mesh(buffers_np, mesh_idx: np.ndarray, needs_uv=None):
     """Build the (MESH_ROWS, C*128) cluster table + matid material list.
 
     Triangles are Morton-ordered by centroid so consecutive 128-tri clusters
@@ -574,8 +584,8 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     """
     p = buffers_np["tri_p"][mesh_idx].astype(np.float64)   # (M,3,3)
     n = buffers_np["tri_n"][mesh_idx].astype(np.float64)
-    needs_uv = _mesh_needs_uv(buffers_np, mesh_idx)
-    mesh_rows = MESH_ROWS_UV if needs_uv else MESH_ROWS
+    if needs_uv is None:
+        needs_uv = _mesh_needs_uv(buffers_np, mesh_idx)
     uv = buffers_np["tri_uv"][mesh_idx].astype(np.float64)  # (M,3,2)
     # material slot = unique (material row, interior medium, exterior
     # medium) triple, so volpath medium-interface tracking works for
@@ -591,7 +601,15 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
         rec["imed"] = int(imed)
         rec["emed"] = int(emed)
         mesh_mats.append(rec)
+    cam = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
+    geom, n_clusters, box_tab = _pack_tris(p, n, uv, inv, cam, needs_uv)
+    return geom, mesh_mats, n_clusters, box_tab
 
+
+def _pack_tris(p, n, uv, inv, cam, needs_uv):
+    """Core cluster-table packer over explicit triangle arrays (world OR
+    object space): returns (geom, n_clusters, box_tab)."""
+    mesh_rows = MESH_ROWS_UV if needs_uv else MESH_ROWS
     c = p.mean(axis=1)
     lo_all = c.min(axis=0)
     ext = np.maximum(c.max(axis=0) - lo_all, 1e-12)
@@ -639,7 +657,6 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
     glo = clo.min(axis=1).reshape(n_super, SUPER, 3).min(axis=1)
     ghi = chi.max(axis=1).reshape(n_super, SUPER, 3).max(axis=1)
     sup_lane = n_sub * 6  # first free ROW_BOX lane after the sub-boxes
-    cam = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
     gctr = 0.5 * (glo + ghi)
     gorder = np.argsort(((gctr - cam) ** 2).sum(axis=1), kind="stable")
     geom = np.ascontiguousarray(
@@ -672,20 +689,113 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray):
             r, lane = rowlane(g * n_sub + s)
             box_tab[r:n_super * g_rows:g_rows, lane:lane + 6] = \
                 box[g::SUPER, s * 6:s * 6 + 6]
-    return geom, mesh_mats, n_clusters, box_tab
+    return geom, n_clusters, box_tab
+
+
+INST_MIN_SAVING = 4096  # share a blas only when it saves real slots
+
+
+def _shared_split(buffers_np, mesh_idx: np.ndarray):
+    """Split the non-immediate triangles into per-shared-BLAS instance
+    groups and the rest. A blas is SHARED when >=2 triangle instances
+    reference it, every such instance is non-emissive with all its
+    triangles non-immediate, and the blas fits a VMEM table — those
+    instances then march ONE object-space cluster table with
+    per-instance ray transforms (the reference's BLAS sharing,
+    main.rs:2739-2908) instead of replicating geometry. Returns
+    (rest_idx, [(blas_id, [inst_ids]), ...])."""
+    if "inst_blas" not in buffers_np:
+        return mesh_idx, []
+    inst_of = buffers_np["tri_inst"][mesh_idx]
+    n_inst = buffers_np["inst_prim_count"].shape[0]
+    counts = np.bincount(inst_of, minlength=n_inst)
+    by_blas = {}
+    for i in np.nonzero(counts > 0)[0]:
+        b = int(buffers_np["inst_blas"][i])
+        if b < 0 or counts[i] != int(buffers_np["inst_prim_count"][i]):
+            continue
+        al = int(buffers_np["inst_area_light"][i])
+        if int(buffers_np["area_type"][al]) != T.AREA_NULL:
+            continue
+        by_blas.setdefault(b, []).append(int(i))
+    shared = []
+    shared_insts = []
+    for b, insts in sorted(by_blas.items()):
+        ntri_b = int(buffers_np["inst_prim_count"][insts[0]])
+        if len(insts) < 2 or ntri_b > HBM_MIN_TRIS:
+            continue
+        if ntri_b * (len(insts) - 1) < INST_MIN_SAVING:
+            continue
+        shared.append((b, insts))
+        shared_insts.extend(insts)
+    if not shared:
+        return mesh_idx, []
+    keep = ~np.isin(inst_of, shared_insts)
+    return mesh_idx[keep], shared
+
+
+def _pack_inst_mesh(buffers_np, blas_id, inst_ids, mesh_mats, needs_uv):
+    """Object-space shared cluster table for one BLAS plus its instance
+    table: one 128-lane row per instance — w2o affine in lanes 0-11,
+    material slot in lane 12 (slots appended to mesh_mats). The march
+    transforms o,d by w2o WITHOUT renormalizing d, so object-space t
+    equals world t and instances compete in one t_best."""
+    starts = buffers_np["blas_idx_start"]
+    i0 = int(starts[blas_id])
+    i1 = (int(starts[blas_id + 1]) if blas_id + 1 < len(starts)
+          else buffers_np["blas_idx"].shape[0])
+    v0 = int(buffers_np["blas_vtx_start"][blas_id])
+    idx = buffers_np["blas_idx"][i0:i1].reshape(-1, 3).astype(np.int64) \
+        + v0
+    p = buffers_np["blas_vtx"][idx].astype(np.float64)
+    n = buffers_np["blas_nrm"][idx].astype(np.float64)
+    uv = buffers_np["blas_uv"][idx].astype(np.float64)
+    # geometric-normal fallback in object space (lib.rs:931-935)
+    zero_n = (np.abs(n).sum(axis=(1, 2)) == 0.0)
+    if zero_n.any():
+        gn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        n = np.where(zero_n[:, None, None],
+                     np.broadcast_to(gn[:, None, :], n.shape), n)
+    # front-to-back ordering from the first instance's object-space
+    # camera (correctness-neutral for the others)
+    w2o0 = buffers_np["inst_w2o"][inst_ids[0]].astype(np.float64)
+    cam_w = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
+    cam_o = w2o0[:, :3] @ cam_w + w2o0[:, 3]
+    geom, n_clusters, box = _pack_tris(
+        p, n, uv, np.zeros(len(p), np.int64), cam_o, needs_uv)
+    rows = np.zeros(((len(inst_ids) + 7) // 8 * 8, 128), np.float32)
+    for r, i in enumerate(inst_ids):
+        rec = _mat_record(buffers_np,
+                          int(buffers_np["inst_material"][i]))
+        rec["imed"] = int(buffers_np["inst_interior"][i])
+        rec["emed"] = int(buffers_np["inst_exterior"][i])
+        mesh_mats.append(rec)
+        rows[r, 0:12] = buffers_np["inst_w2o"][i].reshape(-1)
+        rows[r, 12] = float(len(mesh_mats) - 1)
+    return {"geom": geom, "box": box, "n_clusters": n_clusters,
+            "inst_rows": rows, "n_inst": len(inst_ids)}
 
 
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     ntri = config.num_triangles
     mesh_hbm = False
     mesh_box = None
+    inst_meshes = []
     if ntri > MAX_TRIS:
         imm = _immediate_tri_mask(buffers_np)[:ntri]
         imm_idx = np.nonzero(imm)[0]
         mesh_idx = np.nonzero(~imm)[0]
-        mesh_geom, mesh_mats, n_clusters, mesh_box = _pack_mesh(
-            buffers_np, mesh_idx)
-        mesh_hbm = mesh_idx.size > HBM_MIN_TRIS
+        rest_idx, shared = _shared_split(buffers_np, mesh_idx)
+        needs_uv = _mesh_needs_uv(buffers_np, mesh_idx)
+        if rest_idx.size:
+            mesh_geom, mesh_mats, n_clusters, mesh_box = _pack_mesh(
+                buffers_np, rest_idx, needs_uv=needs_uv)
+        else:
+            mesh_geom, mesh_mats, n_clusters = None, [], 0
+        for b, insts in shared:
+            inst_meshes.append(_pack_inst_mesh(buffers_np, b, insts,
+                                               mesh_mats, needs_uv))
+        mesh_hbm = rest_idx.size > HBM_MIN_TRIS
     else:
         imm_idx = np.arange(ntri)
         mesh_geom, mesh_mats, n_clusters = None, None, 0
@@ -852,6 +962,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
         mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
         mesh_hbm=mesh_hbm, mesh_box=mesh_box,
+        inst_meshes=inst_meshes or None,
         integrator=config.integrator, media=media)
 
 
@@ -871,8 +982,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    SHAPE = ((MESH_TILE_SUB if (ps.n_clusters or wave_k) else TILE_SUB),
-             128)
+    SHAPE = ((MESH_TILE_SUB
+              if (ps.n_clusters or ps.inst_meshes or wave_k)
+              else TILE_SUB), 128)
     W = ps.width
     H = ps.height
     NPIX = W * H
@@ -1062,6 +1174,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
     # ---- clustered big-mesh march (see module constants for the layout)
     NC = ps.n_clusters
+    INST_MESHES = ps.inst_meshes or []
+    NINST = len(INST_MESHES)
 
     def _inv_dir(dx, dy, dz):
         tiny = 1e-20
@@ -1099,7 +1213,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     NSUP = NC // SUPER if NC else 0
     HBM_MESH = ps.mesh_hbm
 
-    G_ROWS, ROWLANE = _box_layout(N_SUB) if NC else (1, None)
+    G_ROWS, ROWLANE = (_box_layout(N_SUB) if (NC or NINST)
+                       else (1, None))
 
     def _box_enter_row(brow, row, lane, ox, oy, oz, ix, iy, iz, tmin, tfar):
         """Slab test of the AABB stored at (row, lanes lane..lane+5) of a
@@ -1158,19 +1273,25 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             hf = jnp.where(okg & (t >= tmin) & (t <= tmax), 1.0, hf)
         return hf
 
-    def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, t_init):
-        """Closest hit over all clusters: (t, nx, ny, nz, matid).
+    def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, carry,
+                     nsup=None):
+        """Closest hit over a cluster table, threading a carry of
+        (t, nx, ny, nz, matid[, u, v]). `d` need not be unit length —
+        t parameterizes o + t*d, so instanced calls pass object-space
+        rays and t stays comparable with world-space hits.
 
         Both modes gate on the compact VMEM box table (one (1,128) row
         per super group); geometry blocks are only touched for entered
         groups — loaded from the resident VMEM table, or DMA'd from HBM
-        into the scratch buffer in streaming mode."""
-        if HBM_MESH:
+        into the scratch buffer in streaming mode (main table only)."""
+        hbm_mode = len(mref) == 4
+        if hbm_mode:
             hbm, boxr, scr, sem = mref
         else:
             geom, boxr = mref
+        if nsup is None:
+            nsup = NSUP
         ix, iy, iz = _inv_dir(dx, dy, dz)
-        zero = ox * 0.0
 
         def sup_body(si, carry):
             brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
@@ -1178,7 +1299,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                    tmin, carry[0])
 
             def do(carry):
-                if HBM_MESH:
+                if hbm_mode:
                     cp = pltpu.make_async_copy(
                         hbm.at[:, pl.ds(si * (SUPER * CLUSTER),
                                         SUPER * CLUSTER)], scr, sem)
@@ -1186,7 +1307,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     cp.wait()
                 if not MEMBER_FORI:
                     for g in range(SUPER):
-                        if HBM_MESH:
+                        if hbm_mode:
                             blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
                         else:
                             blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
@@ -1221,7 +1342,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         flag = jax.lax.select(g == k, flags[k], flag)
 
                     def hit_blk(carry):
-                        if HBM_MESH:
+                        if hbm_mode:
                             blk = scr[:, pl.ds(g * CLUSTER, CLUSTER)]
                         else:
                             blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
@@ -1237,21 +1358,21 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
             return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
 
-        init = (t_init, zero, zero, zero, zero - 1.0)
-        if HAS_MESH_UV:
-            init = init + (zero, zero)
-        return jax.lax.fori_loop(0, NSUP, sup_body, init)
+        return jax.lax.fori_loop(0, nsup, sup_body, carry)
 
-    def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit0):
-        """Any-hit over all clusters; skips groups/clusters once a lane
-        set is fully occluded. The carry is a 0/1 float mask — Mosaic
-        cannot carry i1 vectors through scf.for."""
-        if HBM_MESH:
+    def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hf0,
+                 nsup=None):
+        """Any-hit over a cluster table; skips groups/clusters once a
+        lane set is fully occluded. hf0 and the return value are 0/1
+        float masks — Mosaic cannot carry i1 vectors through scf.for."""
+        hbm_mode = len(mref) == 4
+        if hbm_mode:
             hbm, boxr, scr, sem = mref
         else:
             geom, boxr = mref
+        if nsup is None:
+            nsup = NSUP
         ix, iy, iz = _inv_dir(dx, dy, dz)
-        hf0 = jnp.where(hit0, ox * 0.0 + 1.0, ox * 0.0)
 
         def sup_body(si, hf):
             brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
@@ -1259,7 +1380,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                    tmin, tmax)
 
             def do(hf):
-                if HBM_MESH:
+                if hbm_mode:
                     cp = pltpu.make_async_copy(
                         hbm.at[:, pl.ds(si * (SUPER * CLUSTER),
                                         SUPER * CLUSTER)], scr, sem)
@@ -1267,7 +1388,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     cp.wait()
                 if not MEMBER_FORI:
                     for g in range(SUPER):
-                        if HBM_MESH:
+                        if hbm_mode:
                             blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
                         else:
                             blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
@@ -1299,7 +1420,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         flag = jax.lax.select(g == k, flags[k], flag)
 
                     def hit_blk(hf):
-                        if HBM_MESH:
+                        if hbm_mode:
                             blk = scr[:, pl.ds(g * CLUSTER, CLUSTER)]
                         else:
                             blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
@@ -1316,7 +1437,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
                                 lambda h: h, hf)
 
-        return jax.lax.fori_loop(0, NSUP, sup_body, hf0) > 0.5
+        return jax.lax.fori_loop(0, nsup, sup_body, hf0)
 
     def _apply_rec_texs(rec, uu, vv, vals):
         """Per-hit texture-slot values of a record: checkers evaluate
@@ -1513,8 +1634,50 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
-        if NC:
-            mres = mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, t_best)
+        if NC or NINST:
+            main_ref, inst_refs = mref
+            zero = ox * 0.0
+            mres = (t_best, zero, zero, zero, zero - 1.0)
+            if HAS_MESH_UV:
+                mres = mres + (zero, zero)
+            if NC:
+                mres = mesh_closest(main_ref, ox, oy, oz, dx, dy, dz,
+                                    tmin, mres)
+            for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
+                nsup_b = im["n_clusters"] // SUPER
+
+                def inst_body(ii, carry, gref=gref, bref=bref,
+                              itref=itref, nsup_b=nsup_b):
+                    row = itref[pl.ds(ii, 1), :]
+                    mm = [row[0, k] for k in range(12)]
+                    slot = row[0, 12]
+                    lox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
+                    loy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
+                    loz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
+                    ldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
+                    ldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
+                    ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
+                    t_pre = carry[0]
+                    res = mesh_closest((gref, bref), lox, loy, loz,
+                                       ldx, ldy, ldz, tmin, carry,
+                                       nsup_b)
+                    won = res[0] < t_pre
+                    # world normal = W2O^T n_obj (lib.rs:852-881)
+                    nwx = mm[0] * res[1] + mm[4] * res[2] + mm[8] * res[3]
+                    nwy = mm[1] * res[1] + mm[5] * res[2] + mm[9] * res[3]
+                    nwz = mm[2] * res[1] + mm[6] * res[2] + mm[10] * res[3]
+                    out = (res[0],
+                           jnp.where(won, nwx, carry[1]),
+                           jnp.where(won, nwy, carry[2]),
+                           jnp.where(won, nwz, carry[3]),
+                           jnp.where(won, slot + ox * 0.0, carry[4]))
+                    if HAS_MESH_UV:
+                        out = out + (jnp.where(won, res[5], carry[5]),
+                                     jnp.where(won, res[6], carry[6]))
+                    return out
+
+                mres = jax.lax.fori_loop(0, im["n_inst"], inst_body,
+                                         mres)
             tm, mnx, mny, mnz, mid = mres[:5]
             if HAS_MESH_UV:
                 mu, mv = mres[5], mres[6]
@@ -1590,8 +1753,31 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             t = jnp.where(okd & (r0 >= tmin), r0,
                           jnp.where(okd & (r1 >= tmin), r1, BIG))
             hit = hit | (t <= tmax)
-        if NC:
-            hit = mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hit)
+        if NC or NINST:
+            main_ref, inst_refs = mref
+            hf = jnp.where(hit, ox * 0.0 + 1.0, ox * 0.0)
+            if NC:
+                hf = mesh_any(main_ref, ox, oy, oz, dx, dy, dz, tmin,
+                              tmax, hf)
+            for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
+                nsup_b = im["n_clusters"] // SUPER
+
+                def any_body(ii, hf, gref=gref, bref=bref, itref=itref,
+                             nsup_b=nsup_b):
+                    row = itref[pl.ds(ii, 1), :]
+                    mm = [row[0, k] for k in range(12)]
+                    lox = mm[0] * ox + mm[1] * oy + mm[2] * oz + mm[3]
+                    loy = mm[4] * ox + mm[5] * oy + mm[6] * oz + mm[7]
+                    loz = mm[8] * ox + mm[9] * oy + mm[10] * oz + mm[11]
+                    ldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
+                    ldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
+                    ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
+                    return mesh_any((gref, bref), lox, loy, loz,
+                                    ldx, ldy, ldz, tmin, tmax, hf,
+                                    nsup_b)
+
+                hf = jax.lax.fori_loop(0, im["n_inst"], any_body, hf)
+            hit = hf > 0.5
         return hit
 
     # ---- emissive-only pdf trace (lib.rs:964-1066)
@@ -2558,12 +2744,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if NC and HBM_MESH:
             # (hbm geometry ref, box table ref) lead the inputs; the DMA
             # scratch buffer + semaphore trail the outputs
-            mref = (refs[0], refs[1], refs[-2], refs[-1])
+            main = (refs[0], refs[1], refs[-2], refs[-1])
             refs = refs[2:-2]
         elif NC:
-            mref, refs = (refs[0], refs[1]), refs[2:]
+            main, refs = (refs[0], refs[1]), refs[2:]
         else:
-            mref = None
+            main = None
+        inst_refs = []
+        for _ in range(NINST):
+            inst_refs.append((refs[0], refs[1], refs[2]))
+            refs = refs[3:]
+        mref = (main, inst_refs) if (NC or NINST) else None
         if HAS_IMG:
             iref, refs = refs[0], refs[1:]
         else:
@@ -3193,12 +3384,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     def wave_kernel(sc_ref, *refs):
         # sc_ref: SMEM int32 [seed, depth0, n_alive_tiles]
         if NC and HBM_MESH:
-            mref = (refs[0], refs[1], refs[-2], refs[-1])
+            main = (refs[0], refs[1], refs[-2], refs[-1])
             refs = refs[2:-2]
         elif NC:
-            mref, refs = (refs[0], refs[1]), refs[2:]
+            main, refs = (refs[0], refs[1]), refs[2:]
         else:
-            mref = None
+            main = None
+        inst_refs = []
+        for _ in range(NINST):
+            inst_refs.append((refs[0], refs[1], refs[2]))
+            refs = refs[3:]
+        mref = (main, inst_refs) if (NC or NINST) else None
         if HAS_IMG:
             iref, refs = refs[0], refs[1:]
         else:
@@ -3276,6 +3472,47 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     return wave_kernel
 
 
+
+def _mesh_operands(ps: PallasScene):
+    """(in_specs, args, scratch_shapes) for the scene's cluster/image
+    operands, in the order both kernels unpack them: main table (VMEM or
+    HBM+box), then per-shared-blas (geom, box, instance-rows) triples,
+    then the image atlas; the HBM DMA scratch+semaphore trail."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    specs, args, scratch = [], [], []
+    if ps.n_clusters and ps.mesh_hbm:
+        # geometry stays in HBM; the compact box table is VMEM-resident
+        # and gates per-group DMAs into the scratch buffer
+        specs += [pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        args += [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
+        scratch = [pltpu.VMEM((ps.mesh_geom.shape[0], SUPER * CLUSTER),
+                              jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+    elif ps.n_clusters:
+        # one resident VMEM table + box table shared by every grid step
+        # (constant block index -> fetched once, not per tile)
+        specs += [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        args += [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
+    for im in (ps.inst_meshes or []):
+        for arr in (im["geom"], im["box"], im["inst_rows"]):
+            specs.append(pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            args.append(jnp.asarray(arr))
+    if ps.img_table is not None:
+        specs.append(pl.BlockSpec(ps.img_table.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(ps.img_table))
+    return specs, args, scratch
+
+
 def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                          interpret: bool = False,
                          pad_tiles_to: int = 1):
@@ -3297,10 +3534,11 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     from jax.experimental.pallas import tpu as pltpu
 
     ps = pack_scene(buffers_np, config)
-    tile_sub = MESH_TILE_SUB if ps.n_clusters else TILE_SUB
+    cluster_mode = bool(ps.n_clusters or ps.inst_meshes)
+    tile_sub = MESH_TILE_SUB if cluster_mode else TILE_SUB
     tile = tile_sub * 128
     npix = ps.width * ps.height
-    if ps.n_clusters:
+    if cluster_mode:
         # cluster scenes: one tile = a square 32x32 pixel block, so the
         # tile's camera-ray beam stays tight and the any-lane AABB cull
         # skips most clusters (a 1024-pixel scan-line strip crosses far
@@ -3334,33 +3572,7 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         px_host = (pix % ps.width).astype(np.float32).reshape(rows, 128)
         py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
 
-    mesh_specs = []
-    mesh_args = []
-    scratch_shapes = []
-    if ps.n_clusters and ps.mesh_hbm:
-        # geometry stays in HBM; the compact box table is VMEM-resident
-        # and gates per-group DMAs into the scratch buffer
-        mesh_specs = [pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)]
-        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
-        scratch_shapes = [pltpu.VMEM((ps.mesh_geom.shape[0],
-                                      SUPER * CLUSTER),
-                                     jnp.float32),
-                          pltpu.SemaphoreType.DMA]
-    elif ps.n_clusters:
-        # one resident VMEM table + box table shared by every grid step
-        # (constant block index -> fetched once, not per tile)
-        mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)]
-        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
-    if ps.img_table is not None:
-        mesh_specs.append(pl.BlockSpec(ps.img_table.shape,
-                                       lambda i: (0, 0),
-                                       memory_space=pltpu.VMEM))
-        mesh_args.append(jnp.asarray(ps.img_table))
+    mesh_specs, mesh_args, scratch_shapes = _mesh_operands(ps)
 
     def call_tiles(seed, num_samples, px, py):
         """Traceable pallas call over a (rows_local, 128) lane block —
@@ -3408,9 +3620,12 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     # run for minutes, and cluster-march cost scales with tiles x clusters
     # (~2e6 tile-cluster-samples ~= 30 s on one v5e chip, measured on
     # teapot/dragon). Immediates scenes are orders of magnitude faster.
-    if ps.n_clusters:
+    if cluster_mode:
+        eff_clusters = ps.n_clusters + sum(
+            im["n_clusters"] * im["n_inst"]
+            for im in (ps.inst_meshes or []))
         hint = max(1, min(100, 2_000_000
-                          // max(n_tiles * ps.n_clusters, 1)))
+                          // max(n_tiles * eff_clusters, 1)))
         if ps.integrator == "volpath":
             # tr/tr_emit marching re-traces the mesh per NEE sample
             hint = max(1, hint // 4)

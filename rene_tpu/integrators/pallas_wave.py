@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -53,15 +54,23 @@ def wave_supported(buffers_np, config: RenderConfig) -> bool:
 def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         interpret: bool = False,
                         k_bounces: int = 2,
+                        k_schedule=None,
                         samples_per_wave: int = 0,
                         sort_rays: bool = True,
                         sort_from: int = 1,
                         sort_first: int = 0,
                         oct_major: bool = True,
-                        check_every: int = 4):
+                        dir_bits: int = 3,
+                        check_every: int = 1):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
     over num_samples + ray count), or None if unsupported.
+
+    `k_schedule`: bounces per launch, per step (last entry repeats) —
+    e.g. (1, 1, 2, 4): sort the critical first diffuse bounce on its
+    own, then widen chunks as the wave thins. Defaults to (k_bounces,).
+    One Mosaic kernel per DISTINCT k. `dir_bits`: 3 = direction octant,
+    6 = 2 bits/axis (finer beams, coarser 6-bit origin cells).
 
     num_samples per call is capped at run.chunk_hint (= samples carried
     by one wave); the render driver already chunks to that."""
@@ -104,38 +113,22 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     lo = lo - 0.05 * ext
     ext = ext * 1.1
 
-    # mesh/image operand plumbing — identical to make_pallas_batch_fn
-    mesh_specs = []
-    mesh_args = []
-    scratch_shapes = []
-    if ps.n_clusters and ps.mesh_hbm:
-        mesh_specs = [pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)]
-        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
-        scratch_shapes = [pltpu.VMEM((ps.mesh_geom.shape[0],
-                                      pp.SUPER * pp.CLUSTER),
-                                     jnp.float32),
-                          pltpu.SemaphoreType.DMA]
-    elif ps.n_clusters:
-        mesh_specs = [pl.BlockSpec(ps.mesh_geom.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(ps.mesh_box.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)]
-        mesh_args = [jnp.asarray(ps.mesh_geom), jnp.asarray(ps.mesh_box)]
-    if ps.img_table is not None:
-        mesh_specs.append(pl.BlockSpec(ps.img_table.shape,
-                                       lambda i: (0, 0),
-                                       memory_space=pltpu.VMEM))
-        mesh_args.append(jnp.asarray(ps.img_table))
+    # mesh/image operand plumbing (shared with the megakernel)
+    mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
 
-    kernel = pp._build_kernel(ps, 0, interpret, wave_k=k_bounces)
+    schedule = tuple(k_schedule) if k_schedule else (k_bounces,)
     state_spec = pl.BlockSpec((NR, tile_sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
+    _kernels = {}
 
-    def call_kernel(sc, state3):
+    def _kernel_for(k):
+        if k not in _kernels:
+            _kernels[k] = pp._build_kernel(ps, 0, interpret, wave_k=k)
+        return _kernels[k]
+
+    def call_kernel(k, sc, state3):
         return pl.pallas_call(
-            kernel,
+            _kernel_for(k),
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + mesh_specs
             + [state_spec],
@@ -169,40 +162,90 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             return jnp.clip((v - lo[axis]) / ext[axis] * 256.0,
                             0.0, 255.0).astype(jnp.int32)
 
-        morton = (_morton_part(q(ox, 0)) | (_morton_part(q(oy, 1)) << 1)
-                  | (_morton_part(q(oz, 2)) << 2))
-        oct_ = ((dx < 0).astype(jnp.int32) * 4
-                + (dy < 0).astype(jnp.int32) * 2
-                + (dz < 0).astype(jnp.int32))
-        key = ((oct_ << 24) | morton) if oct_major \
-            else ((morton << 3) | oct_)
+        if dir_bits == 6:
+            # 2 bits/axis direction cells, 6-bit/axis origin cells
+
+            def qd(v):
+                return jnp.clip((v + 1.0) * 2.0, 0.0, 3.0) \
+                    .astype(jnp.int32)
+
+            dirk = (qd(dx) << 4) | (qd(dy) << 2) | qd(dz)
+            morton = ((_morton_part(q(ox, 0) >> 2)
+                       | (_morton_part(q(oy, 1) >> 2) << 1)
+                       | (_morton_part(q(oz, 2) >> 2) << 2)))
+            key = ((dirk << 18) | morton) if oct_major \
+                else ((morton << 6) | dirk)
+        else:
+            morton = (_morton_part(q(ox, 0))
+                      | (_morton_part(q(oy, 1)) << 1)
+                      | (_morton_part(q(oz, 2)) << 2))
+            oct_ = ((dx < 0).astype(jnp.int32) * 4
+                    + (dy < 0).astype(jnp.int32) * 2
+                    + (dz < 0).astype(jnp.int32))
+            key = ((oct_ << 24) | morton) if oct_major \
+                else ((morton << 3) | oct_)
         return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def wave_step(state, pix, seed, dep0, nt, do_sort):
-        """One k-bounce launch. `nt` = tile count to march (a host-side
-        UPPER bound on alive tiles — alive lanes only shrink, so a stale
-        count is safe); sorted steps compact alive lanes into the tile
-        prefix, unsorted steps march every tile. Returns the post-launch
-        alive count (a cheap (N,)-row sum, read back every check_every
-        steps for early exit)."""
-        if do_sort:
-            perm = jnp.argsort(bin_key(state))
-            state = jnp.take(state, perm, axis=1)
-            pix = jnp.take(pix, perm)
-        sc = jnp.stack([seed.astype(jnp.int32), dep0.astype(jnp.int32),
-                        nt.astype(jnp.int32)])
-        out = call_kernel(sc, state.reshape(NR, n_tiles * tile_sub, 128))
-        out = out.reshape(NR, n_pad)
-        n_alive = jnp.sum(out[pp.WROW_ALIVE] > 0.5).astype(jnp.int32)
-        return out, pix, n_alive
+    @functools.partial(jax.jit, static_argnums=(2,),
+                       donate_argnums=(0, 1))
+    def sort_prefix(state, pix, m):
+        """Sort the first m lanes (a host-chosen power-of-4 bucket that
+        bounds the alive prefix — alive lanes always sit in a prefix
+        after any sorted step, dead-last). Sorting a 57k-lane prefix
+        costs ~8 ms where the full 1M-lane sort costs ~85 on this
+        runtime; the write-back is an in-place dynamic_update_slice on
+        the donated buffer."""
+        sub = state[:, :m]
+        perm = jnp.argsort(bin_key(sub))
+        sub = jnp.take(sub, perm, axis=1)
+        pix_sub = jnp.take(pix[:m], perm)
+        state = jax.lax.dynamic_update_slice(state, sub, (0, 0))
+        pix = jax.lax.dynamic_update_slice(pix, pix_sub, (0,))
+        return state, pix
+
+    def _bucket(n_lanes):
+        """Smallest power-of-4 tile bucket covering n_lanes lanes."""
+        m = tile * 4
+        while m < min(n_lanes, n_pad):
+            m *= 4
+        return min(m, n_pad)
+
+    def _make_kernel_step(k):
+        @jax.jit
+        def kernel_step(state, seed, dep0, nt):
+            sc = jnp.stack([seed.astype(jnp.int32),
+                            dep0.astype(jnp.int32),
+                            nt.astype(jnp.int32)])
+            out = call_kernel(k, sc,
+                              state.reshape(NR, n_tiles * tile_sub, 128))
+            out = out.reshape(NR, n_pad)
+            n_alive = jnp.sum(out[pp.WROW_ALIVE] > 0.5) \
+                .astype(jnp.int32)
+            return out, n_alive
+        return kernel_step
+
+    _steps = {}
+
+    def kernel_step(k, state, seed, dep0, nt):
+        if k not in _steps:
+            _steps[k] = _make_kernel_step(k)
+        return _steps[k](state, seed, dep0, nt)
 
     # camera init (camera.rs:77-90 math, vectorized in XLA)
     PI_ = ps.cam_proj_inv
     CW = ps.cam_to_world
     cam_o = np.array([CW[0, 3], CW[1, 3], CW[2, 3]], np.float32)
+    # initial lane order: 32x32 pixel blocks (a scan-line strip's beam
+    # crosses far more AABBs — same reason the megakernel tiles square
+    # blocks), samples outermost so each tile holds one sample's block
+    bs = 32
+    ys, xs = np.mgrid[0:H, 0:W]
+    blk = (ys // bs) * (-(-W // bs)) + (xs // bs)
+    order = np.argsort(
+        (blk * bs * bs + (ys % bs) * bs + (xs % bs)).reshape(-1),
+        kind="stable").astype(np.int64)
     pix_host = np.concatenate([
-        np.tile(np.arange(npix, dtype=np.int64), spw),
+        np.tile(order, spw),
         npix + np.arange(n_pad - n_real, dtype=np.int64)]).astype(np.int32)
     pxf_host = (np.minimum(pix_host, npix - 1) % W).astype(np.float32)
     pyf_host = (np.minimum(pix_host, npix - 1) // W).astype(np.float32)
@@ -254,22 +297,60 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         sums = rows[:, :n_real].reshape(9, npix, spw).sum(axis=2)
         return sums, jnp.sum(state[pp.WROW_RAYS])
 
-    steps = -(-maxd // k_bounces)
+    # launch count implied by the schedule
+    steps = 0
+    _dep = 0
+    while _dep < maxd:
+        _dep += schedule[min(steps, len(schedule) - 1)]
+        steps += 1
+
+    profile = os.environ.get("RENE_WAVE_PROFILE") == "1"
 
     def run(seed, num_samples):
         """One wave of min(num_samples, spw) samples; sums like the
         megakernel runner."""
+        import time as _time
+
         import jax.numpy as jnp
         want = min(int(num_samples), spw)
         state, pix = init_state(jnp.int32(seed), jnp.int32(npix * want))
+        # `prefix` = lane count bounding where alive rays can sit: the
+        # initial real-lane block, shrunk by each sorted step (sorting
+        # compacts alive lanes dead-last within the sorted bucket);
+        # unsorted steps kill lanes IN PLACE so the bound is unchanged.
+        # `last_alive` is a stale-high alive count from the last sync.
+        prefix = npix * want
         last_alive = npix * want
-        for si in range(steps):
-            do_sort = sort_rays and (sort_first <= 0 or si < sort_first)
-            nt = (-(-last_alive // tile) if do_sort else n_tiles)
-            state, pix, n_alive = wave_step(
-                state, pix, jnp.int32(seed),
-                jnp.int32(si * k_bounces), jnp.int32(nt), do_sort)
-            if si != steps - 1 and (si + 1) % check_every == 0:
+        dep = 0
+        si = 0
+        while dep < maxd:
+            k = schedule[min(si, len(schedule) - 1)]
+            do_sort = (sort_rays and si >= sort_from
+                       and (sort_first <= 0
+                            or si < sort_from + sort_first))
+            t0 = _time.time() if profile else 0.0
+            if do_sort:
+                m = _bucket(prefix)
+                state, pix = sort_prefix(state, pix, m)
+                nt = min(-(-last_alive // tile), m // tile)
+                prefix = nt * tile
+            else:
+                # alive lanes never leave the prefix without a sort
+                nt = -(-prefix // tile)
+            state, n_alive = kernel_step(k, state, jnp.int32(seed),
+                                         jnp.int32(dep), jnp.int32(nt))
+            dep += k
+            si += 1
+            if profile:
+                last_alive = int(n_alive)
+                print(f"    step {si - 1} (k {k}, dep {dep - k}, "
+                      f"sort={int(do_sort)}, nt={nt}): "
+                      f"{(_time.time() - t0) * 1000:.0f} ms, "
+                      f"alive {last_alive}", flush=True)
+                if last_alive == 0:
+                    break
+                continue
+            if dep < maxd and si % check_every == 0:
                 last_alive = int(n_alive)
                 if last_alive == 0:
                     break
@@ -286,7 +367,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     run.samples_per_wave = spw
     run.n_tiles = n_tiles
     run.steps = steps
-    run.wave_step = wave_step
+    run.sort_prefix = sort_prefix
     run.init_state = init_state
     run.finish_wave = finish_wave
     return run

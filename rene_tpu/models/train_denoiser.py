@@ -76,8 +76,7 @@ def render_pairs(scene_path: str, noisy_spps=(4, 32), clean_spp: int = 512,
     from .denoise import atrous_denoise
 
     scene = load_scene(scene_path, color_space=color_space)
-    scene.film.xresolution = res
-    scene.film.yresolution = res
+    scene.set_film_resolution(res, res)  # aspect-safe reprojection
     clean = render(scene, spp=clean_spp, seed=202)
 
     crops = []

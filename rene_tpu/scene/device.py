@@ -86,6 +86,10 @@ def build_device_scene(scene: FlatScene):
     eo_prim_count = []
     eo_matrix = []
 
+    inst_blas = []
+    inst_o2w = []
+    inst_w2o = []
+
     tri_count = 0
     for i, inst in enumerate(scene.tlas):
         inst_material.append(inst.material_index)
@@ -93,6 +97,10 @@ def build_device_scene(scene: FlatScene):
         inst_interior.append(inst.interior_medium_index)
         inst_exterior.append(inst.exterior_medium_index)
         inst_kind.append(inst.kind)
+        inst_blas.append(-1 if inst.blas_index is None else inst.blas_index)
+        _m = inst.matrix.astype(np.float64)
+        inst_o2w.append(_affine(_m))
+        inst_w2o.append(_affine(np.linalg.inv(_m)))
         emissive = scene.area_type[inst.area_light_index] != T.AREA_NULL
         if inst.kind == T.KIND_SPHERE:
             m = inst.matrix.astype(np.float64)
@@ -156,6 +164,32 @@ def build_device_scene(scene: FlatScene):
     buffers["sph_o2w"] = cat(sph_o2w, (3, 4))
     buffers["sph_w2o"] = cat(sph_w2o, (3, 4))
     buffers["sph_inst"] = cat(sph_inst, (), np.int32)
+
+    # per-instance blas identity + transforms: lets the pallas packer
+    # share ONE object-space cluster table across ObjectInstance replays
+    # (the reference's BLAS sharing, main.rs:2739-2908) instead of
+    # paying O(instances x mesh) table memory
+    buffers["inst_blas"] = np.asarray(inst_blas, np.int32)
+    buffers["inst_o2w"] = cat(inst_o2w, (3, 4))
+    buffers["inst_w2o"] = cat(inst_w2o, (3, 4))
+    blas_vtx, blas_nrm, blas_uv, blas_idx = [], [], [], []
+    blas_vtx_start, blas_idx_start = [], []
+    vo = io_ = 0
+    for mesh in scene.blases:
+        blas_vtx_start.append(vo)
+        blas_idx_start.append(io_)
+        blas_vtx.append(np.asarray(mesh.positions, np.float32))
+        blas_nrm.append(np.asarray(mesh.normals, np.float32))
+        blas_uv.append(np.asarray(mesh.uvs, np.float32))
+        blas_idx.append(np.asarray(mesh.indices, np.int32).reshape(-1))
+        vo += len(mesh.positions)
+        io_ += mesh.indices.size
+    buffers["blas_vtx"] = cat(blas_vtx, (3,))
+    buffers["blas_nrm"] = cat(blas_nrm, (3,))
+    buffers["blas_uv"] = cat(blas_uv, (2,))
+    buffers["blas_idx"] = cat(blas_idx, (), np.int32)
+    buffers["blas_vtx_start"] = np.asarray(blas_vtx_start, np.int32)
+    buffers["blas_idx_start"] = np.asarray(blas_idx_start, np.int32)
 
     buffers["inst_material"] = np.asarray(inst_material, np.int32)
     buffers["inst_area_light"] = np.asarray(inst_area_light, np.int32)
