@@ -100,14 +100,20 @@ MEMBER_FORI = True  # fori over a group's member clusters: ONE MT unroll
 # -- wavefront engine ray-state layout (see pallas_wave.py) -----------------
 # One (W_NROWS, N) f32 array carries every in-flight ray; the host sorts
 # lanes by direction-octant x origin-cell between k-bounce kernel launches
-# so tiles re-enter the cluster march with coherent rays.
+# so tiles re-enter the cluster march with coherent rays. Lanes own a
+# pixel (px/py rows) and REGENERATE: on path termination a lane starts
+# its pixel's next sample (mega-kernel occupancy) until `want` samples
+# are done, then parks at DEAD_ORIGIN (outside every AABB — no box
+# entries, no MT-unroll work) and sorts dead-last.
 WROW_O, WROW_D, WROW_C, WROW_R = 0, 3, 6, 9    # origin, dir, throughput,
                                                # accumulated radiance
 WROW_AN, WROW_AA = 12, 15                      # AOV normal / albedo
 WROW_ALIVE, WROW_RAYS, WROW_LANE = 18, 19, 20
-W_NROWS = 21
-DEAD_ORIGIN = 1e30  # dead lanes park here: outside every AABB, so they
-                    # never enter a box and add no MT-unroll work
+WROW_PX, WROW_PY, WROW_SMP, WROW_DEP = 21, 22, 23, 24
+WROW_WANT = 25  # per-lane sample target (pixels split samples across
+                # their lanes; a 1-target lane never regenerates)
+W_NROWS = 26
+DEAD_ORIGIN = 1e30
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
 # at lanes 0-5, member sub-block AABBs at 6+(g*n_sub+s)*6. The march
@@ -3222,11 +3228,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     # (pallas_wave.py) so every tile re-enters the march with coherent
     # rays — cross-tile redistribution, the fix for the any-lane SIMT
     # wall of the cluster march. Same estimator as the megakernel body
-    # (NEE + 50/50 emitter MIS + RR); no regeneration — a lane carries
-    # one sample per wave and dies in place (origin parked at
-    # DEAD_ORIGIN so dead lanes never enter an AABB).
-    def wave_bounce(c, dep0, j, mref, iref):
-        dep = dep0 + j  # traced scalar: bounce index of this step
+    # (NEE + 50/50 emitter MIS + RR) INCLUDING path regeneration: a
+    # terminated lane starts its pixel's next sample until `want`
+    # samples are done (megakernel occupancy under redistribution),
+    # then parks at DEAD_ORIGIN so dead lanes never enter an AABB.
+    def wave_bounce(c, mref, iref):
+        dep = c["dep"]  # per-lane (float) bounce index
         was_alive = c["alive"] > 0.5
         cr, cg, cb = c["cr"], c["cg"], c["cb"]
         rays = c["rays"] + jnp.where(was_alive, 1.0, 0.0) \
@@ -3257,8 +3264,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         rg_ = rg_ + jnp.where(al_on, cg * attr["alg"], 0.0)
         rb_ = rb_ + jnp.where(al_on, cb * attr["alb"], 0.0)
 
-        # AOVs at bounce 0
-        first = alive & (dep == 0)
+        # AOVs at bounce 0 (of every sample)
+        first = alive & (dep == 0.0)
         anx = c["anx"] + jnp.where(first, nx, 0.0)
         any_ = c["any"] + jnp.where(first, ny, 0.0)
         anz = c["anz"] + jnp.where(first, nz, 0.0)
@@ -3348,7 +3355,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             rrv, st = uniform(st)
             p_cont = jnp.clip(jnp.maximum(cr, jnp.maximum(cg, cb)),
                               0.0, 1.0)
-            do_rr = dep > RR_START  # traced scalar, broadcasts
+            do_rr = dep > RR_START
             alive = alive & (~do_rr | (rrv <= p_cont))
             inv_p = 1.0 / jnp.maximum(p_cont, 1e-20)
             keep = do_rr & alive
@@ -3356,33 +3363,50 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             cg = jnp.where(keep, cg * inv_p, cg)
             cb = jnp.where(keep, cb * inv_p, cb)
 
-        alive = alive & (dep + 1 < MAXD)
+        alive = alive & (dep + 1.0 < MAXD)
 
-        died = was_alive & ~alive
+        # regeneration (mega body semantics): a finished lane starts its
+        # pixel's next sample; exhausted lanes park at DEAD_ORIGIN
+        finished = was_alive & ~alive
+        smp = c["smp"] + jnp.where(finished, 1.0, 0.0)
+        regen = finished & (smp < c["want"])
+        cj1, st = uniform(st)
+        cj2, st = uniform(st)
+        cdx, cdy, cdz = camera_ray(c["px"], c["py"], cj1, cj2)
+        park = finished & ~regen
+        zero = c["alive"] * 0.0
+        one = zero + 1.0
+
+        def pick3(a1, a2, b2c):
+            return jnp.where(regen, a1, jnp.where(alive, a2, b2c))
+
         return {
-            "ox": jnp.where(alive, hx,
-                            jnp.where(died, DEAD_ORIGIN, c["ox"])),
-            "oy": jnp.where(alive, hy,
-                            jnp.where(died, DEAD_ORIGIN, c["oy"])),
-            "oz": jnp.where(alive, hz,
-                            jnp.where(died, DEAD_ORIGIN, c["oz"])),
-            "dx": jnp.where(alive, wx_, c["dx"]),
-            "dy": jnp.where(alive, wy_, c["dy"]),
-            "dz": jnp.where(alive, wz_, c["dz"]),
-            "cr": jnp.where(alive, cr, c["cr"]),
-            "cg": jnp.where(alive, cg, c["cg"]),
-            "cb": jnp.where(alive, cb, c["cb"]),
+            "ox": pick3(zero + cam_ox, hx,
+                        jnp.where(park, DEAD_ORIGIN, c["ox"])),
+            "oy": pick3(zero + cam_oy, hy,
+                        jnp.where(park, DEAD_ORIGIN, c["oy"])),
+            "oz": pick3(zero + cam_oz, hz,
+                        jnp.where(park, DEAD_ORIGIN, c["oz"])),
+            "dx": pick3(cdx, wx_, c["dx"]),
+            "dy": pick3(cdy, wy_, c["dy"]),
+            "dz": pick3(cdz, wz_, c["dz"]),
+            "cr": pick3(one, cr, c["cr"]),
+            "cg": pick3(one, cg, c["cg"]),
+            "cb": pick3(one, cb, c["cb"]),
             "rr": rr_, "rg": rg_, "rb": rb_,
             "anx": anx, "any": any_, "anz": anz,
             "aar": aar, "aag": aag, "aab": aab,
-            "alive": jnp.where(alive, c["alive"] * 0.0 + 1.0,
-                               c["alive"] * 0.0),
+            "alive": jnp.where(alive | regen, one, zero),
             "rays": rays,
+            "px": c["px"], "py": c["py"], "want": c["want"],
+            "smp": smp,
+            "dep": jnp.where(regen, zero,
+                             jnp.where(alive, dep + 1.0, dep)),
             "st": st,
         }
 
     def wave_kernel(sc_ref, *refs):
-        # sc_ref: SMEM int32 [seed, depth0, n_alive_tiles]
+        # sc_ref: SMEM int32 [seed, launch_idx, n_alive_tiles]
         if NC and HBM_MESH:
             main = (refs[0], refs[1], refs[-2], refs[-1])
             refs = refs[2:-2]
@@ -3437,12 +3461,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "aab": sin[WROW_AA + 2, :, :],
             "alive": sin[WROW_ALIVE, :, :],
             "rays": sin[WROW_RAYS, :, :],
+            "px": sin[WROW_PX, :, :], "py": sin[WROW_PY, :, :],
+            "smp": sin[WROW_SMP, :, :], "dep": sin[WROW_DEP, :, :],
+            "want": sin[WROW_WANT, :, :],
             "st": st0,
         }
 
         def chunk(cc):
-            for j in range(wave_k):
-                cc = wave_bounce(cc, dep0, j, mref, iref)
+            for _ in range(wave_k):
+                cc = wave_bounce(cc, mref, iref)
             return cc
 
         # tiles past the alive prefix (rays sorted dead-last) are a copy
@@ -3468,6 +3495,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         sout[WROW_ALIVE, :, :] = c["alive"]
         sout[WROW_RAYS, :, :] = c["rays"]
         sout[WROW_LANE, :, :] = lane_f
+        sout[WROW_PX, :, :] = c["px"]
+        sout[WROW_PY, :, :] = c["py"]
+        sout[WROW_SMP, :, :] = c["smp"]
+        sout[WROW_DEP, :, :] = c["dep"]
+        sout[WROW_WANT, :, :] = c["want"]
 
     return wave_kernel
 

@@ -89,7 +89,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     tile = tile_sub * 128
     NR = pp.W_NROWS
 
+    # spw lanes per pixel; each lane streams its share of the wave's
+    # samples back-to-back (mega-kernel regeneration). Small films use
+    # many lanes/pixel (sort+launch overheads amortize over a bigger
+    # grid); large films use few lanes and lean on regeneration.
     spw = samples_per_wave or max(1, min(32, (1 << 20) // npix))
+    cap = max(spw, 100)
     n_real = npix * spw
     n_tiles = -(-n_real // tile)
     n_pad = n_tiles * tile
@@ -212,9 +217,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     def _make_kernel_step(k):
         @jax.jit
-        def kernel_step(state, seed, dep0, nt):
+        def kernel_step(state, seed, launch, nt):
             sc = jnp.stack([seed.astype(jnp.int32),
-                            dep0.astype(jnp.int32),
+                            launch.astype(jnp.int32),
                             nt.astype(jnp.int32)])
             out = call_kernel(k, sc,
                               state.reshape(NR, n_tiles * tile_sub, 128))
@@ -226,10 +231,10 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     _steps = {}
 
-    def kernel_step(k, state, seed, dep0, nt):
+    def kernel_step(k, state, seed, launch, nt):
         if k not in _steps:
             _steps[k] = _make_kernel_step(k)
-        return _steps[k](state, seed, dep0, nt)
+        return _steps[k](state, seed, launch, nt)
 
     # camera init (camera.rs:77-90 math, vectorized in XLA)
     PI_ = ps.cam_proj_inv
@@ -251,9 +256,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     pyf_host = (np.minimum(pix_host, npix - 1) // W).astype(np.float32)
     lane_host = np.arange(n_pad, dtype=np.int64).astype(np.float32)
 
+    # sample-slot id per lane (lane l belongs to slot l // npix): the
+    # wave's num_samples split across a pixel's spw lanes
+    slot_host = np.minimum(np.arange(n_pad, dtype=np.int64) // npix,
+                           spw - 1).astype(np.int32)
+    real_host = (np.arange(n_pad) < n_real)
+
     @jax.jit
-    def init_state(seed, n_want):
-        """Fresh wave: camera rays for lanes < n_want, dead otherwise."""
+    def init_state(seed, want_total):
+        """Fresh wave: camera rays for every lane with a nonzero sample
+        target; want_total samples split as evenly as integers allow
+        across each pixel's spw lanes."""
         key = jax.random.fold_in(jax.random.PRNGKey(0),
                                  seed.astype(jnp.uint32))
         ju, jv = jax.random.uniform(key, (2, n_pad), jnp.float32)
@@ -274,7 +287,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         dz = twz - cam_o[2]
         inv = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz,
                                          1e-20))
-        alive = (jnp.arange(n_pad) < n_want).astype(jnp.float32)
+        slot = jnp.asarray(slot_host)
+        want_lane = jnp.where(
+            jnp.asarray(real_host),
+            want_total // spw + (slot < want_total % spw), 0) \
+            .astype(jnp.float32)
+        alive = (want_lane > 0).astype(jnp.float32)
         zeros = jnp.zeros((n_pad,), jnp.float32)
         state = jnp.stack([
             jnp.where(alive > 0.5, cam_o[0], pp.DEAD_ORIGIN),
@@ -286,6 +304,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs
             alive, zeros,                             # alive, rays
             jnp.asarray(lane_host),
+            pxf, pyf,                                 # owned pixel
+            zeros, zeros,                             # sample, depth
+            want_lane,                                # per-lane target
         ])
         return state, jnp.asarray(pix_host)
 
@@ -312,18 +333,21 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         import time as _time
 
         import jax.numpy as jnp
-        want = min(int(num_samples), spw)
-        state, pix = init_state(jnp.int32(seed), jnp.int32(npix * want))
+        want = min(int(num_samples), cap)
+        state, pix = init_state(jnp.int32(seed), jnp.int32(want))
         # `prefix` = lane count bounding where alive rays can sit: the
         # initial real-lane block, shrunk by each sorted step (sorting
         # compacts alive lanes dead-last within the sorted bucket);
         # unsorted steps kill lanes IN PLACE so the bound is unchanged.
         # `last_alive` is a stale-high alive count from the last sync.
-        prefix = npix * want
-        last_alive = npix * want
-        dep = 0
+        prefix = n_real
+        last_alive = n_real
+        # regeneration keeps lanes busy until each finishes its sample
+        # share; bound launches for the worst case (no early death)
+        per_lane = -(-want // spw)
+        max_launches = -(-maxd * per_lane // min(schedule)) + 8
         si = 0
-        while dep < maxd:
+        while si < max_launches:
             k = schedule[min(si, len(schedule) - 1)]
             do_sort = (sort_rays and si >= sort_from
                        and (sort_first <= 0
@@ -338,19 +362,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 # alive lanes never leave the prefix without a sort
                 nt = -(-prefix // tile)
             state, n_alive = kernel_step(k, state, jnp.int32(seed),
-                                         jnp.int32(dep), jnp.int32(nt))
-            dep += k
+                                         jnp.int32(si), jnp.int32(nt))
             si += 1
             if profile:
                 last_alive = int(n_alive)
-                print(f"    step {si - 1} (k {k}, dep {dep - k}, "
-                      f"sort={int(do_sort)}, nt={nt}): "
-                      f"{(_time.time() - t0) * 1000:.0f} ms, "
+                print(f"    step {si - 1} (k {k}, sort={int(do_sort)}, "
+                      f"nt={nt}): {(_time.time() - t0) * 1000:.0f} ms, "
                       f"alive {last_alive}", flush=True)
                 if last_alive == 0:
                     break
                 continue
-            if dep < maxd and si % check_every == 0:
+            if si % check_every == 0:
                 last_alive = int(n_alive)
                 if last_alive == 0:
                     break
@@ -363,8 +385,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             "rays": float(rays),
         }
 
-    run.chunk_hint = spw
-    run.samples_per_wave = spw
+    run.chunk_hint = cap
+    run.samples_per_wave = cap
     run.n_tiles = n_tiles
     run.steps = steps
     run.sort_prefix = sort_prefix
