@@ -171,6 +171,7 @@ class PallasScene:
     # HBM streaming mode: geometry in HBM, per-group box table in VMEM
     mesh_hbm: bool = False
     mesh_box: Optional[np.ndarray] = None    # (n_super_pad8, 128)
+    mesh_root: Optional[tuple] = None        # ((lo3), (hi3)) world AABB
     # shared instanced BLAS tables (object space, one per shared blas):
     # dicts of geom/box/n_clusters/inst_rows/n_inst (_pack_inst_mesh)
     inst_meshes: Optional[List[dict]] = None
@@ -459,7 +460,7 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
            "eta": (1.0, 1.0, 1.0), "k": (0.0, 0.0, 0.0),
            "alpha": (0.0, 0.0), "ir": 1.5, "texs": texs, "rrm": 0,
            "op": (0.0, 0.0, 0.0), "kr2": (0.0, 0.0, 0.0),
-           "kt2": (0.0, 0.0, 0.0)}
+           "kt2": (0.0, 0.0, 0.0), "fscale": (1.0, 1.0, 1.0)}
 
     def slot_rgb(ti, cls):
         """Trace-time rgb base of a slot; registers its descriptor."""
@@ -506,6 +507,9 @@ def _mat_record(buffers_np, mat_idx: int) -> dict:
     elif mt == T.MAT_METAL:
         rec["eta"] = tex_rgb(u0[0])  # solid-only (_SLOT_CLASSES)
         rec["k"] = tex_rgb(u0[1])
+        # mat_v0.xyz = conductor response scale (0 -> 1); overrides.py
+        rec["fscale"] = tuple(1.0 if float(v) == 0.0 else float(v)
+                              for v in v0[:3])
         remap = bool(int(u1[0]))
         rec["alpha"] = (slot_rough(u0[2], "ru", remap),
                         slot_rough(u0[3], "rv", remap))
@@ -608,8 +612,9 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray, needs_uv=None):
         rec["emed"] = int(emed)
         mesh_mats.append(rec)
     cam = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
-    geom, n_clusters, box_tab = _pack_tris(p, n, uv, inv, cam, needs_uv)
-    return geom, mesh_mats, n_clusters, box_tab
+    geom, n_clusters, box_tab, root = _pack_tris(p, n, uv, inv, cam,
+                                                 needs_uv)
+    return geom, mesh_mats, n_clusters, box_tab, root
 
 
 def _pack_tris(p, n, uv, inv, cam, needs_uv):
@@ -695,7 +700,12 @@ def _pack_tris(p, n, uv, inv, cam, needs_uv):
             r, lane = rowlane(g * n_sub + s)
             box_tab[r:n_super * g_rows:g_rows, lane:lane + 6] = \
                 box[g::SUPER, s * 6:s * 6 + 6]
-    return geom, n_clusters, box_tab
+    # root AABB over the real groups (padding groups are inverted)
+    real_lo = tlo[:m].min(axis=0) if m else np.zeros(3)
+    real_hi = thi[:m].max(axis=0) if m else np.zeros(3)
+    root = (tuple(float(x) for x in real_lo),
+            tuple(float(x) for x in real_hi))
+    return geom, n_clusters, box_tab, root
 
 
 INST_MIN_SAVING = 4096  # share a blas only when it saves real slots
@@ -767,7 +777,7 @@ def _pack_inst_mesh(buffers_np, blas_id, inst_ids, mesh_mats, needs_uv):
     w2o0 = buffers_np["inst_w2o"][inst_ids[0]].astype(np.float64)
     cam_w = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
     cam_o = w2o0[:, :3] @ cam_w + w2o0[:, 3]
-    geom, n_clusters, box = _pack_tris(
+    geom, n_clusters, box, root = _pack_tris(
         p, n, uv, np.zeros(len(p), np.int64), cam_o, needs_uv)
     rows = np.zeros(((len(inst_ids) + 7) // 8 * 8, 128), np.float32)
     for r, i in enumerate(inst_ids):
@@ -779,7 +789,7 @@ def _pack_inst_mesh(buffers_np, blas_id, inst_ids, mesh_mats, needs_uv):
         rows[r, 0:12] = buffers_np["inst_w2o"][i].reshape(-1)
         rows[r, 12] = float(len(mesh_mats) - 1)
     return {"geom": geom, "box": box, "n_clusters": n_clusters,
-            "inst_rows": rows, "n_inst": len(inst_ids)}
+            "inst_rows": rows, "n_inst": len(inst_ids), "root": root}
 
 
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
@@ -793,9 +803,11 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         mesh_idx = np.nonzero(~imm)[0]
         rest_idx, shared = _shared_split(buffers_np, mesh_idx)
         needs_uv = _mesh_needs_uv(buffers_np, mesh_idx)
+        mesh_root = None
         if rest_idx.size:
-            mesh_geom, mesh_mats, n_clusters, mesh_box = _pack_mesh(
-                buffers_np, rest_idx, needs_uv=needs_uv)
+            (mesh_geom, mesh_mats, n_clusters, mesh_box,
+             mesh_root) = _pack_mesh(buffers_np, rest_idx,
+                                     needs_uv=needs_uv)
         else:
             mesh_geom, mesh_mats, n_clusters = None, [], 0
         for b, insts in shared:
@@ -805,6 +817,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     else:
         imm_idx = np.arange(ntri)
         mesh_geom, mesh_mats, n_clusters = None, None, 0
+        mesh_root = None
 
     tris = []
     for i in imm_idx:
@@ -967,7 +980,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         width=config.film.xresolution, height=config.film.yresolution,
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
         mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
-        mesh_hbm=mesh_hbm, mesh_box=mesh_box,
+        mesh_hbm=mesh_hbm, mesh_box=mesh_box, mesh_root=mesh_root,
         inst_meshes=inst_meshes or None,
         integrator=config.integrator, media=media)
 
@@ -1045,6 +1058,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     ACTIVE_IMG_CLASSES = tuple(c for c in IMG_CLASSES if _img_descs(c))
     HAS_IMG_MATS = bool(ACTIVE_IMG_CLASSES)
     HAS_RRM = any(r.get("rrm") for r in _all_recs)
+    HAS_MSCALE = any(tuple(r.get("fscale", (1.0, 1.0, 1.0)))
+                     != (1.0, 1.0, 1.0) for r in _all_recs)
     BG_IMG = ps.bg_img
     NPAGES = (ps.img_rows // IMG_PAGE) if HAS_IMG else 0
     IMG_ROWS = ps.img_rows
@@ -1280,7 +1295,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return hf
 
     def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, carry,
-                     nsup=None):
+                     nsup=None, root=None):
         """Closest hit over a cluster table, threading a carry of
         (t, nx, ny, nz, matid[, u, v]). `d` need not be unit length —
         t parameterizes o + t*d, so instanced calls pass object-space
@@ -1364,10 +1379,29 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
             return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
 
-        return jax.lax.fori_loop(0, nsup, sup_body, carry)
+        def march(c_):
+            return jax.lax.fori_loop(0, nsup, sup_body, c_)
+
+        if root is None:
+            return march(carry)
+        # root-AABB gate (baked immediates): a tile whose beam misses
+        # the whole table skips the march for one slab test — the
+        # common case for sorted sky-facing tiles
+        rl, rh = root
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum((rl[0] - ox) * ix, (rh[0] - ox) * ix),
+                        jnp.minimum((rl[1] - oy) * iy, (rh[1] - oy) * iy)),
+            jnp.minimum((rl[2] - oz) * iz, (rh[2] - oz) * iz))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum((rl[0] - ox) * ix, (rh[0] - ox) * ix),
+                        jnp.maximum((rl[1] - oy) * iy, (rh[1] - oy) * iy)),
+            jnp.maximum((rl[2] - oz) * iz, (rh[2] - oz) * iz))
+        enter_root = jnp.maximum(tn, tmin) <= jnp.minimum(tf, carry[0])
+        return jax.lax.cond(jnp.any(enter_root), march,
+                            lambda c_: c_, carry)
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hf0,
-                 nsup=None):
+                 nsup=None, root=None):
         """Any-hit over a cluster table; skips groups/clusters once a
         lane set is fully occluded. hf0 and the return value are 0/1
         float masks — Mosaic cannot carry i1 vectors through scf.for."""
@@ -1443,7 +1477,24 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
                                 lambda h: h, hf)
 
-        return jax.lax.fori_loop(0, nsup, sup_body, hf0)
+        def march(h_):
+            return jax.lax.fori_loop(0, nsup, sup_body, h_)
+
+        if root is None:
+            return march(hf0)
+        rl, rh = root
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum((rl[0] - ox) * ix, (rh[0] - ox) * ix),
+                        jnp.minimum((rl[1] - oy) * iy, (rh[1] - oy) * iy)),
+            jnp.minimum((rl[2] - oz) * iz, (rh[2] - oz) * iz))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum((rl[0] - ox) * ix, (rh[0] - ox) * ix),
+                        jnp.maximum((rl[1] - oy) * iy, (rh[1] - oy) * iy)),
+            jnp.maximum((rl[2] - oz) * iz, (rh[2] - oz) * iz))
+        enter_root = (jnp.maximum(tn, tmin) <= jnp.minimum(tf, tmax)) \
+            & (hf0 < 0.5)
+        return jax.lax.cond(jnp.any(enter_root), march,
+                            lambda h_: h_, hf0)
 
     def _apply_rec_texs(rec, uu, vv, vals):
         """Per-hit texture-slot values of a record: checkers evaluate
@@ -1501,6 +1552,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 vals.setdefault(f"ih_{c}", 0.0)
             if HAS_RRM:
                 vals["rrm"] = 1.0 if rec.get("rrm") else 0.0
+        if HAS_MSCALE:
+            fs = rec.get("fscale", (1.0, 1.0, 1.0))
+            vals["msr"], vals["msg"], vals["msb"] = fs
         return vals
 
     # ---- closest hit: unrolled over primitives; returns t + shading record
@@ -1530,6 +1584,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 attr[f"ih_{c}"] = jnp.zeros(SHAPE)
             if HAS_RRM:
                 attr["rrm"] = jnp.zeros(SHAPE)
+        if HAS_MSCALE:
+            for key in ("msr", "msg", "msb"):
+                attr[key] = jnp.ones(SHAPE)
 
         for rec in ps.tris:
             s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
@@ -1648,7 +1705,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 mres = mres + (zero, zero)
             if NC:
                 mres = mesh_closest(main_ref, ox, oy, oz, dx, dy, dz,
-                                    tmin, mres)
+                                    tmin, mres, root=ps.mesh_root)
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
 
@@ -1666,7 +1723,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     t_pre = carry[0]
                     res = mesh_closest((gref, bref), lox, loy, loz,
                                        ldx, ldy, ldz, tmin, carry,
-                                       nsup_b)
+                                       nsup_b, root=im["root"])
                     won = res[0] < t_pre
                     # world normal = W2O^T n_obj (lib.rs:852-881)
                     nwx = mm[0] * res[1] + mm[4] * res[2] + mm[8] * res[3]
@@ -1764,7 +1821,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             hf = jnp.where(hit, ox * 0.0 + 1.0, ox * 0.0)
             if NC:
                 hf = mesh_any(main_ref, ox, oy, oz, dx, dy, dz, tmin,
-                              tmax, hf)
+                              tmax, hf, root=ps.mesh_root)
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
 
@@ -1780,7 +1837,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
                     return mesh_any((gref, bref), lox, loy, loz,
                                     ldx, ldy, ldz, tmin, tmax, hf,
-                                    nsup_b)
+                                    nsup_b, root=im["root"])
 
                 hf = jax.lax.fori_loop(0, im["n_inst"], any_body, hf)
             hit = hf > 0.5
@@ -2236,6 +2293,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             fr_r = fr_conductor_ch(c2, s2, attr["etar"], attr["kr"], cabs)
             fr_g = fr_conductor_ch(c2, s2, attr["etag"], attr["kg"], cabs)
             fr_b = fr_conductor_ch(c2, s2, attr["etab"], attr["kb"], cabs)
+            if HAS_MSCALE:
+                fr_r = fr_r * attr["msr"]
+                fr_g = fr_g * attr["msg"]
+                fr_b = fr_b * attr["msb"]
             base = d * g / jnp.maximum(4.0 * ci * co, 1e-20)
             bad = (ci == 0.0) | (co == 0.0)
             f_r = jnp.where(sel & ~bad, base * fr_r, f_r)

@@ -90,11 +90,13 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     NR = pp.W_NROWS
 
     # spw lanes per pixel; each lane streams its share of the wave's
-    # samples back-to-back (mega-kernel regeneration). Small films use
-    # many lanes/pixel (sort+launch overheads amortize over a bigger
-    # grid); large films use few lanes and lean on regeneration.
-    spw = samples_per_wave or max(1, min(32, (1 << 20) // npix))
-    cap = max(spw, 100)
+    # samples back-to-back (mega-kernel regeneration). Measured optimum
+    # (VALIDATION round 3) is one sample per lane per wave — small films
+    # amortize sort+launch overheads over many lanes, large films over
+    # at least 2 — so the driver chunk equals spw (want=1/lane);
+    # explicit samples_per_wave still composes lanes x regeneration.
+    spw = samples_per_wave or max(2, min(18, (1 << 21) // npix))
+    cap = spw
     n_real = npix * spw
     n_tiles = -(-n_real // tile)
     n_pad = n_tiles * tile

@@ -203,8 +203,15 @@ def compute_bsdf(buffers, mat_idx, uv, config) -> List[Dict]:
 
     if T.MAT_METAL in mats:  # material.rs:278-317
         ax, ay = remap_alpha(u1[:, 0], t_u0z.x, t_u0w.x)
+        # mat_v0.xyz = optional conductor response scale (0 -> 1): the
+        # --scene-overrides diagnostic knob for renderer-convention
+        # divergence (VALIDATION veach forensics)
+        mv = buffers["mat_v0"][mat_idx]
+        fs = V3(jnp.where(mv[:, 0] == 0.0, 1.0, mv[:, 0]),
+                jnp.where(mv[:, 1] == 0.0, 1.0, mv[:, 1]),
+                jnp.where(mv[:, 2] == 0.0, 1.0, mv[:, 2]))
         _set(slots[0], mtype == T.MAT_METAL, T.BXDF_MICROFACET_REFLECTION,
-             v0=one3, ax=ax, ay=ay, fr_type=T.FRESNEL_CONDUCTOR,
+             v0=fs, ax=ax, ay=ay, fr_type=T.FRESNEL_CONDUCTOR,
              fr_eta_i=one3, fr_eta_t=t_u0x, fr_k=t_u0y)
 
     if T.MAT_MIRROR in mats:  # material.rs:362-383

@@ -31,17 +31,21 @@ LOG_EVERY = 100     # reference N_SAMPLES_ITER, main.rs:81
 
 
 def _wave_default(buffers_np, config) -> bool:
-    """auto-engine policy: the wavefront engine is the default for
-    cluster (big-mesh) path scenes, where cross-tile ray redistribution
-    breaks the SIMT wall; immediates scenes keep the megakernel (they
-    have no any-lane gating to win back and the megakernel's
-    regeneration amortizes better). Override with RENE_WAVE=0/1."""
+    """auto-engine policy (measured, VALIDATION round 3): the wavefront
+    engine wins on DEEP cluster scenes (teapot-class: 0.087 vs 0.168
+    s/spp @320x180, 1.45 vs 2.22 @720p) where bounce-ray redistribution
+    breaks the SIMT wall, and loses on shallow/miss-dominated ones
+    (dragon-class: most paths die within 2 bounces, so the megakernel's
+    in-kernel regeneration amortizes better than per-launch overheads).
+    maxdepth >= 32 is the cheap prior separating the two on the corpus.
+    Override with RENE_WAVE=0/1."""
     ov = os.environ.get("RENE_WAVE")
     if ov is not None:
         return ov != "0"
     from .integrators.pallas_path import MAX_TRIS
     from .integrators.pallas_wave import wave_supported
-    return (config.num_triangles > MAX_TRIS
+    maxd = config.max_depth_hint if config.max_depth_hint else 50
+    return (config.num_triangles > MAX_TRIS and maxd >= 32
             and wave_supported(buffers_np, config))
 
 

@@ -19,7 +19,8 @@ Schema::
          "metal": {"eta": [...], "k": [...],
                    "uroughness": 0.01, "vroughness": 0.01,
                    "remap": false,
-                   "alpha_from_roughness": "square"}},
+                   "alpha_from_roughness": "square",
+                   "fresnel_scale": [0.318, 0.318, 0.318]}},
         {"index": 7, "emission_scale": 0.5}  # scale an area light
       ]
     }
@@ -75,9 +76,13 @@ def apply_overrides(scene: FlatScene, spec: Union[str, dict]) -> FlatScene:
                                      [ru, ru, ru, 0.0])
             tv = scene._push_texture(T.TEX_SOLID, [0, 0, 0, 0],
                                      [rv, rv, rv, 0.0])
+            fs = m.get("fresnel_scale")
+            v0 = ([float(c) for c in fs][:3] + [0.0]) if fs \
+                else (0.0, 0.0, 0.0, 0.0)
             mi = scene._push_material(
                 T.MAT_METAL, u0=[te, tk, tu, tv],
-                u1=[1 if m.get("remap", False) else 0, 0, 0, 0])
+                u1=[1 if m.get("remap", False) else 0, 0, 0, 0],
+                v0=v0)
             scene.tlas[idx] = dataclasses.replace(inst, material_index=mi)
         if "emission_scale" in ov:
             ai = scene.tlas[idx].area_light_index

@@ -60,7 +60,7 @@ def k_for_f0(f0):
     return tuple(2.0 * math.sqrt(f / max(1.0 - f, 1e-6)) for f in f0)
 
 
-def plate_override(name, f0_scale=None, alpha_sq=False):
+def plate_override(name, f0_scale=None, alpha_sq=False, fscale=None):
     r = ROUGH[name]
     eta, k = ETA, K
     if f0_scale is not None:
@@ -70,16 +70,18 @@ def plate_override(name, f0_scale=None, alpha_sq=False):
          "uroughness": r, "vroughness": r, "remap": False}
     if alpha_sq:
         m["alpha_from_roughness"] = "square"
+    if fscale is not None:
+        m["fresnel_scale"] = [fscale] * 3
     return {"index": PLATE_IDX[name], "metal": m}
 
 
-def spec_for(backdrop=None, f0_scale=None, alpha_sq=False):
+def spec_for(backdrop=None, f0_scale=None, alpha_sq=False, fscale=None):
     inst = []
     if backdrop is not None:
         inst.append({"index": 4, "matte_kd": [backdrop] * 3})
-    if f0_scale is not None or alpha_sq:
+    if f0_scale is not None or alpha_sq or fscale is not None:
         for nm in PLATE_IDX:
-            inst.append(plate_override(nm, f0_scale, alpha_sq))
+            inst.append(plate_override(nm, f0_scale, alpha_sq, fscale))
     return {"instances": inst}
 
 
@@ -105,9 +107,11 @@ def surface_masks(normal):
     return masks
 
 
-def per_surface(tag, spec, spp=256, seed=0):
+def per_surface(tag, spec, spp=256, seed=0, maxdepth=None):
     scene = load_scene(VEACH)
     scene.set_film_resolution(320, 180)
+    if maxdepth is not None:
+        scene.max_depth_hint = maxdepth
     if spec is not None:
         apply_overrides(scene, spec)
     t0 = time.time()
@@ -126,12 +130,14 @@ def per_surface(tag, spec, spp=256, seed=0):
     return out
 
 
-def golden_ssim_720(tag, spec, spp=512):
+def golden_ssim_720(tag, spec, spp=512, maxdepth=None, localize=False):
     from PIL import Image as PILImage
 
     from rene_tpu.utils.film import save_png, to_rgb8
     from rene_tpu.utils.ssim import ssim
     scene = load_scene(VEACH, color_space="srgb-lights")
+    if maxdepth is not None:
+        scene.max_depth_hint = maxdepth
     if spec is not None:
         apply_overrides(scene, spec)
     golden = np.asarray(PILImage.open(
@@ -144,6 +150,19 @@ def golden_ssim_720(tag, spec, spp=512):
     print(f"S.{tag} @720p spp={spp}: SSIM {s:.4f} "
           f"({time.time()-t0:.0f}s)", flush=True)
     save_png(f"docs/renders/veach_r3_{tag}.png", img8)
+    if localize:
+        # gamma-space per-surface means + MSE vs the PNG golden
+        masks = surface_masks(out["normal"])
+        g8 = golden
+        o8 = img8.astype(np.float32) / 255.0
+        for name, m in masks.items():
+            if m.sum() < 50:
+                continue
+            om = o8[m].mean(axis=0)
+            gm = g8[m].mean(axis=0)
+            mse = ((o8[m] - g8[m]) ** 2).mean()
+            print(f"   {name:9s} gamma ours {om.round(3)} "
+                  f"golden {gm.round(3)} mse {mse:.4f}", flush=True)
     return s
 
 
@@ -168,10 +187,39 @@ def main():
         golden_ssim_720("compat",
                         spec_for(backdrop=0.925, f0_scale=0.316))
 
+    if "R2" in todo:
+        # the base per-surface ratios are ~uniformly 3.0-3.26 across all
+        # four plates and channels == pi: a renderer-convention factor,
+        # not an F0 difference. fresnel_scale keeps the conductor curve
+        # SHAPE and scales the response.
+        import math as _m
+        per_surface("R2.plates*1/pi", spec_for(fscale=1.0 / _m.pi))
+        per_surface("R2.backdrop+1/pi",
+                    spec_for(backdrop=0.925, fscale=1.0 / _m.pi))
+
     if "S2" in todo:
-        golden_ssim_720("compat_alphasq",
-                        spec_for(backdrop=0.925, f0_scale=0.316,
-                                 alpha_sq=True))
+        import math as _m
+        golden_ssim_720("base1024", None, spp=1024)
+        golden_ssim_720("compat_pi",
+                        spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
+                        spp=1024)
+
+    if "R3" in todo:
+        # the golden floor equals our DIRECT-ONLY value exactly: test
+        # the direct-lighting hypothesis (the classic Veach MIS figure)
+        import math as _m
+        per_surface("R3.maxdepth2+bd+pi",
+                    spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
+                    maxdepth=2)
+
+    if "S3" in todo:
+        import math as _m
+        golden_ssim_720("compat_pi_d2",
+                        spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
+                        spp=1024, maxdepth=2, localize=True)
+        golden_ssim_720("compat_pi_loc",
+                        spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
+                        spp=1024, localize=True)
 
 
 if __name__ == "__main__":

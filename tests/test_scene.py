@@ -198,3 +198,53 @@ WorldEnd"""
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_metal_fresnel_scale_override():
+    """overrides.py fresnel_scale: scales the conductor response with an
+    unchanged Fresnel curve, in both engines (the veach-forensics knob)."""
+    import numpy as np
+
+    from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+    from rene_tpu.pbrt import parse_pbrt
+    from rene_tpu.render import render
+    from rene_tpu.scene import create_scene
+    from rene_tpu.scene.device import build_device_scene
+    from rene_tpu.scene.overrides import apply_overrides
+
+    src = """
+LookAt 0 -5 2  0 0 0.5  0 0 1
+Camera "perspective" "float fov" 45
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+Integrator "path" "integer maxdepth" 3
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Material "metal" "rgb eta" [0.2 0.92 1.1] "rgb k" [3.9 2.45 2.1]
+  "float uroughness" [0.2] "float vroughness" [0.2]
+  "bool remaproughness" ["false"]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-2 -2 0  -2 2 0  2 2 0  2 -2 0]
+WorldEnd"""
+
+    def mean_radiance(scale):
+        scene = create_scene(parse_pbrt(src), "/tmp")
+        if scale is not None:
+            apply_overrides(scene, {"instances": [
+                {"index": 0, "metal": {
+                    "eta": [0.2, 0.92, 1.1], "k": [3.9, 2.45, 2.1],
+                    "uroughness": 0.2, "vroughness": 0.2,
+                    "fresnel_scale": [scale] * 3}}]})
+        bn, cfg = build_device_scene(scene)
+        run = make_pallas_batch_fn(bn, cfg, interpret=True)
+        out = run(7, 16)
+        pal = np.asarray(out["radiance"]).mean() / 16
+        xla = render(scene, spp=16, seed=7, engine="xla")["color"].mean()
+        return pal, xla
+
+    p1, x1 = mean_radiance(None)
+    p5, x5 = mean_radiance(0.5)
+    # both engines agree, and the metal response scales (plate pixels
+    # dominate the film; background is unchanged)
+    np.testing.assert_allclose(p1, x1, rtol=0.1)
+    np.testing.assert_allclose(p5, x5, rtol=0.1)
+    assert p5 < p1 * 0.95
