@@ -130,12 +130,13 @@ def per_surface(tag, spec, spp=256, seed=0, maxdepth=None):
     return out
 
 
-def golden_ssim_720(tag, spec, spp=512, maxdepth=None, localize=False):
+def golden_ssim_720(tag, spec, spp=512, maxdepth=None, localize=False,
+                    color_space="srgb-lights"):
     from PIL import Image as PILImage
 
     from rene_tpu.utils.film import save_png, to_rgb8
     from rene_tpu.utils.ssim import ssim
-    scene = load_scene(VEACH, color_space="srgb-lights")
+    scene = load_scene(VEACH, color_space=color_space)
     if maxdepth is not None:
         scene.max_depth_hint = maxdepth
     if spec is not None:
@@ -203,6 +204,31 @@ def main():
         golden_ssim_720("compat_pi",
                         spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
                         spp=1024)
+
+    if "S4" in todo:
+        # linear lights: the per-surface LINEAR ratios are ~1 with the
+        # compat overrides, and srgb-lights inflates this scene's HDR
+        # emitters (gamma-space means came out 1.3-1.5x golden)
+        import math as _m
+        golden_ssim_720("compat_pi_d2_lin",
+                        spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
+                        spp=1024, maxdepth=2, localize=True,
+                        color_space="linear")
+        golden_ssim_720("compat_pi_lin",
+                        spec_for(backdrop=0.925, fscale=1.0 / _m.pi),
+                        spp=1024, localize=True, color_space="linear")
+        golden_ssim_720("base_lin", None, spp=1024,
+                        color_space="linear")
+
+    if "S5" in todo:
+        import math as _m
+        golden_ssim_720("compat_pi_d2_asq",
+                        spec_for(backdrop=0.925, fscale=1.0 / _m.pi,
+                                 alpha_sq=True),
+                        spp=1024, maxdepth=2, localize=True)
+        per_surface("R5.d2+bd+pi+asq",
+                    spec_for(backdrop=0.925, fscale=1.0 / _m.pi,
+                             alpha_sq=True), maxdepth=2)
 
     if "R3" in todo:
         # the golden floor equals our DIRECT-ONLY value exactly: test
