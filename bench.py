@@ -113,7 +113,9 @@ def main():
             crun = make_pallas_batch_fn(cbn, cconfig)
             if crun is not None:
                 k1, k2 = 2, 6
-                np.asarray(crun(0, k1)["radiance"])  # compile + warm
+                # warm BOTH chunk sizes (each num_samples is its own jit)
+                np.asarray(crun(0, k1)["radiance"])
+                np.asarray(crun(0, k2)["radiance"])
                 t0 = time.time()
                 float(crun(1, k1)["rays"])
                 t1 = time.time()

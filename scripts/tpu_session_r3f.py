@@ -87,7 +87,7 @@ def main():
             r3b.main()
 
     if "T" in todo:
-        retrain()
+        retrain(int(os.environ.get("RENE_TRAIN_STEPS", "2000")))
 
     if "Q" in todo:
         golden_table()

@@ -147,3 +147,22 @@ WorldEnd"""
     other = R.render(scene, spp=100, seed=10, checkpoint=ckpt, resume=True)
     fresh = R.render(scene, spp=100, seed=10)
     np.testing.assert_allclose(other["color"], fresh["color"], atol=1e-5)
+
+
+def test_warm_cache_xla():
+    """warm_cache compiles the driver's kernels without executing them."""
+    from rene_tpu.pbrt import parse_pbrt
+    from rene_tpu.render import warm_cache
+    from rene_tpu.scene import create_scene
+    src = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Integrator "path" "integer maxdepth" 3
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Material "matte" "rgb Kd" [.5 .5 .5]
+Shape "sphere" "float radius" 1
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    assert warm_cache(scene, engine="xla") >= 1
+    # pallas (interpret) compile path
+    assert warm_cache(scene, engine="pallas") >= 1
