@@ -53,7 +53,7 @@ def wave_supported(buffers_np, config: RenderConfig) -> bool:
 
 def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         interpret: bool = False,
-                        k_bounces: int = 2,
+                        k_bounces: int = 0,
                         k_schedule=None,
                         samples_per_wave: int = 0,
                         sort_rays: bool = True,
@@ -61,6 +61,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         sort_first: int = 0,
                         oct_major: bool = True,
                         dir_bits: int = 3,
+                        sub_tris: int = 32,
                         check_every: int = 1):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -81,7 +82,16 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ps = pp.pack_scene(buffers_np, config)
+    # the wave's coherent entries favor finer MT sub-blocks than the
+    # megakernel (SUB_TRIS=32: 1.142 vs 1.255 s/spp teapot @720p; the
+    # mega measured 64 best). Packing and kernel builds happen inside
+    # the override window (eager builds below).
+    _sub0 = pp.SUB_TRIS
+    pp.SUB_TRIS = sub_tris
+    try:
+        ps = pp.pack_scene(buffers_np, config)
+    finally:
+        pp.SUB_TRIS = _sub0
     W, H = ps.width, ps.height
     npix = W * H
     maxd = ps.max_depth
@@ -120,13 +130,20 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     lo = lo - 0.05 * ext
     ext = ext * 1.1
 
-    # mesh/image operand plumbing (shared with the megakernel)
+    # measured-best default schedule: sort the first diffuse bounce on
+    # its own, widen chunks as the wave thins (VALIDATION round 3)
+    schedule = (tuple(k_schedule) if k_schedule
+                else ((k_bounces,) if k_bounces else (1, 1, 2, 4)))
+    _kernels = {}
+    pp.SUB_TRIS = sub_tris
+    try:
+        for _k in set(schedule):
+            _kernels[_k] = pp._build_kernel(ps, 0, interpret, wave_k=_k)
+    finally:
+        pp.SUB_TRIS = _sub0
     mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
-
-    schedule = tuple(k_schedule) if k_schedule else (k_bounces,)
     state_spec = pl.BlockSpec((NR, tile_sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
-    _kernels = {}
 
     def _kernel_for(k):
         if k not in _kernels:
