@@ -131,6 +131,36 @@ def main():
         except Exception as e:  # never break the primary metric
             result["extra"] = {"error": f"cluster bench failed: {e}"}
 
+    # third metric: the wavefront engine on the deep cluster scene
+    # (teapot) — the round-3 architecture win regresses invisibly
+    # otherwise
+    wv_path = os.environ.get(
+        "RENE_BENCH_WAVE_SCENE",
+        "/root/reference/sample_scenes/teapot/scene.pbrt")
+    if (os.environ.get("RENE_BENCH_WAVE", "1") != "0"
+            and jax.devices()[0].platform == "tpu"
+            and os.path.exists(wv_path)):
+        try:
+            from rene_tpu.integrators.pallas_wave import (
+                make_pallas_wave_fn)
+            wscene = load_scene(wv_path)
+            wscene.set_film_resolution(320, 180)
+            wbn, wconfig = build_device_scene(wscene)
+            wrun = make_pallas_wave_fn(wbn, wconfig)
+            if wrun is not None:
+                n = wrun.samples_per_wave
+                np.asarray(wrun(0, n)["radiance"])  # compile + warm
+                t0 = time.time()
+                float(wrun(1, n)["rays"])
+                t1 = time.time()
+                result["extra_wave"] = {
+                    "metric": "s/spp teapot @320x180 (pallas wave)",
+                    "value": round((t1 - t0) / n, 4),
+                    "unit": "s/spp",
+                }
+        except Exception as e:
+            result["extra_wave"] = {"error": f"wave bench failed: {e}"}
+
     print(json.dumps(result))
 
 

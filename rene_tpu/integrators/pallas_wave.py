@@ -62,7 +62,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         oct_major: bool = True,
                         dir_bits: int = 3,
                         sub_tris: int = 32,
-                        check_every: int = 1):
+                        check_every: int = 1,
+                        mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
     over num_samples + ray count), or None if unsupported.
@@ -105,7 +106,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     # amortize sort+launch overheads over many lanes, large films over
     # at least 2 — so the driver chunk equals spw (want=1/lane);
     # explicit samples_per_wave still composes lanes x regeneration.
-    spw = samples_per_wave or max(2, min(18, (1 << 21) // npix))
+    # measured @720p: spw 1/2/4/8 -> 2.66/1.45/1.25/1.02 s/spp (more
+    # lanes amortize sorts and launches); memory is 104 B/lane
+    spw = samples_per_wave or max(2, min(18, (1 << 23) // npix))
     cap = spw
     n_real = npix * spw
     n_tiles = -(-n_real // tile)
@@ -210,9 +213,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 else ((morton << 3) | oct_)
         return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
-    @functools.partial(jax.jit, static_argnums=(2,),
-                       donate_argnums=(0, 1))
-    def sort_prefix(state, pix, m):
+    def _sort_prefix_core(state, pix, m):
         """Sort the first m lanes (a host-chosen power-of-4 bucket that
         bounds the alive prefix — alive lanes always sit in a prefix
         after any sorted step, dead-last). Sorting a 57k-lane prefix
@@ -227,6 +228,10 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         pix = jax.lax.dynamic_update_slice(pix, pix_sub, (0,))
         return state, pix
 
+    sort_prefix = functools.partial(jax.jit, static_argnums=(2,),
+                                    donate_argnums=(0, 1))(
+        _sort_prefix_core)
+
     def _bucket(n_lanes):
         """Smallest power-of-4 tile bucket covering n_lanes lanes."""
         m = tile * 4
@@ -234,18 +239,20 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             m *= 4
         return min(m, n_pad)
 
+    def _kernel_step_core(k, state, seed, launch, nt):
+        sc = jnp.stack([seed.astype(jnp.int32),
+                        launch.astype(jnp.int32),
+                        nt.astype(jnp.int32)])
+        out = call_kernel(k, sc,
+                          state.reshape(NR, n_tiles * tile_sub, 128))
+        out = out.reshape(NR, n_pad)
+        n_alive = jnp.sum(out[pp.WROW_ALIVE] > 0.5).astype(jnp.int32)
+        return out, n_alive
+
     def _make_kernel_step(k):
         @jax.jit
         def kernel_step(state, seed, launch, nt):
-            sc = jnp.stack([seed.astype(jnp.int32),
-                            launch.astype(jnp.int32),
-                            nt.astype(jnp.int32)])
-            out = call_kernel(k, sc,
-                              state.reshape(NR, n_tiles * tile_sub, 128))
-            out = out.reshape(NR, n_pad)
-            n_alive = jnp.sum(out[pp.WROW_ALIVE] > 0.5) \
-                .astype(jnp.int32)
-            return out, n_alive
+            return _kernel_step_core(k, state, seed, launch, nt)
         return kernel_step
 
     _steps = {}
@@ -281,8 +288,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                            spw - 1).astype(np.int32)
     real_host = (np.arange(n_pad) < n_real)
 
-    @jax.jit
-    def init_state(seed, want_total):
+    def _init_state_core(seed, want_total):
         """Fresh wave: camera rays for every lane with a nonzero sample
         target; want_total samples split as evenly as integers allow
         across each pixel's spw lanes."""
@@ -329,13 +335,74 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         ])
         return state, jnp.asarray(pix_host)
 
-    @jax.jit
-    def finish_wave(state, pix):
+    init_state = jax.jit(_init_state_core)
+
+    def _finish_core(state, pix):
         order = jnp.argsort(pix)
         rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 9], order, axis=1)
         # each pixel's spw lanes are consecutive after the pixel sort
         sums = rows[:, :n_real].reshape(9, npix, spw).sum(axis=2)
         return sums, jnp.sum(state[pp.WROW_RAYS])
+
+    finish_wave = jax.jit(_finish_core)
+
+    if mesh is not None:
+        # ---- multichip sample-DP: every device runs an independent
+        # wave with a decorrelated seed; films psum over ICI at finish.
+        # State carries a leading device axis (ndev, NR, n_pad); the
+        # early-exit alive count is the psum'd total (a safe upper
+        # bound for every device's tile prefix).
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ndev = mesh.devices.size
+        P3 = P(axis, None, None)
+        P2 = P(axis, None)
+
+        @jax.jit
+        def init_state(seed, want_total):
+            def per_dev(seed, want_total):
+                idx = jax.lax.axis_index(axis).astype(jnp.int32)
+                s, p = _init_state_core(seed + idx * jnp.int32(1000003),
+                                        want_total)
+                return s[None], p[None]
+            f = shard_map(per_dev, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=(P3, P2), check_vma=False)
+            return f(jnp.int32(seed), jnp.int32(want_total))
+
+        @functools.partial(jax.jit, static_argnums=(2,),
+                           donate_argnums=(0, 1))
+        def sort_prefix(state, pix, m):
+            def per_dev(state, pix):
+                s, p = _sort_prefix_core(state[0], pix[0], m)
+                return s[None], p[None]
+            f = shard_map(per_dev, mesh=mesh, in_specs=(P3, P2),
+                          out_specs=(P3, P2), check_vma=False)
+            return f(state, pix)
+
+        def _make_kernel_step(k):
+            @jax.jit
+            def kernel_step(state, seed, launch, nt):
+                def per_dev(state, seed, launch, nt):
+                    idx = jax.lax.axis_index(axis).astype(jnp.int32)
+                    out, n_alive = _kernel_step_core(
+                        k, state[0], seed + idx * jnp.int32(1000003),
+                        launch, nt)
+                    return out[None], jax.lax.psum(n_alive, axis)
+                f = shard_map(per_dev, mesh=mesh,
+                              in_specs=(P3, P(), P(), P()),
+                              out_specs=(P3, P()), check_vma=False)
+                return f(state, seed, launch, nt)
+            return kernel_step
+
+        @jax.jit
+        def finish_wave(state, pix):
+            def per_dev(state, pix):
+                sums, rays = _finish_core(state[0], pix[0])
+                return (jax.lax.psum(sums, axis),
+                        jax.lax.psum(rays, axis))
+            f = shard_map(per_dev, mesh=mesh, in_specs=(P3, P2),
+                          out_specs=(P(), P()), check_vma=False)
+            return f(state, pix)
 
     # launch count implied by the schedule
     steps = 0
@@ -406,6 +473,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     run.chunk_hint = cap
     run.samples_per_wave = cap
+    # multichip: sums cover num_samples x ndev samples per call
+    run.effective_multiplier = mesh.devices.size if mesh is not None else 1
     run.n_tiles = n_tiles
     run.steps = steps
     run.sort_prefix = sort_prefix

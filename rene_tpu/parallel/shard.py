@@ -188,6 +188,18 @@ def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
 
     buffers_np, config = build_device_scene(scene)
 
+    if engine == "wave":
+        # wavefront engine, sample-DP only (each chip runs its own wave,
+        # films psum'd); tiles mode is a megakernel capability
+        from ..integrators.pallas_wave import make_pallas_wave_fn
+        on_tpu = jax.devices()[0].platform == "tpu"
+        wrun = make_pallas_wave_fn(buffers_np, config, mesh=mesh,
+                                   interpret=not on_tpu)
+        if wrun is None:
+            raise ValueError("scene not eligible for the wave engine")
+        return _render_pallas_multichip(wrun, config, spp, seed,
+                                        "samples")
+
     if engine in ("auto", "pallas"):
         on_tpu = jax.devices()[0].platform == "tpu"
         if on_tpu or engine == "pallas":
@@ -266,9 +278,9 @@ def _render_pallas_multichip(prun, config, spp: int, seed: int, mode: str):
     n = w * h
     accum = {k: np.zeros((n, 3), np.float32)
              for k in ("radiance", "normal", "albedo")}
-    ndev = prun.ndev
+    ndev = getattr(prun, "ndev", None) or prun.effective_multiplier
     # samples mode: every device call yields chunk*ndev samples
-    per_call = prun.ndev if mode == "samples" else 1
+    per_call = ndev if mode == "samples" else 1
     max_chunk = min(100, getattr(prun, "chunk_hint", 100))
     host_rng = np.random.default_rng(seed)
     total_rays = 0.0

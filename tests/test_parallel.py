@@ -159,3 +159,41 @@ def test_render_multichip_pallas_engine(eight_devices):
     assert img.shape == (24, 32, 3)
     np.testing.assert_allclose(img[0, 0], [0.4, 0.45, 0.5], atol=0.02)
     assert img[12, 16, 0] > img[12, 16, 1]
+
+
+def test_wave_multichip_samples(eight_devices):
+    """Wave engine sample-DP over the mesh: each chip runs an
+    independent wave (decorrelated streams), films psum'd; sums cover
+    num_samples x ndev samples."""
+    import jax.numpy as jnp
+
+    from rene_tpu.integrators.pallas_wave import make_pallas_wave_fn
+    from rene_tpu.parallel.shard import make_mesh
+    from rene_tpu.scene.device import build_device_scene
+
+    scene = create_scene(parse_pbrt(MAXD_SRC), "/tmp")
+    bn, config = build_device_scene(scene)
+    mesh = make_mesh(eight_devices)
+    run = make_pallas_wave_fn(bn, config, interpret=True, mesh=mesh,
+                              samples_per_wave=2)
+    assert run is not None and run.effective_multiplier == 8
+    out = run(5, 2)  # 2 samples x 8 devices
+    rad = out["radiance"] / 16.0
+    assert np.isfinite(rad).all()
+    from rene_tpu.render import render
+    xla = render(scene, spp=16, seed=2, engine="xla")
+    np.testing.assert_allclose(rad.mean(axis=0),
+                               xla["color"].mean(axis=(0, 1)), rtol=0.1)
+
+
+def test_render_multichip_wave_engine(eight_devices):
+    """render_multichip engine='wave' end-to-end on the CPU mesh."""
+    from rene_tpu.parallel.shard import make_mesh, render_multichip
+    scene = create_scene(parse_pbrt(MAXD_SRC), "/tmp")
+    mesh = make_mesh(eight_devices)
+    out = render_multichip(scene, spp=8, seed=0, mesh=mesh,
+                           engine="wave")
+    assert out["effective_spp"] == 8
+    img = out["color"]
+    assert img.shape == (24, 32, 3)
+    np.testing.assert_allclose(img[0, 0], [0.4, 0.45, 0.5], atol=0.03)
