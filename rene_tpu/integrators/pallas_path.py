@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -122,6 +123,19 @@ DEAD_ORIGIN = 1e30
 # blocks are only loaded (or DMA'd from HBM) for entered groups.
 SUPER = 8
 
+# Per-octant ordered marching: the box table carries 8 sections, one per
+# direction octant, each listing the super groups front-to-back along
+# that octant's direction (projection of the group center). The kernel
+# picks the section from the tile's lane-(0,0) direction signs and reads
+# the group's geometry index back from row 0 lane IDX_LANE (plain float
+# value + scalar f32->i32 cast — probed in scripts/tpu_session_r3n.py).
+# Camera-baked order is correct for primary rays only; octant order lets
+# the per-lane t_best prune the march for BOUNCE beams too (the wave
+# engine's sorted tiles are exactly such beams). Correctness-neutral up
+# to exact-t ties, like the camera ordering it replaces.
+OCT_ORDER = True
+IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
+
 
 def _sub_split(cluster: int):
     """(n_sub, sub) block split of a cluster width (tests shrink CLUSTER)."""
@@ -172,6 +186,7 @@ class PallasScene:
     mesh_hbm: bool = False
     mesh_box: Optional[np.ndarray] = None    # (n_super_pad8, 128)
     mesh_root: Optional[tuple] = None        # ((lo3), (hi3)) world AABB
+    mesh_oct: bool = False                   # box table has 8 octant sections
     # shared instanced BLAS tables (object space, one per shared blas):
     # dicts of geom/box/n_clusters/inst_rows/n_inst (_pack_inst_mesh)
     inst_meshes: Optional[List[dict]] = None
@@ -612,9 +627,9 @@ def _pack_mesh(buffers_np, mesh_idx: np.ndarray, needs_uv=None):
         rec["emed"] = int(emed)
         mesh_mats.append(rec)
     cam = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
-    geom, n_clusters, box_tab, root = _pack_tris(p, n, uv, inv, cam,
-                                                 needs_uv)
-    return geom, mesh_mats, n_clusters, box_tab, root
+    geom, n_clusters, box_tab, root, oct = _pack_tris(p, n, uv, inv, cam,
+                                                      needs_uv)
+    return geom, mesh_mats, n_clusters, box_tab, root, oct
 
 
 def _pack_tris(p, n, uv, inv, cam, needs_uv):
@@ -692,20 +707,39 @@ def _pack_tris(p, n, uv, inv, cam, needs_uv):
     # group — super AABB at (row 0, lanes 0-5), member sub-block AABBs at
     # rowlane(g*n_sub+s)
     g_rows, rowlane = _box_layout(n_sub)
-    box_tab = np.zeros((((n_super * g_rows + 7) // 8) * 8, 128), np.float32)
-    box_tab[0:n_super * g_rows:g_rows, 0:6] = \
-        box[::SUPER, sup_lane:sup_lane + 6]
+    tab = np.zeros((n_super, g_rows, 128), np.float32)
+    tab[:, 0, 0:6] = box[::SUPER, sup_lane:sup_lane + 6]
     for g in range(SUPER):
         for s in range(n_sub):
             r, lane = rowlane(g * n_sub + s)
-            box_tab[r:n_super * g_rows:g_rows, lane:lane + 6] = \
-                box[g::SUPER, s * 6:s * 6 + 6]
+            tab[:, r, lane:lane + 6] = box[g::SUPER, s * 6:s * 6 + 6]
+    oct = OCT_ORDER and n_super > 1
+    if oct:
+        # 8 per-octant sections (see module OCT_ORDER note). Group
+        # centers in geometry order; padding groups (inverted AABBs)
+        # project to +inf so they sort last in every section.
+        gctr_p = gctr[gorder]
+        valid = glo[gorder][:, 0] < 1e37
+        secs = np.zeros((8, n_super, g_rows, 128), np.float32)
+        for o in range(8):
+            sgn = np.array([1.0 - 2.0 * ((o >> 2) & 1),
+                            1.0 - 2.0 * ((o >> 1) & 1),
+                            1.0 - 2.0 * (o & 1)])
+            proj = np.where(valid, gctr_p @ sgn, 1e30)
+            oo = np.argsort(proj, kind="stable")
+            secs[o] = tab[oo]
+            secs[o][:, 0, IDX_LANE] = oo.astype(np.float32)
+        flat = secs.reshape(8 * n_super * g_rows, 128)
+    else:
+        flat = tab.reshape(n_super * g_rows, 128)
+    box_tab = np.zeros((((flat.shape[0] + 7) // 8) * 8, 128), np.float32)
+    box_tab[:flat.shape[0]] = flat
     # root AABB over the real groups (padding groups are inverted)
     real_lo = tlo[:m].min(axis=0) if m else np.zeros(3)
     real_hi = thi[:m].max(axis=0) if m else np.zeros(3)
     root = (tuple(float(x) for x in real_lo),
             tuple(float(x) for x in real_hi))
-    return geom, n_clusters, box_tab, root
+    return geom, n_clusters, box_tab, root, oct
 
 
 INST_MIN_SAVING = 4096  # share a blas only when it saves real slots
@@ -777,7 +811,7 @@ def _pack_inst_mesh(buffers_np, blas_id, inst_ids, mesh_mats, needs_uv):
     w2o0 = buffers_np["inst_w2o"][inst_ids[0]].astype(np.float64)
     cam_w = buffers_np["camera_to_world"][:3, 3].astype(np.float64)
     cam_o = w2o0[:, :3] @ cam_w + w2o0[:, 3]
-    geom, n_clusters, box, root = _pack_tris(
+    geom, n_clusters, box, root, oct = _pack_tris(
         p, n, uv, np.zeros(len(p), np.int64), cam_o, needs_uv)
     rows = np.zeros(((len(inst_ids) + 7) // 8 * 8, 128), np.float32)
     for r, i in enumerate(inst_ids):
@@ -789,7 +823,8 @@ def _pack_inst_mesh(buffers_np, blas_id, inst_ids, mesh_mats, needs_uv):
         rows[r, 0:12] = buffers_np["inst_w2o"][i].reshape(-1)
         rows[r, 12] = float(len(mesh_mats) - 1)
     return {"geom": geom, "box": box, "n_clusters": n_clusters,
-            "inst_rows": rows, "n_inst": len(inst_ids), "root": root}
+            "inst_rows": rows, "n_inst": len(inst_ids), "root": root,
+            "oct": oct}
 
 
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
@@ -804,10 +839,11 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         rest_idx, shared = _shared_split(buffers_np, mesh_idx)
         needs_uv = _mesh_needs_uv(buffers_np, mesh_idx)
         mesh_root = None
+        mesh_oct = False
         if rest_idx.size:
             (mesh_geom, mesh_mats, n_clusters, mesh_box,
-             mesh_root) = _pack_mesh(buffers_np, rest_idx,
-                                     needs_uv=needs_uv)
+             mesh_root, mesh_oct) = _pack_mesh(buffers_np, rest_idx,
+                                               needs_uv=needs_uv)
         else:
             mesh_geom, mesh_mats, n_clusters = None, [], 0
         for b, insts in shared:
@@ -818,6 +854,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         imm_idx = np.arange(ntri)
         mesh_geom, mesh_mats, n_clusters = None, None, 0
         mesh_root = None
+        mesh_oct = False
 
     tris = []
     for i in imm_idx:
@@ -981,6 +1018,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
         mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
         mesh_hbm=mesh_hbm, mesh_box=mesh_box, mesh_root=mesh_root,
+        mesh_oct=mesh_oct,
         inst_meshes=inst_meshes or None,
         integrator=config.integrator, media=media)
 
@@ -1294,8 +1332,16 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             hf = jnp.where(okg & (t >= tmin) & (t <= tmax), 1.0, hf)
         return hf
 
+    def _oct_base(dx, dy, dz, nsup):
+        """Box-table section offset for the tile's direction octant
+        (lane (0,0): sorted wave tiles share an octant; elsewhere the
+        order is a heuristic and correctness-neutral)."""
+        def neg(v):
+            return (v[0, 0] < 0.0).astype(jnp.int32)
+        return (neg(dx) * 4 + neg(dy) * 2 + neg(dz)) * nsup
+
     def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, carry,
-                     nsup=None, root=None):
+                     nsup=None, root=None, oct=False):
         """Closest hit over a cluster table, threading a carry of
         (t, nx, ny, nz, matid[, u, v]). `d` need not be unit length —
         t parameterizes o + t*d, so instanced calls pass object-space
@@ -1313,16 +1359,22 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if nsup is None:
             nsup = NSUP
         ix, iy, iz = _inv_dir(dx, dy, dz)
+        base = _oct_base(dx, dy, dz, nsup) if oct else None
 
         def sup_body(si, carry):
-            brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
+            if oct:
+                brow = boxr[pl.ds((base + si) * G_ROWS, G_ROWS), :]
+                gi = brow[0, IDX_LANE].astype(jnp.int32)
+            else:
+                brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
+                gi = si
             enter = _box_enter_row(brow, 0, 0, ox, oy, oz, ix, iy, iz,
                                    tmin, carry[0])
 
             def do(carry):
                 if hbm_mode:
                     cp = pltpu.make_async_copy(
-                        hbm.at[:, pl.ds(si * (SUPER * CLUSTER),
+                        hbm.at[:, pl.ds(gi * (SUPER * CLUSTER),
                                         SUPER * CLUSTER)], scr, sem)
                     cp.start()
                     cp.wait()
@@ -1331,7 +1383,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         if hbm_mode:
                             blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
                         else:
-                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                            blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
                         for s in range(N_SUB):
                             r_, lane = ROWLANE(g * N_SUB + s)
@@ -1366,7 +1418,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         if hbm_mode:
                             blk = scr[:, pl.ds(g * CLUSTER, CLUSTER)]
                         else:
-                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                            blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
                         for s in range(N_SUB):
                             carry = _sub_closest(blk, s, ox, oy, oz,
@@ -1401,7 +1453,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             lambda c_: c_, carry)
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hf0,
-                 nsup=None, root=None):
+                 nsup=None, root=None, oct=False):
         """Any-hit over a cluster table; skips groups/clusters once a
         lane set is fully occluded. hf0 and the return value are 0/1
         float masks — Mosaic cannot carry i1 vectors through scf.for."""
@@ -1413,16 +1465,22 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if nsup is None:
             nsup = NSUP
         ix, iy, iz = _inv_dir(dx, dy, dz)
+        base = _oct_base(dx, dy, dz, nsup) if oct else None
 
         def sup_body(si, hf):
-            brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
+            if oct:
+                brow = boxr[pl.ds((base + si) * G_ROWS, G_ROWS), :]
+                gi = brow[0, IDX_LANE].astype(jnp.int32)
+            else:
+                brow = boxr[pl.ds(si * G_ROWS, G_ROWS), :]
+                gi = si
             enter = _box_enter_row(brow, 0, 0, ox, oy, oz, ix, iy, iz,
                                    tmin, tmax)
 
             def do(hf):
                 if hbm_mode:
                     cp = pltpu.make_async_copy(
-                        hbm.at[:, pl.ds(si * (SUPER * CLUSTER),
+                        hbm.at[:, pl.ds(gi * (SUPER * CLUSTER),
                                         SUPER * CLUSTER)], scr, sem)
                     cp.start()
                     cp.wait()
@@ -1431,7 +1489,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         if hbm_mode:
                             blk = scr[:, g * CLUSTER:(g + 1) * CLUSTER]
                         else:
-                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                            blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
                         for s in range(N_SUB):
                             r_, lane = ROWLANE(g * N_SUB + s)
@@ -1463,7 +1521,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         if hbm_mode:
                             blk = scr[:, pl.ds(g * CLUSTER, CLUSTER)]
                         else:
-                            blk = geom[:, pl.ds((si * SUPER + g) * CLUSTER,
+                            blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
                         for s in range(N_SUB):
                             hf = _sub_any(blk, s, ox, oy, oz, dx, dy, dz,
@@ -1705,7 +1763,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 mres = mres + (zero, zero)
             if NC:
                 mres = mesh_closest(main_ref, ox, oy, oz, dx, dy, dz,
-                                    tmin, mres, root=ps.mesh_root)
+                                    tmin, mres, root=ps.mesh_root,
+                                    oct=ps.mesh_oct)
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
 
@@ -1723,7 +1782,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     t_pre = carry[0]
                     res = mesh_closest((gref, bref), lox, loy, loz,
                                        ldx, ldy, ldz, tmin, carry,
-                                       nsup_b, root=im["root"])
+                                       nsup_b, root=im["root"],
+                                       oct=im.get("oct", False))
                     won = res[0] < t_pre
                     # world normal = W2O^T n_obj (lib.rs:852-881)
                     nwx = mm[0] * res[1] + mm[4] * res[2] + mm[8] * res[3]
@@ -1821,7 +1881,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             hf = jnp.where(hit, ox * 0.0 + 1.0, ox * 0.0)
             if NC:
                 hf = mesh_any(main_ref, ox, oy, oz, dx, dy, dz, tmin,
-                              tmax, hf, root=ps.mesh_root)
+                              tmax, hf, root=ps.mesh_root,
+                              oct=ps.mesh_oct)
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
 
@@ -1837,7 +1898,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
                     return mesh_any((gref, bref), lox, loy, loz,
                                     ldx, ldy, ldz, tmin, tmax, hf,
-                                    nsup_b, root=im["root"])
+                                    nsup_b, root=im["root"],
+                                    oct=im.get("oct", False))
 
                 hf = jax.lax.fori_loop(0, im["n_inst"], any_body, hf)
             hit = hf > 0.5
@@ -2183,6 +2245,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
         return 0.5 * (rp + rs)
 
+    # RENE_MF_DIST=beckmann swaps every microfacet lobe's distribution to
+    # Beckmann (D + Smith-lambda fit + full-normal sampling with its own
+    # matching pdf) — a diagnostic for the veach lobe-shape residual
+    # (VALIDATION.md: the golden's highlights are crisper than GGX at the
+    # energy-matching alpha; Beckmann has narrower tails). Process-level:
+    # read at kernel-build time, so set it before the first render.
+    mf_beckmann = os.environ.get("RENE_MF_DIST", "") == "beckmann"
+
     def ggx_d(ax_, ay_, hx, hy, hz):
         c2 = hz * hz
         s2 = jnp.maximum(1.0 - c2, 0.0)
@@ -2195,8 +2265,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                          jnp.clip(hy / jnp.maximum(sin_t, 1e-20), -1., 1.))
         e = (cphi * cphi / jnp.maximum(ax_ * ax_, 1e-20)
              + sphi * sphi / jnp.maximum(ay_ * ay_, 1e-20)) * tan2
-        d = 1.0 / jnp.maximum(
-            math.pi * ax_ * ay_ * c2 * c2 * (1.0 + e) ** 2, 1e-30)
+        if mf_beckmann:
+            d = jnp.exp(-jnp.minimum(e, 80.0)) / jnp.maximum(
+                math.pi * ax_ * ay_ * c2 * c2, 1e-30)
+        else:
+            d = 1.0 / jnp.maximum(
+                math.pi * ax_ * ay_ * c2 * c2 * (1.0 + e) ** 2, 1e-30)
         return jnp.where(tan2 < 3e38, d, 0.0)
 
     def ggx_lambda(ax_, ay_, x, y, z):
@@ -2211,8 +2285,46 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         sphi = jnp.where(sin_t == 0.0, 0.0,
                          jnp.clip(y / jnp.maximum(sin_t, 1e-20), -1., 1.))
         alpha = jnp.sqrt(cphi * cphi * ax_ * ax_ + sphi * sphi * ay_ * ay_)
+        if mf_beckmann:
+            # pbrt's Beckmann rational fit (a >= 1.6 -> 0)
+            a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-9)
+            lam = jnp.where(
+                a >= 1.6, 0.0,
+                (1.0 - 1.259 * a + 0.396 * a * a)
+                / jnp.maximum(3.535 * a + 2.181 * a * a, 1e-9))
+            return jnp.where(abs_tan < 3e38, lam, 0.0)
         at2 = jnp.minimum((alpha * abs_tan) ** 2, 1e30)
         return 0.5 * (-1.0 + jnp.sqrt(1.0 + at2))
+
+    def wh_pdf(ax_, ay_, wox, woy, woz, hx, hy, hz, d):
+        """pdf of the sampled half-vector wh under the active sampler:
+        GGX visible-normal (D G1(wo) |wo.wh| / |cos wo|) or Beckmann
+        full-normal (D |cos wh|)."""
+        if mf_beckmann:
+            return d * jnp.abs(hz)
+        g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
+        return d * g1o * jnp.abs(dot3(wox, woy, woz, hx, hy, hz)) \
+            / jnp.maximum(jnp.abs(woz), 1e-9)
+
+    def beckmann_sample_wh(ax_, ay_, wx_, wy_, wz_, u1, u2):
+        # full-normal Beckmann sampling (pbrt Sample_wh, non-visible):
+        # elliptical phi without atan via (cos,sin) ∝ (ax cos t, ay sin t)
+        t = TWO_PI * u2
+        rx = ax_ * jnp.cos(t)
+        ry = ay_ * jnp.sin(t)
+        rn = jnp.sqrt(jnp.maximum(rx * rx + ry * ry, 1e-30))
+        cphi = rx / rn
+        sphi = ry / rn
+        logs = jnp.log(jnp.maximum(1.0 - u1, 1e-9))
+        tan2 = -logs / jnp.maximum(
+            cphi * cphi / jnp.maximum(ax_ * ax_, 1e-20)
+            + sphi * sphi / jnp.maximum(ay_ * ay_, 1e-20), 1e-20)
+        cz = 1.0 / jnp.sqrt(1.0 + tan2)
+        sz = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0))
+        hx, hy, hz = sz * cphi, sz * sphi, cz
+        flip = wz_ < 0.0
+        return (jnp.where(flip, -hx, hx), jnp.where(flip, -hy, hy),
+                jnp.where(flip, -hz, hz))
 
     def ggx_sample_wh(ax_, ay_, wx_, wy_, wz_, u1, u2):
         flip = wz_ < 0.0
@@ -2258,6 +2370,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return (jnp.where(flip, -hx, hx), jnp.where(flip, -hy, hy),
                 jnp.where(flip, -hz, hz))
 
+    if mf_beckmann:
+        ggx_sample_wh = beckmann_sample_wh  # noqa: F811
+
     def bsdf_eval(attr, wox, woy, woz, wix, wiy, wiz):
         """f and pdf in the local frame (diffuse-capable lobes only —
         specular lobes return 0 from f/pdf, reflection.rs)."""
@@ -2302,9 +2417,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             f_r = jnp.where(sel & ~bad, base * fr_r, f_r)
             f_g = jnp.where(sel & ~bad, base * fr_g, f_g)
             f_b = jnp.where(sel & ~bad, base * fr_b, f_b)
-            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
-            pdf_wh = d * g1o * jnp.abs(dot3(wox, woy, woz, hx, hy, hz)) \
-                / jnp.maximum(jnp.abs(woz), 1e-9)
+            pdf_wh = wh_pdf(ax_, ay_, wox, woy, woz, hx, hy, hz, d)
             pdf = jnp.where(sel, pdf_wh / jnp.maximum(
                 4.0 * dot3(wox, woy, woz, hx, hy, hz), 1e-20), pdf)
         if has_substrate:
@@ -2341,10 +2454,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             f_r = jnp.where(ok, sub_r, f_r)
             f_g = jnp.where(ok, sub_g, f_g)
             f_b = jnp.where(ok, sub_b, f_b)
-            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
             doh = dot3(wox, woy, woz, hx, hy, hz)
-            pdf_wh = d * g1o * jnp.abs(doh) \
-                / jnp.maximum(jnp.abs(woz), 1e-9)
+            pdf_wh = wh_pdf(ax_, ay_, wox, woy, woz, hx, hy, hz, d)
             p_sub = 0.5 * (awi * INV_PI
                            + pdf_wh / jnp.maximum(4.0 * doh, 1e-20))
             pdf = jnp.where(ok, p_sub, pdf)
@@ -2370,10 +2481,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             cos_ih = dot3(wix, wiy, wiz, hx, hy, hz)
             base = d * g / jnp.maximum(4.0 * ci * co, 1e-20)
             mic_bad = (ci == 0.0) | (co == 0.0) | degen
-            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
             doh = dot3(wox, woy, woz, hx, hy, hz)
-            pdf_wh = d * g1o * jnp.abs(doh) / jnp.maximum(jnp.abs(woz),
-                                                          1e-9)
+            pdf_wh = wh_pdf(ax_, ay_, wox, woy, woz, hx, hy, hz, d)
             pdf_mic = pdf_wh / jnp.maximum(4.0 * doh, 1e-20)
             kd_on = ((attr["abr"] != 0.0) | (attr["abg"] != 0.0)
                      | (attr["abb"] != 0.0))
@@ -2455,8 +2564,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 {**attr, "mat": jnp.full(SHAPE, float(T.MAT_METAL))},
                 wox, woy, woz, mx, my, mz)
             d = ggx_d(ax_, ay_, hx, hy, hz)
-            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
-            p = d * g1o * jnp.abs(doh) / jnp.maximum(jnp.abs(woz), 1e-9) \
+            p = wh_pdf(ax_, ay_, wox, woy, woz, hx, hy, hz, d) \
                 / jnp.maximum(4.0 * doh, 1e-20)
             wix = jnp.where(sel, mx, wix)
             wiy = jnp.where(sel, my, wiy)
@@ -2560,9 +2668,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             co = jnp.abs(woz)
             mic_base = d * g / jnp.maximum(4.0 * ci * co, 1e-20)
             cos_ih = dot3(mx, my, mz, hx, hy, hz)
-            g1o = 1.0 / (1.0 + ggx_lambda(ax_, ay_, wox, woy, woz))
-            pdf_mic = (d * g1o * jnp.abs(doh)
-                       / jnp.maximum(jnp.abs(woz), 1e-9)
+            pdf_mic = (wh_pdf(ax_, ay_, wox, woy, woz, hx, hy, hz, d)
                        / jnp.maximum(4.0 * doh, 1e-20))
             kd_on = ((attr["abr"] != 0.0) | (attr["abg"] != 0.0)
                      | (attr["abb"] != 0.0))
