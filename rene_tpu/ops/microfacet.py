@@ -13,6 +13,7 @@ sampling; we use the correct pbrt formula.
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 
@@ -21,6 +22,14 @@ from .vec3 import V3
 
 PI = math.pi
 TWO_PI = 2.0 * math.pi
+
+
+def _beckmann():
+    """RENE_MF_DIST=beckmann swaps the distribution to Beckmann (D +
+    pbrt's rational-fit lambda + full-normal sampling with matching
+    pdf) in BOTH engines — a diagnostic for the veach lobe-shape
+    residual (VALIDATION.md). Read at trace time."""
+    return os.environ.get("RENE_MF_DIST", "") == "beckmann"
 
 
 def roughness_to_alpha(roughness):
@@ -37,7 +46,11 @@ def tr_d(ax, ay, wh: V3):
     cos4 = v3.cos2_theta(wh) ** 2
     e = (v3.cos2_phi(wh) / jnp.maximum(ax * ax, 1e-20)
          + v3.sin2_phi(wh) / jnp.maximum(ay * ay, 1e-20)) * tan2
-    d = 1.0 / jnp.maximum(PI * ax * ay * cos4 * (1.0 + e) ** 2, 1e-30)
+    if _beckmann():
+        d = jnp.exp(-jnp.minimum(e, 80.0)) / jnp.maximum(
+            PI * ax * ay * cos4, 1e-30)
+    else:
+        d = 1.0 / jnp.maximum(PI * ax * ay * cos4 * (1.0 + e) ** 2, 1e-30)
     return jnp.where(jnp.isfinite(tan2) & jnp.isfinite(d), d, 0.0)
 
 
@@ -53,6 +66,13 @@ def tr_lambda(ax, ay, w: V3):
     inverse of the sample11 visible-normal sampler."""
     abs_tan = jnp.abs(v3.tan_theta(w))
     alpha = jnp.sqrt(v3.cos2_phi(w) * ax * ax + v3.sin2_phi(w) * ay * ay)
+    if _beckmann():
+        a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-9)
+        lam = jnp.where(
+            a >= 1.6, 0.0,
+            (1.0 - 1.259 * a + 0.396 * a * a)
+            / jnp.maximum(3.535 * a + 2.181 * a * a, 1e-9))
+        return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
     at2 = (alpha * abs_tan) ** 2
     lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + at2))
     return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
@@ -101,6 +121,8 @@ def _sample11(cos_theta, u1, u2):
 
 def tr_sample_wh(ax, ay, wo: V3, u1, u2) -> V3:
     """Sample a visible microfacet normal (microfacet.rs:124-190)."""
+    if _beckmann():
+        return _beckmann_sample_wh(ax, ay, wo, u1, u2)
     flip = wo.z < 0.0
     w = v3.where(flip, -wo, wo)
     stretched = V3(ax * w.x, ay * w.y, w.z).normalized()
@@ -113,7 +135,29 @@ def tr_sample_wh(ax, ay, wo: V3, u1, u2) -> V3:
     return v3.where(flip, -wh, wh)
 
 
+def _beckmann_sample_wh(ax, ay, wo: V3, u1, u2) -> V3:
+    """Full-normal Beckmann sampling (pbrt Sample_wh, non-visible);
+    elliptical phi without atan: (cos,sin)phi ∝ (ax cos t, ay sin t)."""
+    t = TWO_PI * u2
+    rx = ax * jnp.cos(t)
+    ry = ay * jnp.sin(t)
+    rn = jnp.sqrt(jnp.maximum(rx * rx + ry * ry, 1e-30))
+    cphi, sphi = rx / rn, ry / rn
+    logs = jnp.log(jnp.maximum(1.0 - u1, 1e-9))
+    tan2 = -logs / jnp.maximum(
+        cphi * cphi / jnp.maximum(ax * ax, 1e-20)
+        + sphi * sphi / jnp.maximum(ay * ay, 1e-20), 1e-20)
+    cz = 1.0 / jnp.sqrt(1.0 + tan2)
+    sz = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0))
+    wh = V3(sz * cphi, sz * sphi, cz)
+    return v3.where(wo.z < 0.0, -wh, wh)
+
+
 def tr_pdf(ax, ay, wo: V3, wh: V3):
-    """Visible-normal pdf of wh (microfacet.rs:192-194)."""
+    """Visible-normal pdf of wh (microfacet.rs:192-194); under the
+    Beckmann diagnostic, the full-normal pdf D |cos wh| to match the
+    full-normal sampler."""
+    if _beckmann():
+        return tr_d(ax, ay, wh) * v3.abs_cos_theta(wh)
     return (tr_d(ax, ay, wh) * tr_g1(ax, ay, wo) * jnp.abs(wo.dot(wh))
             / jnp.maximum(v3.abs_cos_theta(wo), 1e-9))

@@ -523,3 +523,42 @@ WorldEnd"""
     xla = render(scene, spp=48, seed=4, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.12)
+
+
+def test_beckmann_diagnostic_matches(tmp_path, monkeypatch):
+    """RENE_MF_DIST=beckmann (the veach lobe-shape diagnostic) swaps
+    every microfacet lobe to Beckmann consistently in both engines:
+    interpret-mode pallas must still match XLA, and the metal lobe must
+    differ measurably from the GGX default."""
+    monkeypatch.setenv("RENE_MF_DIST", "beckmann")
+    src = """
+LookAt 0 -4 1  0 0 0.5  0 0 1
+Camera "perspective" "float fov" 55
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" 4
+WorldBegin
+LightSource "distant" "rgb L" [3 3 3] "point from" [1 -2 3]
+  "point to" [0 0 0]
+Material "metal" "rgb eta" [.2 .92 1.1] "rgb k" [3.9 2.45 2.14]
+  "float roughness" [0.2] "bool remaproughness" ["false"]
+Shape "sphere" "float radius" 1
+Material "matte" "rgb Kd" [.5 .4 .3]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-4 3 -4  -4 3 4  4 3 4  4 3 -4]
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 24
+    out = run(11, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+    from rene_tpu.render import render
+    xla = render(scene, spp=48, seed=9, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.12)
+
+    monkeypatch.delenv("RENE_MF_DIST")
+    ggx = render(scene, spp=48, seed=9, engine="xla")
+    assert np.abs(ggx["color"] - xla["color"]).max() > 1e-3, \
+        "beckmann flag must change the render"
