@@ -135,6 +135,15 @@ SUPER = 8
 # to exact-t ties, like the camera ordering it replaces.
 OCT_ORDER = True
 IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
+# Early march termination: octant sections are sorted by each group's
+# MIN corner projection onto the octant sign vector s (stored at row 0
+# lane MINPJ_LANE), which is monotone along the section. Any hit in a
+# group projects >= that minimum, and a lane's improving hit projects
+# <= s.o + t_cap * (|dx|+|dy|+|dz|) (s.d <= L1(d), t >= tmin >= 0), so
+# once the group minimum exceeds every live lane's bound the remaining
+# sweep cannot improve any lane and the march while-loop exits.
+OCT_BREAK = True
+MINPJ_LANE = 127
 
 
 def _sub_split(cluster: int):
@@ -718,17 +727,21 @@ def _pack_tris(p, n, uv, inv, cam, needs_uv):
         # 8 per-octant sections (see module OCT_ORDER note). Group
         # centers in geometry order; padding groups (inverted AABBs)
         # project to +inf so they sort last in every section.
-        gctr_p = gctr[gorder]
-        valid = glo[gorder][:, 0] < 1e37
+        glo_p = glo[gorder]
+        ghi_p = ghi[gorder]
+        valid = glo_p[:, 0] < 1e37
         secs = np.zeros((8, n_super, g_rows, 128), np.float32)
         for o in range(8):
             sgn = np.array([1.0 - 2.0 * ((o >> 2) & 1),
                             1.0 - 2.0 * ((o >> 1) & 1),
                             1.0 - 2.0 * (o & 1)])
-            proj = np.where(valid, gctr_p @ sgn, 1e30)
+            # min corner projection (monotone sort key, see OCT_BREAK)
+            corner = np.where(sgn > 0, glo_p, ghi_p)
+            proj = np.where(valid, corner @ sgn, 1e30)
             oo = np.argsort(proj, kind="stable")
             secs[o] = tab[oo]
             secs[o][:, 0, IDX_LANE] = oo.astype(np.float32)
+            secs[o][:, 0, MINPJ_LANE] = proj[oo].astype(np.float32)
         flat = secs.reshape(8 * n_super * g_rows, 128)
     else:
         flat = tab.reshape(n_super * g_rows, 128)
@@ -1361,7 +1374,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         ix, iy, iz = _inv_dir(dx, dy, dz)
         base = _oct_base(dx, dy, dz, nsup) if oct else None
 
-        def sup_body(si, carry):
+        def sup_step(si, carry):
+            """One group: load its box rows, enter-test, march if any
+            lane enters. Returns (carry, brow) — brow feeds the
+            OCT_BREAK bound in the while-march."""
             if oct:
                 brow = boxr[pl.ds((base + si) * G_ROWS, G_ROWS), :]
                 gi = brow[0, IDX_LANE].astype(jnp.int32)
@@ -1429,10 +1445,41 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
                 return jax.lax.fori_loop(0, SUPER, member, carry)
 
-            return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
+            return (jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry),
+                    brow)
 
-        def march(c_):
-            return jax.lax.fori_loop(0, nsup, sup_body, c_)
+        def sup_body(si, carry):
+            return sup_step(si, carry)[0]
+
+        def march(c_, tcap=None, live=None):
+            if not (oct and OCT_BREAK):
+                return jax.lax.fori_loop(0, nsup, sup_body, c_)
+            # while-march with early exit (see OCT_BREAK note). Lanes
+            # excluded from the bound: parked dead lanes and lanes that
+            # miss the root AABB (live mask); missing-but-live lanes are
+            # capped at the root exit t (tcap) so they stop blocking the
+            # break once the sweep passes the table.
+            sxf = 1.0 - 2.0 * (dx[0, 0] < 0.0).astype(jnp.float32)
+            syf = 1.0 - 2.0 * (dy[0, 0] < 0.0).astype(jnp.float32)
+            szf = 1.0 - 2.0 * (dz[0, 0] < 0.0).astype(jnp.float32)
+            sxo = sxf * ox + syf * oy + szf * oz
+            pd = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
+            dead = ox > 1e29 if live is None else ~live
+
+            def cond_fn(st):
+                return (st[0] < nsup) & (st[1] < 0.5)
+
+            def body_fn(st):
+                si, _, carry = st
+                new_c, brow = sup_step(si, carry)
+                tb = new_c[0] if tcap is None \
+                    else jnp.minimum(new_c[0], tcap)
+                reach = jnp.max(jnp.where(dead, -3e38, sxo + tb * pd))
+                brk = (brow[0, MINPJ_LANE] > reach).astype(jnp.float32)
+                return si + 1, brk, new_c
+
+            st0 = (jnp.int32(0), (ox * 0.0)[0, 0], c_)
+            return jax.lax.while_loop(cond_fn, body_fn, st0)[2]
 
         if root is None:
             return march(carry)
@@ -1449,7 +1496,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         jnp.maximum((rl[1] - oy) * iy, (rh[1] - oy) * iy)),
             jnp.maximum((rl[2] - oz) * iz, (rh[2] - oz) * iz))
         enter_root = jnp.maximum(tn, tmin) <= jnp.minimum(tf, carry[0])
-        return jax.lax.cond(jnp.any(enter_root), march,
+        return jax.lax.cond(jnp.any(enter_root),
+                            lambda c_: march(c_, tf, enter_root),
                             lambda c_: c_, carry)
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hf0,
@@ -1467,7 +1515,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         ix, iy, iz = _inv_dir(dx, dy, dz)
         base = _oct_base(dx, dy, dz, nsup) if oct else None
 
-        def sup_body(si, hf):
+        def sup_step(si, hf):
             if oct:
                 brow = boxr[pl.ds((base + si) * G_ROWS, G_ROWS), :]
                 gi = brow[0, IDX_LANE].astype(jnp.int32)
@@ -1532,11 +1580,39 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
                 return jax.lax.fori_loop(0, SUPER, member, hf)
 
-            return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
-                                lambda h: h, hf)
+            return (jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
+                                 lambda h: h, hf), brow)
 
-        def march(h_):
-            return jax.lax.fori_loop(0, nsup, sup_body, h_)
+        def sup_body(si, hf):
+            return sup_step(si, hf)[0]
+
+        def march(h_, tcap=None, live=None):
+            if not (oct and OCT_BREAK):
+                return jax.lax.fori_loop(0, nsup, sup_body, h_)
+            # while-march with early exit (see OCT_BREAK note). A lane
+            # drops out of the bound once occluded (hf=1), so the
+            # all-occluded tile breaks immediately (reach = -inf).
+            sxf = 1.0 - 2.0 * (dx[0, 0] < 0.0).astype(jnp.float32)
+            syf = 1.0 - 2.0 * (dy[0, 0] < 0.0).astype(jnp.float32)
+            szf = 1.0 - 2.0 * (dz[0, 0] < 0.0).astype(jnp.float32)
+            sxo = sxf * ox + syf * oy + szf * oz
+            pd = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
+            dead = ox > 1e29 if live is None else ~live
+            tb = tmax if tcap is None else jnp.minimum(tmax, tcap)
+
+            def cond_fn(st):
+                return (st[0] < nsup) & (st[1] < 0.5)
+
+            def body_fn(st):
+                si, _, hf = st
+                new_h, brow = sup_step(si, hf)
+                reach = jnp.max(jnp.where(dead | (new_h > 0.5), -3e38,
+                                          sxo + tb * pd))
+                brk = (brow[0, MINPJ_LANE] > reach).astype(jnp.float32)
+                return si + 1, brk, new_h
+
+            st0 = (jnp.int32(0), (ox * 0.0)[0, 0], h_)
+            return jax.lax.while_loop(cond_fn, body_fn, st0)[2]
 
         if root is None:
             return march(hf0)
@@ -1551,7 +1627,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             jnp.maximum((rl[2] - oz) * iz, (rh[2] - oz) * iz))
         enter_root = (jnp.maximum(tn, tmin) <= jnp.minimum(tf, tmax)) \
             & (hf0 < 0.5)
-        return jax.lax.cond(jnp.any(enter_root), march,
+        return jax.lax.cond(jnp.any(enter_root),
+                            lambda h_: march(h_, tf, enter_root),
                             lambda h_: h_, hf0)
 
     def _apply_rec_texs(rec, uu, vv, vals):
