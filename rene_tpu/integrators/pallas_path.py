@@ -143,7 +143,16 @@ IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
 # once the group minimum exceeds every live lane's bound the remaining
 # sweep cannot improve any lane and the march while-loop exits.
 OCT_BREAK = True
+OCT_BREAK_ANY = True   # apply the break to any-hit (shadow) marches too
+OCT_BREAK_VMEM = False  # break for VMEM-resident tables too (see below)
+BREAK_EVERY = 1        # evaluate the bound every N groups (1 = each)
 MINPJ_LANE = 127
+# Default policy (measured, tpu_session_r3s/r3t): the break pays when a
+# skipped group skips a DMA (HBM streaming mode: dragon mega @320x180
+# 0.016 -> 0.014 s/spp) but costs more than the saved VMEM box sweeps
+# on resident tables (teapot wave @720p 0.742 -> 0.783-0.797; bound
+# every 4th group recovers only to 0.759) — so it is gated on hbm_mode
+# unless OCT_BREAK_VMEM opts in.
 
 
 def _sub_split(cluster: int):
@@ -1452,7 +1461,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return sup_step(si, carry)[0]
 
         def march(c_, tcap=None, live=None):
-            if not (oct and OCT_BREAK):
+            if not (oct and OCT_BREAK and (hbm_mode or OCT_BREAK_VMEM)):
                 return jax.lax.fori_loop(0, nsup, sup_body, c_)
             # while-march with early exit (see OCT_BREAK note). Lanes
             # excluded from the bound: parked dead lanes and lanes that
@@ -1470,12 +1479,23 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 return (st[0] < nsup) & (st[1] < 0.5)
 
             def body_fn(st):
-                si, _, carry = st
+                si, brk0, carry = st
                 new_c, brow = sup_step(si, carry)
-                tb = new_c[0] if tcap is None \
-                    else jnp.minimum(new_c[0], tcap)
-                reach = jnp.max(jnp.where(dead, -3e38, sxo + tb * pd))
-                brk = (brow[0, MINPJ_LANE] > reach).astype(jnp.float32)
+
+                def chk(_):
+                    tb = new_c[0] if tcap is None \
+                        else jnp.minimum(new_c[0], tcap)
+                    reach = jnp.max(jnp.where(dead, -3e38,
+                                              sxo + tb * pd))
+                    return (brow[0, MINPJ_LANE] > reach) \
+                        .astype(jnp.float32)
+
+                if BREAK_EVERY > 1:
+                    brk = jax.lax.cond(
+                        si % BREAK_EVERY == BREAK_EVERY - 1, chk,
+                        lambda _: brk0 * 0.0, 0)
+                else:
+                    brk = chk(0)
                 return si + 1, brk, new_c
 
             st0 = (jnp.int32(0), (ox * 0.0)[0, 0], c_)
@@ -1587,7 +1607,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return sup_step(si, hf)[0]
 
         def march(h_, tcap=None, live=None):
-            if not (oct and OCT_BREAK):
+            if not (oct and OCT_BREAK and OCT_BREAK_ANY
+                    and (hbm_mode or OCT_BREAK_VMEM)):
                 return jax.lax.fori_loop(0, nsup, sup_body, h_)
             # while-march with early exit (see OCT_BREAK note). A lane
             # drops out of the bound once occluded (hf=1), so the
