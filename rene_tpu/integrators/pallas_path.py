@@ -142,17 +142,20 @@ IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
 # <= s.o + t_cap * (|dx|+|dy|+|dz|) (s.d <= L1(d), t >= tmin >= 0), so
 # once the group minimum exceeds every live lane's bound the remaining
 # sweep cannot improve any lane and the march while-loop exits.
-OCT_BREAK = True
-OCT_BREAK_ANY = True   # apply the break to any-hit (shadow) marches too
-OCT_BREAK_VMEM = False  # break for VMEM-resident tables too (see below)
-BREAK_EVERY = 1        # evaluate the bound every N groups (1 = each)
+OCT_BREAK = True        # closest-hit break: HBM mode only (see below)
+OCT_BREAK_ANY = True    # any-hit (shadow) break: every mode
+OCT_BREAK_VMEM = False  # closest break for VMEM-resident tables too
+BREAK_EVERY = 1         # evaluate the bound every N groups (1 = each)
 MINPJ_LANE = 127
-# Default policy (measured, tpu_session_r3s/r3t): the break pays when a
-# skipped group skips a DMA (HBM streaming mode: dragon mega @320x180
-# 0.016 -> 0.014 s/spp) but costs more than the saved VMEM box sweeps
-# on resident tables (teapot wave @720p 0.742 -> 0.783-0.797; bound
-# every 4th group recovers only to 0.759) — so it is gated on hbm_mode
-# unless OCT_BREAK_VMEM opts in.
+# Default policy (measured, tpu_session_r3s/r3t/r3v on VMEM-mode
+# scenes): the CLOSEST break costs more than the saved box sweeps on
+# resident tables (teapot wave @720p 0.742 no-break vs 0.783-0.797;
+# bound every 4th group recovers only to 0.759), so it applies only
+# when a skipped group skips a DMA (hbm_mode) unless OCT_BREAK_VMEM
+# opts in. The ANY break's all-occluded early-out has no such penalty
+# (shadow sweeps end at first occlusion) and wins on miss/shadow-heavy
+# scenes (dragon mega @320x180 0.016 -> 0.014 with it), so it is on
+# everywhere.
 
 
 def _sub_split(cluster: int):
@@ -1607,8 +1610,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return sup_step(si, hf)[0]
 
         def march(h_, tcap=None, live=None):
-            if not (oct and OCT_BREAK and OCT_BREAK_ANY
-                    and (hbm_mode or OCT_BREAK_VMEM)):
+            if not (oct and OCT_BREAK_ANY):
                 return jax.lax.fori_loop(0, nsup, sup_body, h_)
             # while-march with early exit (see OCT_BREAK note). A lane
             # drops out of the bound once occluded (hf=1), so the

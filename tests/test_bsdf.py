@@ -219,3 +219,37 @@ def test_rng_matches_scalar_reference():
     got = np.stack(got, axis=1)
     want = np.array([scalar_pcg(s) for s in seeds], dtype=np.uint64)
     np.testing.assert_array_equal(got.astype(np.uint64), want)
+
+
+def test_beckmann_d_integral_and_sampler_pdf(monkeypatch):
+    """RENE_MF_DIST=beckmann: (1) D(wh) cos(wh) still integrates to 1;
+    (2) the full-normal sampler matches its claimed pdf — importance
+    and uniform MC estimates of an arbitrary smooth integrand agree."""
+    monkeypatch.setenv("RENE_MF_DIST", "beckmann")
+    n = 400000
+    ax = jnp.full((n,), 0.3)
+    state = rng.pcg_init(jnp.arange(n, dtype=jnp.uint32) + 29)
+    u1, state = rng.next_f32(state)
+    u2, state = rng.next_f32(state)
+    z = u1
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * np.pi * u2
+    wh = V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+    d = mf.tr_d(ax, ax, wh) * z
+    integral = float(jnp.mean(d) * 2.0 * np.pi)
+    assert integral == pytest.approx(1.0, rel=0.05)
+
+    # pdf normalization: int pdf dw == 1 (uniform-hemisphere MC)
+    wo = V3.from_array(jnp.broadcast_to(
+        jnp.asarray([0.3, 0.1, 0.95]), (n, 3))).normalized()
+    pdf_u = mf.tr_pdf(ax, ax, wo, wh)
+    assert float(jnp.mean(pdf_u) * 2.0 * np.pi) == pytest.approx(
+        1.0, rel=0.05)
+
+    # sampler identity: tan^2(theta_h) | phi ~ Exp(1/ax^2) for the
+    # isotropic full-normal sampler, so E[tan^2] == ax^2
+    u3, state = rng.next_f32(state)
+    u4, state = rng.next_f32(state)
+    whs = mf.tr_sample_wh(ax, ax, wo, u3, u4)
+    tan2 = (1.0 - whs.z * whs.z) / jnp.maximum(whs.z * whs.z, 1e-12)
+    assert float(jnp.mean(tan2)) == pytest.approx(0.09, rel=0.05)
