@@ -143,19 +143,20 @@ IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
 # once the group minimum exceeds every live lane's bound the remaining
 # sweep cannot improve any lane and the march while-loop exits.
 OCT_BREAK = True        # closest-hit break: HBM mode only (see below)
-OCT_BREAK_ANY = True    # any-hit (shadow) break: every mode
-OCT_BREAK_VMEM = False  # closest break for VMEM-resident tables too
+OCT_BREAK_ANY = True    # any-hit (shadow) break: HBM mode only
+OCT_BREAK_VMEM = False  # opt the breaks back in for VMEM tables
 BREAK_EVERY = 1         # evaluate the bound every N groups (1 = each)
 MINPJ_LANE = 127
-# Default policy (measured, tpu_session_r3s/r3t/r3v on VMEM-mode
-# scenes): the CLOSEST break costs more than the saved box sweeps on
-# resident tables (teapot wave @720p 0.742 no-break vs 0.783-0.797;
-# bound every 4th group recovers only to 0.759), so it applies only
-# when a skipped group skips a DMA (hbm_mode) unless OCT_BREAK_VMEM
-# opts in. The ANY break's all-occluded early-out has no such penalty
-# (shadow sweeps end at first occlusion) and wins on miss/shadow-heavy
-# scenes (dragon mega @320x180 0.016 -> 0.014 with it), so it is on
-# everywhere.
+# Default policy (measured, tpu_session_r3s/r3t/r3v on the VMEM-mode
+# corpus): every break variant measured at-or-worse than the plain
+# fori march on resident tables — teapot wave @720p: 0.742 no-break
+# vs 0.783-0.855 across closest-only / closest+any / any-only /
+# bound-every-4; dragon deltas (0.014-0.016) sat inside the chip's
+# +-10% run-to-run noise. The while-loop's per-group scalar reduce
+# costs more than the saved box-row sweeps when the rows are already
+# VMEM-resident, so both breaks are gated to HBM streaming mode
+# (where a skipped group skips a DMA; tpu_session_r3x measures that
+# case) unless OCT_BREAK_VMEM opts back in.
 
 
 def _sub_split(cluster: int):
@@ -1610,7 +1611,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return sup_step(si, hf)[0]
 
         def march(h_, tcap=None, live=None):
-            if not (oct and OCT_BREAK_ANY):
+            if not (oct and OCT_BREAK_ANY
+                    and (hbm_mode or OCT_BREAK_VMEM)):
                 return jax.lax.fori_loop(0, nsup, sup_body, h_)
             # while-march with early exit (see OCT_BREAK note). A lane
             # drops out of the bound once occluded (hf=1), so the
