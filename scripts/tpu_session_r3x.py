@@ -24,12 +24,17 @@ def main():
 
     import rene_tpu.integrators.pallas_path as pp
     print("platform:", jax.devices()[0].platform, flush=True)
+    # first attempt used 1<<19 -> 261630 tris, just UNDER HBM_MIN_TRIS
+    # (262144): both variants silently ran VMEM/no-break (0.139/0.143,
+    # noise). Force the mode so the variants actually differ.
+    pp.HBM_MIN_TRIS = 1 << 17
     s = bigmesh_scene(1 << 19, res=(320, 180))
 
     for tag, (brk, any_) in [("ON", (True, True)),
                              ("OFF", (False, False))]:
         pp.OCT_BREAK, pp.OCT_BREAK_ANY = brk, any_
-        measure(f"X.{tag} bigmesh523k", s, spp_a=1, spp_b=5, reps=2)
+        measure(f"X2.{tag} bigmesh262k-hbm", s, spp_a=1, spp_b=5,
+                reps=2)
 
 
 if __name__ == "__main__":
