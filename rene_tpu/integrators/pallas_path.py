@@ -142,21 +142,22 @@ IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
 # <= s.o + t_cap * (|dx|+|dy|+|dz|) (s.d <= L1(d), t >= tmin >= 0), so
 # once the group minimum exceeds every live lane's bound the remaining
 # sweep cannot improve any lane and the march while-loop exits.
-OCT_BREAK = True        # closest-hit break: HBM mode only (see below)
-OCT_BREAK_ANY = True    # any-hit (shadow) break: HBM mode only
-OCT_BREAK_VMEM = False  # opt the breaks back in for VMEM tables
+OCT_BREAK = False       # closest-hit early-break (opt-in, see below)
+OCT_BREAK_ANY = False   # any-hit (shadow) early-break (opt-in)
+OCT_BREAK_VMEM = False  # apply the breaks to VMEM-resident tables too
 BREAK_EVERY = 1         # evaluate the bound every N groups (1 = each)
 MINPJ_LANE = 127
-# Default policy (measured, tpu_session_r3s/r3t/r3v on the VMEM-mode
-# corpus): every break variant measured at-or-worse than the plain
-# fori march on resident tables — teapot wave @720p: 0.742 no-break
-# vs 0.783-0.855 across closest-only / closest+any / any-only /
-# bound-every-4; dragon deltas (0.014-0.016) sat inside the chip's
-# +-10% run-to-run noise. The while-loop's per-group scalar reduce
-# costs more than the saved box-row sweeps when the rows are already
-# VMEM-resident, so both breaks are gated to HBM streaming mode
-# (where a skipped group skips a DMA; tpu_session_r3x measures that
-# case) unless OCT_BREAK_VMEM opts back in.
+# Default policy: OFF — measured everywhere at-or-worse
+# (tpu_session_r3s/r3t/r3v/r3x). VMEM corpus: teapot wave @720p 0.742
+# no-break vs 0.783-0.855 across closest-only / closest+any /
+# any-only / bound-every-4 s/spp; dragon deltas (0.014-0.016) inside
+# the chip's +-10% run noise. HBM streaming (262k-tri bigmesh forced
+# into hbm_mode): 0.143 with vs 0.137 without — the super-group enter
+# tests already gate the DMAs, so the break only saves residual row
+# sweeps while paying a per-group scalar reduce and a while-loop the
+# scheduler pipelines worse than fori. Machinery kept behind the
+# flags (with interpret parity coverage) for bigger/deeper scenes
+# where the sweep-to-work ratio may differ.
 
 
 def _sub_split(cluster: int):

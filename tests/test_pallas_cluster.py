@@ -422,3 +422,21 @@ def test_hbm_textured_cluster_matches_xla(monkeypatch, tmp_path):
     a_mean = np.asarray(out["albedo"]).mean(axis=0) / spp
     xa_mean = xla["albedo"].mean(axis=(0, 1))
     assert np.abs(a_mean - xa_mean).max() < 0.05
+
+
+def test_march_break_optin_matches(monkeypatch):
+    """The opt-in early-break marches (OCT_BREAK/OCT_BREAK_ANY with
+    OCT_BREAK_VMEM) must render identically to the default fori
+    marches — the break is a provable no-op up to exact-t ties."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    spp = 8
+    base = pp.make_pallas_batch_fn(bn, cfg, interpret=True)(3, spp)
+    monkeypatch.setattr(pp, "OCT_BREAK", True)
+    monkeypatch.setattr(pp, "OCT_BREAK_ANY", True)
+    monkeypatch.setattr(pp, "OCT_BREAK_VMEM", True)
+    brk = pp.make_pallas_batch_fn(bn, cfg, interpret=True)(3, spp)
+    np.testing.assert_allclose(np.asarray(brk["radiance"]),
+                               np.asarray(base["radiance"]),
+                               rtol=1e-5, atol=1e-5)
