@@ -142,6 +142,11 @@ IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
 # <= s.o + t_cap * (|dx|+|dy|+|dz|) (s.d <= L1(d), t >= tmin >= 0), so
 # once the group minimum exceeds every live lane's bound the remaining
 # sweep cannot improve any lane and the march while-loop exits.
+# The 8 octant sections multiply the VMEM-resident box table by 8; cap
+# the oct layout so multi-million-tri HBM-streamed meshes keep fitting
+# (they fall back to the single camera-ordered section): 16 MB covers
+# n_super <= 2048 at g_rows=2 (~2M tris at CLUSTER=128).
+OCT_TABLE_MAX_BYTES = 16 << 20
 OCT_BREAK = False       # closest-hit early-break (opt-in, see below)
 OCT_BREAK_ANY = False   # any-hit (shadow) early-break (opt-in)
 OCT_BREAK_VMEM = False  # apply the breaks to VMEM-resident tables too
@@ -207,7 +212,12 @@ class PallasScene:
     n_clusters: int = 0
     # HBM streaming mode: geometry in HBM, per-group box table in VMEM
     mesh_hbm: bool = False
-    mesh_box: Optional[np.ndarray] = None    # (n_super_pad8, 128)
+    # (pad8(rows), 128) box table. Non-oct: n_super*g_rows rows. Oct
+    # (mesh_oct): 8 sections of n_super*g_rows rows, one per direction
+    # octant, each front-to-back by min corner projection, with the
+    # group's geometry index / min projection at row-0 lanes
+    # IDX_LANE/MINPJ_LANE.
+    mesh_box: Optional[np.ndarray] = None
     mesh_root: Optional[tuple] = None        # ((lo3), (hi3)) world AABB
     mesh_oct: bool = False                   # box table has 8 octant sections
     # shared instanced BLAS tables (object space, one per shared blas):
@@ -736,7 +746,8 @@ def _pack_tris(p, n, uv, inv, cam, needs_uv):
         for s in range(n_sub):
             r, lane = rowlane(g * n_sub + s)
             tab[:, r, lane:lane + 6] = box[g::SUPER, s * 6:s * 6 + 6]
-    oct = OCT_ORDER and n_super > 1
+    oct = (OCT_ORDER and n_super > 1
+           and 8 * n_super * g_rows * 128 * 4 <= OCT_TABLE_MAX_BYTES)
     if oct:
         # 8 per-octant sections (see module OCT_ORDER note). Group
         # centers in geometry order; padding groups (inverted AABBs)

@@ -440,3 +440,39 @@ def test_march_break_optin_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(brk["radiance"]),
                                np.asarray(base["radiance"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_oct_packing_invariants(monkeypatch):
+    """Octant-section layout (mesh_oct): per section, the row-0
+    IDX_LANE indices are a permutation of the groups, the MINPJ keys
+    are the min corner projections onto the octant sign vector and
+    monotone nondecreasing, and each row carries the indexed group's
+    super AABB."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)  # n_clusters=64 -> n_super=8
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.mesh_oct, "fixture must be big enough to enable oct"
+    nsup = ps.n_clusters // pp.SUPER
+    assert nsup >= 2
+    n_sub, _ = pp._sub_split(pp.CLUSTER)
+    g_rows, _ = pp._box_layout(n_sub)
+    sup_lane = n_sub * 6
+    box = ps.mesh_geom[pp.ROW_BOX].reshape(ps.n_clusters, pp.CLUSTER)
+    sup = box[::pp.SUPER, sup_lane:sup_lane + 6]  # geometry order
+    valid = sup[:, 0] < 1e37
+    for o in range(8):
+        sec = ps.mesh_box[o * nsup * g_rows:(o + 1) * nsup * g_rows]
+        r0 = sec[0::g_rows]
+        perm = r0[:, pp.IDX_LANE].astype(np.int64)
+        assert sorted(perm) == list(range(nsup))
+        np.testing.assert_array_equal(r0[:, 0:6], sup[perm])
+        minpj = r0[:, pp.MINPJ_LANE]
+        assert np.all(np.diff(minpj) >= 0)
+        sgn = np.array([1.0 - 2.0 * ((o >> 2) & 1),
+                        1.0 - 2.0 * ((o >> 1) & 1),
+                        1.0 - 2.0 * (o & 1)], np.float32)
+        corner = np.where(sgn > 0, sup[perm][:, 0:3], sup[perm][:, 3:6])
+        want = np.where(valid[perm], corner @ sgn, 1e30)
+        np.testing.assert_allclose(minpj, want.astype(np.float32),
+                                   rtol=1e-6)
