@@ -14,6 +14,20 @@ from ..ops import rng
 from ..ops.vec3 import V3
 
 
+def filter_jitter(u, radius):
+    """Map a uniform [0,1) jitter to the pixel-filter sample offset.
+
+    radius == 0: box (the raw jitter, mean 0.5). radius > 0: tent
+    (triangle) filter of that radius via filter importance sampling —
+    offset = 0.5 + r*(sqrt(2u)-1) for u<1/2, mirrored above (weight 1;
+    the shipped goldens use PixelFilter "triangle" 1.0)."""
+    if not radius:
+        return u
+    half = jnp.minimum(u, 1.0 - u)
+    mag = 1.0 - jnp.sqrt(jnp.maximum(2.0 * half, 0.0))
+    return 0.5 + radius * jnp.where(u < 0.5, -mag, mag)
+
+
 def generate_rays(buffers, config, px, py, state):
     """px, py: (N,) int32 pixel coordinates. Returns (org V3, dir V3, state).
     """
@@ -21,6 +35,9 @@ def generate_rays(buffers, config, px, py, state):
     h = config.film.yresolution
     ju, state = rng.next_f32(state)
     jv, state = rng.next_f32(state)
+    r = getattr(config, "filter_radius", 0.0)
+    ju = filter_jitter(ju, r)
+    jv = filter_jitter(jv, r)
     u = (px.astype(jnp.float32) + ju) / jnp.float32(max(w - 1, 1))
     v = (py.astype(jnp.float32) + jv) / jnp.float32(max(h - 1, 1))
 

@@ -206,6 +206,7 @@ class PallasScene:
     height: int
     max_depth: int
     num_emit: int
+    filter_radius: float = 0.0  # tent pixel filter (0 = box jitter)
     # clustered big-mesh tables (None / 0 when all tris fit as immediates)
     mesh_geom: Optional[np.ndarray] = None   # (MESH_ROWS, n_clusters*128)
     mesh_mats: Optional[List[dict]] = None   # matid -> material record
@@ -1054,6 +1055,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         cam_to_world=np.asarray(buffers_np["camera_to_world"], np.float64),
         width=config.film.xresolution, height=config.film.yresolution,
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
+        filter_radius=float(getattr(config, "filter_radius", 0.0)),
         mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
         mesh_hbm=mesh_hbm, mesh_box=mesh_box, mesh_root=mesh_root,
         mesh_oct=mesh_oct,
@@ -2940,9 +2942,20 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     cam_oy = float(CW[1, 3])
     cam_oz = float(CW[2, 3])
 
+    FILTER_R = float(ps.filter_radius)
+
+    def _fjit(u):
+        # tent pixel filter via filter importance sampling (camera.py
+        # filter_jitter); FILTER_R == 0 keeps the box jitter
+        if not FILTER_R:
+            return u
+        half = jnp.minimum(u, 1.0 - u)
+        mag = 1.0 - jnp.sqrt(jnp.maximum(2.0 * half, 0.0))
+        return 0.5 + FILTER_R * jnp.where(u < 0.5, -mag, mag)
+
     def camera_ray(pxf, pyf, ju, jv):
-        u = (pxf + ju) * (1.0 / max(W - 1, 1))
-        v = (pyf + jv) * (1.0 / max(H - 1, 1))
+        u = (pxf + _fjit(ju)) * (1.0 / max(W - 1, 1))
+        v = (pyf + _fjit(jv)) * (1.0 / max(H - 1, 1))
         nx_ = u * 2.0 - 1.0
         ny_ = v * 2.0 - 1.0
         tcx = PI_[0, 0] * nx_ + PI_[0, 1] * ny_ + PI_[0, 2] + PI_[0, 3]

@@ -295,6 +295,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         key = jax.random.fold_in(jax.random.PRNGKey(0),
                                  seed.astype(jnp.uint32))
         ju, jv = jax.random.uniform(key, (2, n_pad), jnp.float32)
+        from .camera import filter_jitter
+        ju = filter_jitter(ju, float(ps.filter_radius))
+        jv = filter_jitter(jv, float(ps.filter_radius))
         pxf = jnp.asarray(pxf_host)
         pyf = jnp.asarray(pyf_host)
         u = (pxf + ju) * (1.0 / max(W - 1, 1))

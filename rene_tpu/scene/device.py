@@ -53,6 +53,9 @@ class RenderConfig:
     tex_types: tuple = ()
     max_lobes: int = 5
     has_media: bool = False
+    # tent (triangle) pixel-filter radius via filter importance
+    # sampling; 0.0 = box jitter (the previous behavior)
+    filter_radius: float = 0.0
 
 
 def _affine(m: np.ndarray) -> np.ndarray:
@@ -269,6 +272,9 @@ def build_device_scene(scene: FlatScene):
         emit_primitives=int(np.sum(buffers["eo_prim_count"]))
         if len(eo_kind) else 0,
         max_depth_hint=scene.max_depth_hint,
+        filter_radius=(float(scene.pixel_filter[1])
+                       if getattr(scene, "pixel_filter",
+                                  ("box",))[0] == "triangle" else 0.0),
     )
 
     # guarantee non-empty gatherable buffers (reference pushes dummies,

@@ -72,6 +72,7 @@ class FlatScene:
     def __init__(self):
         self.integrator: str = "path"
         self.max_depth_hint: Optional[int] = None
+        self.pixel_filter: tuple = ("box", 0.5)  # (type, xwidth)
         self.film = Film()
         self.tlas: List[TlasInstance] = []
         self.blases: List[TriangleMesh] = []
@@ -363,7 +364,11 @@ def create_scene(scene_stmts, base_dir: str,
 
         for stmt in scene_stmts:
             kind, payload = scene_to_ir(stmt, base_dir)
-            if kind in ("sampler", "pixel_filter"):
+            if kind == "sampler":
+                continue
+            if kind == "pixel_filter":
+                if payload is not None:
+                    scene.pixel_filter = payload
                 continue
             if kind == "integrator":
                 scene.integrator, scene.max_depth_hint = payload

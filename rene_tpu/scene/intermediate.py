@@ -652,8 +652,18 @@ def scene_to_ir(stmt: SceneStmt, base_dir: str):
             log.info("Sampler is not yet implemented. Continue.")
             return ("sampler", None)
         if ot == "PixelFilter":
-            log.info("PixelFilter is not yet implemented. Continue.")
-            return ("pixel_filter", None)
+            # The reference parses-and-ignores this (scene.rs:120-128);
+            # we honor box/triangle via filter importance sampling —
+            # the shipped goldens were all rendered with
+            # PixelFilter "triangle" 1.0 (Tungsten's tent), so the box
+            # jitter is a systematic PSF mismatch against them.
+            if obj.t in ("box", "triangle"):
+                default = 0.5 if obj.t == "box" else 2.0  # pbrt-v3
+                xw = get_float(obj, "xwidth", default) or default
+                return ("pixel_filter", (obj.t, float(xw)))
+            log.info("PixelFilter %r is not implemented; using box.",
+                     obj.t)
+            return ("pixel_filter", ("box", 0.5))
         if ot == "Integrator":
             if obj.t == "path":
                 integ = "path"

@@ -562,3 +562,46 @@ WorldEnd"""
     ggx = render(scene, spp=48, seed=9, engine="xla")
     assert np.abs(ggx["color"] - xla["color"]).max() > 1e-3, \
         "beckmann flag must change the render"
+
+
+def test_pixel_filter_parsed_and_matches(tmp_path):
+    """PixelFilter "triangle" reaches the device config and both
+    engines sample the same tent PSF (the goldens' filter)."""
+    src = """
+LookAt 0 -4 1  0 0 0.5  0 0 1
+Camera "perspective" "float fov" 55
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+PixelFilter "triangle" "float xwidth" [1.0] "float ywidth" [1.0]
+Integrator "path" "integer maxdepth" 3
+WorldBegin
+LightSource "infinite" "rgb L" [.8 .8 .85]
+Material "matte" "rgb Kd" [.6 .3 .2]
+Shape "sphere" "float radius" 1
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    assert scene.pixel_filter == ("triangle", 1.0)
+    bn, config = build_device_scene(scene)
+    assert config.filter_radius == 1.0
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 16
+    out = run(7, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+    from rene_tpu.render import render
+    xla = render(scene, spp=32, seed=2, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+
+
+def test_filter_jitter_tent_statistics():
+    """filter_jitter: mean 0.5, support [0.5-r, 0.5+r], tent-shaped
+    (variance r^2/6)."""
+    import jax.numpy as jnp
+
+    from rene_tpu.integrators.camera import filter_jitter
+    u = (np.arange(100000, dtype=np.float64) + 0.5) / 100000
+    j = np.asarray(filter_jitter(jnp.asarray(u, jnp.float32), 1.0))
+    assert abs(j.mean() - 0.5) < 1e-3
+    assert j.min() > -0.51 and j.max() < 1.51
+    assert abs(j.var() - 1.0 / 6.0) < 2e-3
+    box = np.asarray(filter_jitter(jnp.asarray(u, jnp.float32), 0.0))
+    np.testing.assert_allclose(box, u, rtol=1e-6)
