@@ -44,6 +44,10 @@ def main():
         from rene_tpu.pbrt import parse_pbrt
         from rene_tpu.scene import create_scene
         scene = create_scene(parse_pbrt(_FALLBACK_SCENE), "/tmp")
+    # throughput metrics stay sampler-independent (apples-to-apples
+    # across rounds): Sampler "sobol" costs ~30% Mrays/s for its
+    # per-sample variance reduction (RENE_BENCH_SAMPLER overrides)
+    scene.sampler = os.environ.get("RENE_BENCH_SAMPLER", "independent")
     scene.film.xresolution = res
     scene.film.yresolution = res
 
@@ -108,6 +112,8 @@ def main():
             from rene_tpu.integrators.pallas_path import \
                 make_pallas_batch_fn
             cscene = load_scene(cl_path)
+            cscene.sampler = os.environ.get("RENE_BENCH_SAMPLER",
+                                            "independent")
             cscene.set_film_resolution(320, 180)
             cbn, cconfig = build_device_scene(cscene)
             crun = make_pallas_batch_fn(cbn, cconfig)
@@ -144,6 +150,8 @@ def main():
             from rene_tpu.integrators.pallas_wave import (
                 make_pallas_wave_fn)
             wscene = load_scene(wv_path)
+            wscene.sampler = os.environ.get("RENE_BENCH_SAMPLER",
+                                            "independent")
             wscene.set_film_resolution(320, 180)
             wbn, wconfig = build_device_scene(wscene)
             wrun = make_pallas_wave_fn(wbn, wconfig)

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "wavefront engine for big-mesh scenes, the "
                         "megakernel otherwise), XLA wavefront fallback; "
                         "pallas/wave force an engine")
+    p.add_argument("--sampler", choices=["auto", "sobol", "independent"],
+                   default="auto",
+                   help="override the scene's Sampler directive "
+                   "(auto honors it; sobol = padded Owen-scrambled "
+                   "(0,2)-sequence in the pallas engines)")
     p.add_argument("--color-space", choices=["linear", "srgb",
                                              "srgb-lights"],
                    default="linear",
@@ -95,6 +100,8 @@ def main(argv=None) -> int:
         # ariadne reports, rene/src/main.rs:129-190)
         print(e.render(args.scene), file=sys.stderr)
         return 1
+    if args.sampler != "auto":
+        scene.sampler = args.sampler
     if args.scene_overrides:
         from .scene.overrides import apply_overrides
         apply_overrides(scene, args.scene_overrides)

@@ -207,6 +207,7 @@ class PallasScene:
     max_depth: int
     num_emit: int
     filter_radius: float = 0.0  # tent pixel filter (0 = box jitter)
+    sampler: str = "independent"  # "sobol" = padded LD draws
     # clustered big-mesh tables (None / 0 when all tris fit as immediates)
     mesh_geom: Optional[np.ndarray] = None   # (MESH_ROWS, n_clusters*128)
     mesh_mats: Optional[List[dict]] = None   # matid -> material record
@@ -1056,6 +1057,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         width=config.film.xresolution, height=config.film.yresolution,
         max_depth=max_depth_for(config), num_emit=config.num_emit_objects,
         filter_radius=float(getattr(config, "filter_radius", 0.0)),
+        sampler=getattr(config, "sampler", "independent"),
         mesh_geom=mesh_geom, mesh_mats=mesh_mats, n_clusters=n_clusters,
         mesh_hbm=mesh_hbm, mesh_box=mesh_box, mesh_root=mesh_root,
         mesh_oct=mesh_oct,
@@ -1068,12 +1070,14 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 # ---------------------------------------------------------------------------
 
 def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
-                  wave_k: int = 0):
+                  wave_k: int = 0, wave_spw: int = 0):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
     pallas_wave.py — cross-tile ray redistribution between launches
-    breaks the any-lane SIMT wall of the cluster march)."""
+    breaks the any-lane SIMT wall of the cluster march). wave_spw:
+    lanes per pixel (the sobol sampler derives the pixel-global sample
+    index from the lane's slot)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1102,6 +1106,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
         return pltpu.bitcast(mant, jnp.float32) - 1.0
 
+    def _i2f_small(x_u32):
+        """uint32 (< 2^23) -> exact float via the magic-number bitcast
+        (same no-int-cast constraint as _bits_to_unit)."""
+        m = x_u32 | jnp.uint32(0x4B000000)
+        if interpret:
+            return jax.lax.bitcast_convert_type(m, jnp.float32) \
+                - 8388608.0
+        return pltpu.bitcast(m, jnp.float32) - 8388608.0
+
     def uniform(st):
         """(u, new_state). On TPU the on-chip generator supplies the bits
         and `st` is pass-through; in interpret mode (CPU validation) a
@@ -1113,6 +1126,36 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return _bits_to_unit(st), st
         bits = pltpu.bitcast(pltpu.prng_random_bits(SHAPE), jnp.uint32)
         return _bits_to_unit(bits), st
+
+    # Sampler "sobol": per sampling decision ("pair"), draw the padded
+    # Owen-scrambled (0,2)-sequence point for the lane's sample number,
+    # keyed by (pixel, depth, static slot, chunk seed) — ops/sobol.py;
+    # uint vector ops probed in tpu_session_r3ac. Media/phase draws and
+    # anything inside helpers stay on the PRNG (unbiased mix).
+    SOBOL = getattr(ps, "sampler", "independent") == "sobol"
+    (SLOT_CAM, SLOT_BSDF, SLOT_COIN, SLOT_NEE1, SLOT_NEE2, SLOT_RR,
+     SLOT_MISC, SLOT_MED) = range(8)
+    if SOBOL:
+        from ..ops import sobol as _sob
+
+        def _u32(x_i32):
+            if interpret:
+                return jax.lax.bitcast_convert_type(x_i32, jnp.uint32)
+            return pltpu.bitcast(x_i32, jnp.uint32)
+
+        def ld2(idx_i, keyv, dep_i, slot):
+            """Owen-scrambled (0,2) point for int32 sample index idx_i
+            at decision (dep_i, slot) of the pixel keyed by keyv."""
+            key = (keyv
+                   ^ (_u32(dep_i) * jnp.uint32(0x9E3779B9))
+                   ^ jnp.uint32((slot * 0x632BE59B) & 0xFFFFFFFF))
+            ub, vb = _sob.ld2_bits(_u32(idx_i) & jnp.uint32(0xFFFF),
+                                   key)
+            return _bits_to_unit(ub), _bits_to_unit(vb)
+
+        def sob_pixkey(pxf, pyf, seed_u):
+            pid = _u32((pxf + pyf * float(W)).astype(jnp.int32))
+            return _sob.hash_u32(pid ^ (seed_u * jnp.uint32(0x85EBCA6B)))
 
     def dot3(ax, ay, az, bx, by, bz):
         return ax * bx + ay * by + az * bz
@@ -3080,8 +3123,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 jnp.full(SHAPE, seed_ref[0] + pid * jnp.int32(65537),
                          jnp.int32), jnp.uint32)
         st0 = (lane_i * jnp.uint32(2654435761) ^ seed_u) | jnp.uint32(1)
-        ju0, st0 = uniform(st0)
-        jv0, st0 = uniform(st0)
+        if SOBOL:
+            pixkey = sob_pixkey(pxf, pyf, seed_u)
+            izero0 = (pxf * 0.0).astype(jnp.int32)
+            ju0, jv0 = ld2(izero0, pixkey, izero0, SLOT_CAM)
+        else:
+            ju0, st0 = uniform(st0)
+            jv0, st0 = uniform(st0)
         dx0, dy0, dz0 = camera_ray(pxf, pyf, ju0, jv0)
 
         def cond(c):
@@ -3158,10 +3206,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
             # scatter
             st = c["st"]
-            u_coin, st = uniform(st)
-            u1, st = uniform(st)
-            u2, st = uniform(st)
-            ul, st = uniform(st)
+            if SOBOL:
+                u1, u2 = ld2(c["sample"], pixkey, depth, SLOT_BSDF)
+                u_coin, ul = ld2(c["sample"], pixkey, depth, SLOT_COIN)
+            else:
+                u_coin, st = uniform(st)
+                u1, st = uniform(st)
+                u2, st = uniform(st)
+                ul, st = uniform(st)
             swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
                 attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
             # to world
@@ -3169,11 +3221,19 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                      swx, swy, swz)
 
             if E > 0:
-                coin, st = uniform(st)
-                ue1, st = uniform(st)
-                ue2, st = uniform(st)
-                ue3, st = uniform(st)
-                ue4, st = uniform(st)
+                if SOBOL:
+                    ue1, ue2 = ld2(c["sample"], pixkey, depth,
+                                   SLOT_NEE1)
+                    ue3, ue4 = ld2(c["sample"], pixkey, depth,
+                                   SLOT_NEE2)
+                    coin, _ = ld2(c["sample"], pixkey, depth,
+                                  SLOT_MISC)
+                else:
+                    coin, st = uniform(st)
+                    ue1, st = uniform(st)
+                    ue2, st = uniform(st)
+                    ue3, st = uniform(st)
+                    ue4, st = uniform(st)
                 ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
                                                   ue3, ue4)
                 take_light = (coin > 0.5) & is_diffuse(attr)
@@ -3210,7 +3270,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             alive = alive & ((cr != 0.0) | (cg != 0.0) | (cb != 0.0))
 
             if use_rr:
-                rrv, st = uniform(st)
+                if SOBOL:
+                    rrv, _ = ld2(c["sample"], pixkey, depth, SLOT_RR)
+                else:
+                    rrv, st = uniform(st)
                 p_cont = jnp.clip(jnp.maximum(cr, jnp.maximum(cg, cb)),
                                   0.0, 1.0)
                 do_rr = depth > RR_START
@@ -3228,8 +3291,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             finished = active & ~alive
             sample = c["sample"] + jnp.where(finished, 1, 0)
             regen = finished & (sample < num_samples)
-            cj1, st = uniform(st)
-            cj2, st = uniform(st)
+            if SOBOL:
+                cj1, cj2 = ld2(sample, pixkey, sample * 0, SLOT_CAM)
+            else:
+                cj1, st = uniform(st)
+                cj2, st = uniform(st)
             cdx, cdy, cdz = camera_ray(pxf, pyf, cj1, cj2)
 
             def pick3(a1, a2, b2c):
@@ -3377,20 +3443,32 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                       * cosl * lt["color"][2], 0.0)
 
             # scatter with emitter MIS (same estimator as the path body)
-            u_coin, st = uniform(st)
-            u1, st = uniform(st)
-            u2, st = uniform(st)
-            ul, st = uniform(st)
+            if SOBOL:
+                u1, u2 = ld2(c["sample"], pixkey, depth, SLOT_BSDF)
+                u_coin, ul = ld2(c["sample"], pixkey, depth, SLOT_COIN)
+            else:
+                u_coin, st = uniform(st)
+                u1, st = uniform(st)
+                u2, st = uniform(st)
+                ul, st = uniform(st)
             swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
                 attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
             swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                      swx, swy, swz)
             if E > 0:
-                coin, st = uniform(st)
-                ue1, st = uniform(st)
-                ue2, st = uniform(st)
-                ue3, st = uniform(st)
-                ue4, st = uniform(st)
+                if SOBOL:
+                    ue1, ue2 = ld2(c["sample"], pixkey, depth,
+                                   SLOT_NEE1)
+                    ue3, ue4 = ld2(c["sample"], pixkey, depth,
+                                   SLOT_NEE2)
+                    coin, _ = ld2(c["sample"], pixkey, depth,
+                                  SLOT_MISC)
+                else:
+                    coin, st = uniform(st)
+                    ue1, st = uniform(st)
+                    ue2, st = uniform(st)
+                    ue3, st = uniform(st)
+                    ue4, st = uniform(st)
                 ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
                                                   ue3, ue4)
                 take_light = (coin > 0.5) & is_diffuse(attr)
@@ -3453,8 +3531,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             finished = active & ~alive
             sample = c["sample"] + jnp.where(finished, 1, 0)
             regen = finished & (sample < num_samples)
-            cj1, st = uniform(st)
-            cj2, st = uniform(st)
+            if SOBOL:
+                cj1, cj2 = ld2(sample, pixkey, sample * 0, SLOT_CAM)
+            else:
+                cj1, st = uniform(st)
+                cj2, st = uniform(st)
             cdx, cdy, cdz = camera_ray(pxf, pyf, cj1, cj2)
 
             def pick3(a1, a2, b2c):
@@ -3595,21 +3676,32 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
         # scatter (with emitter MIS, identical estimator to body())
         st = c["st"]
-        u_coin, st = uniform(st)
-        u1, st = uniform(st)
-        u2, st = uniform(st)
-        ul, st = uniform(st)
+        if SOBOL:
+            sidx = (c["scum"] + c["smp"]).astype(jnp.int32)
+            dep_i = dep.astype(jnp.int32)
+            u1, u2 = ld2(sidx, c["pixkey"], dep_i, SLOT_BSDF)
+            u_coin, ul = ld2(sidx, c["pixkey"], dep_i, SLOT_COIN)
+        else:
+            u_coin, st = uniform(st)
+            u1, st = uniform(st)
+            u2, st = uniform(st)
+            ul, st = uniform(st)
         swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
             attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
         swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                  swx, swy, swz)
 
         if E > 0:
-            coin, st = uniform(st)
-            ue1, st = uniform(st)
-            ue2, st = uniform(st)
-            ue3, st = uniform(st)
-            ue4, st = uniform(st)
+            if SOBOL:
+                ue1, ue2 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE1)
+                ue3, ue4 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE2)
+                coin, _ = ld2(sidx, c["pixkey"], dep_i, SLOT_MISC)
+            else:
+                coin, st = uniform(st)
+                ue1, st = uniform(st)
+                ue2, st = uniform(st)
+                ue3, st = uniform(st)
+                ue4, st = uniform(st)
             ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
                                               ue3, ue4)
             take_light = (coin > 0.5) & is_diffuse(attr)
@@ -3646,7 +3738,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         alive = alive & ((cr != 0.0) | (cg != 0.0) | (cb != 0.0))
 
         if use_rr:
-            rrv, st = uniform(st)
+            if SOBOL:
+                rrv, _ = ld2(sidx, c["pixkey"], dep_i, SLOT_RR)
+            else:
+                rrv, st = uniform(st)
             p_cont = jnp.clip(jnp.maximum(cr, jnp.maximum(cg, cb)),
                               0.0, 1.0)
             do_rr = dep > RR_START
@@ -3664,8 +3759,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         finished = was_alive & ~alive
         smp = c["smp"] + jnp.where(finished, 1.0, 0.0)
         regen = finished & (smp < c["want"])
-        cj1, st = uniform(st)
-        cj2, st = uniform(st)
+        if SOBOL:
+            cj1, cj2 = ld2((c["scum"] + smp).astype(jnp.int32),
+                           c["pixkey"],
+                           (c["smp"] * 0.0).astype(jnp.int32),
+                           SLOT_CAM)
+        else:
+            cj1, st = uniform(st)
+            cj2, st = uniform(st)
         cdx, cdy, cdz = camera_ray(c["px"], c["py"], cj1, cj2)
         park = finished & ~regen
         zero = c["alive"] * 0.0
@@ -3697,6 +3798,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "dep": jnp.where(regen, zero,
                              jnp.where(alive, dep + 1.0, dep)),
             "st": st,
+            **({"pixkey": c["pixkey"], "scum": c["scum"]}
+               if SOBOL else {}),
         }
 
     def wave_kernel(sc_ref, *refs):
@@ -3760,6 +3863,25 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "want": sin[WROW_WANT, :, :],
             "st": st0,
         }
+        if SOBOL:
+            # wave-constant seed (draws at a given depth happen in
+            # DIFFERENT launches as lanes stagger, so the key must not
+            # depend on the launch index), pixel key, and the lane's
+            # slot-cumulative sample offset: pixel-global sample index
+            # = scum + smp, with want_total split as base+`rem ones`
+            # over the pixel's spw lanes (sc[3]=base, sc[4]=rem).
+            wseed_u = _u32(jnp.full(SHAPE, sc_ref[0], jnp.int32))
+            c["pixkey"] = sob_pixkey(c["px"], c["py"], wseed_u)
+            base_f = _i2f_small(_u32(jnp.full(SHAPE, sc_ref[3],
+                                              jnp.int32)))
+            rem_f = _i2f_small(_u32(jnp.full(SHAPE, sc_ref[4],
+                                             jnp.int32)))
+            npix_f = float(W * H)
+            q = jnp.floor(lane_f * (1.0 / npix_f))
+            r = lane_f - q * npix_f
+            q = q + jnp.where(r >= npix_f, 1.0, 0.0) \
+                - jnp.where(r < 0.0, 1.0, 0.0)
+            c["scum"] = q * base_f + jnp.minimum(q, rem_f)
 
         def chunk(cc):
             for _ in range(wave_k):

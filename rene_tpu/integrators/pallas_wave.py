@@ -141,7 +141,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     pp.SUB_TRIS = sub_tris
     try:
         for _k in set(schedule):
-            _kernels[_k] = pp._build_kernel(ps, 0, interpret, wave_k=_k)
+            _kernels[_k] = pp._build_kernel(ps, 0, interpret, wave_k=_k,
+                                            wave_spw=spw)
     finally:
         pp.SUB_TRIS = _sub0
     mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
@@ -150,7 +151,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     def _kernel_for(k):
         if k not in _kernels:
-            _kernels[k] = pp._build_kernel(ps, 0, interpret, wave_k=k)
+            _kernels[k] = pp._build_kernel(ps, 0, interpret, wave_k=k,
+                                           wave_spw=spw)
         return _kernels[k]
 
     def call_kernel(k, sc, state3):
@@ -239,10 +241,14 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             m *= 4
         return min(m, n_pad)
 
-    def _kernel_step_core(k, state, seed, launch, nt):
+    def _kernel_step_core(k, state, seed, launch, nt, want_tot):
+        # sc[3]/sc[4]: want_tot split as base + `rem` ones over a
+        # pixel's spw lanes (the sobol sampler's pixel-global index)
+        wt = want_tot.astype(jnp.int32)
         sc = jnp.stack([seed.astype(jnp.int32),
                         launch.astype(jnp.int32),
-                        nt.astype(jnp.int32)])
+                        nt.astype(jnp.int32),
+                        wt // spw, wt % spw])
         out = call_kernel(k, sc,
                           state.reshape(NR, n_tiles * tile_sub, 128))
         out = out.reshape(NR, n_pad)
@@ -251,16 +257,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     def _make_kernel_step(k):
         @jax.jit
-        def kernel_step(state, seed, launch, nt):
-            return _kernel_step_core(k, state, seed, launch, nt)
+        def kernel_step(state, seed, launch, nt, want_tot):
+            return _kernel_step_core(k, state, seed, launch, nt,
+                                     want_tot)
         return kernel_step
 
     _steps = {}
 
-    def kernel_step(k, state, seed, launch, nt):
+    def kernel_step(k, state, seed, launch, nt, want_tot):
         if k not in _steps:
             _steps[k] = _make_kernel_step(k)
-        return _steps[k](state, seed, launch, nt)
+        return _steps[k](state, seed, launch, nt, want_tot)
 
     # camera init (camera.rs:77-90 math, vectorized in XLA)
     PI_ = ps.cam_proj_inv
@@ -295,6 +302,25 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         key = jax.random.fold_in(jax.random.PRNGKey(0),
                                  seed.astype(jnp.uint32))
         ju, jv = jax.random.uniform(key, (2, n_pad), jnp.float32)
+        if ps.sampler == "sobol":
+            # first camera draw of each lane's first sample — the same
+            # (index, key) scheme as the in-kernel regen draws
+            # (pallas_path SLOT_CAM with depth 0)
+            from ..ops import sobol as _sob
+            base = seed.astype(jnp.int32) * 0 + want_total // spw
+            rem = want_total % spw
+            slot = jnp.asarray(slot_host)
+            scum = slot * base + jnp.minimum(slot, rem)
+            sidx = scum.astype(jnp.uint32) & jnp.uint32(0xFFFF)
+            seed_u = seed.astype(jnp.uint32)
+            pid_u = jnp.asarray(
+                np.minimum(pix_host, npix - 1).astype(np.int64)
+                .astype(np.uint32))
+            pixkey = _sob.hash_u32(
+                pid_u ^ (seed_u * jnp.uint32(0x85EBCA6B)))
+            ub, vb = _sob.ld2_bits(sidx, pixkey)
+            ju = ub.astype(jnp.float32) * (1.0 / 2**32)
+            jv = vb.astype(jnp.float32) * (1.0 / 2**32)
         from .camera import filter_jitter
         ju = filter_jitter(ju, float(ps.filter_radius))
         jv = filter_jitter(jv, float(ps.filter_radius))
@@ -384,17 +410,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
         def _make_kernel_step(k):
             @jax.jit
-            def kernel_step(state, seed, launch, nt):
-                def per_dev(state, seed, launch, nt):
+            def kernel_step(state, seed, launch, nt, want_tot):
+                def per_dev(state, seed, launch, nt, want_tot):
                     idx = jax.lax.axis_index(axis).astype(jnp.int32)
                     out, n_alive = _kernel_step_core(
                         k, state[0], seed + idx * jnp.int32(1000003),
-                        launch, nt)
+                        launch, nt, want_tot)
                     return out[None], jax.lax.psum(n_alive, axis)
                 f = shard_map(per_dev, mesh=mesh,
-                              in_specs=(P3, P(), P(), P()),
+                              in_specs=(P3, P(), P(), P(), P()),
                               out_specs=(P3, P()), check_vma=False)
-                return f(state, seed, launch, nt)
+                return f(state, seed, launch, nt, want_tot)
             return kernel_step
 
         @jax.jit
@@ -451,7 +477,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 # alive lanes never leave the prefix without a sort
                 nt = -(-prefix // tile)
             state, n_alive = kernel_step(k, state, jnp.int32(seed),
-                                         jnp.int32(si), jnp.int32(nt))
+                                         jnp.int32(si), jnp.int32(nt),
+                                         jnp.int32(want))
             si += 1
             if profile:
                 last_alive = int(n_alive)

@@ -56,6 +56,9 @@ class RenderConfig:
     # tent (triangle) pixel-filter radius via filter importance
     # sampling; 0.0 = box jitter (the previous behavior)
     filter_radius: float = 0.0
+    # "sobol": padded Owen-scrambled (0,2)-sequence draws in the pallas
+    # engines (ops/sobol.py); "independent": the PRNG everywhere
+    sampler: str = "independent"
 
 
 def _affine(m: np.ndarray) -> np.ndarray:
@@ -275,6 +278,7 @@ def build_device_scene(scene: FlatScene):
         filter_radius=(float(scene.pixel_filter[1])
                        if getattr(scene, "pixel_filter",
                                   ("box",))[0] == "triangle" else 0.0),
+        sampler=getattr(scene, "sampler", "independent"),
     )
 
     # guarantee non-empty gatherable buffers (reference pushes dummies,

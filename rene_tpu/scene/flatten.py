@@ -73,6 +73,7 @@ class FlatScene:
         self.integrator: str = "path"
         self.max_depth_hint: Optional[int] = None
         self.pixel_filter: tuple = ("box", 0.5)  # (type, xwidth)
+        self.sampler: str = "independent"  # or "sobol" (ops/sobol.py)
         self.film = Film()
         self.tlas: List[TlasInstance] = []
         self.blases: List[TriangleMesh] = []
@@ -365,6 +366,8 @@ def create_scene(scene_stmts, base_dir: str,
         for stmt in scene_stmts:
             kind, payload = scene_to_ir(stmt, base_dir)
             if kind == "sampler":
+                if payload is not None:
+                    scene.sampler = payload
                 continue
             if kind == "pixel_filter":
                 if payload is not None:

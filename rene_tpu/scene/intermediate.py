@@ -649,8 +649,13 @@ def scene_to_ir(stmt: SceneStmt, base_dir: str):
         obj = stmt.payload
         ot = obj.object_type
         if ot == "Sampler":
-            log.info("Sampler is not yet implemented. Continue.")
-            return ("sampler", None)
+            # The reference ignores this (scene.rs:120-122). We honor
+            # "sobol" (padded Owen-scrambled (0,2)-sequence in the
+            # pallas engines, ops/sobol.py); other samplers and the
+            # ignored pixelsamples fall back to the independent PRNG.
+            if obj.t in ("sobol", "lowdiscrepancy", "02sequence"):
+                return ("sampler", "sobol")
+            return ("sampler", "independent")
         if ot == "PixelFilter":
             # The reference parses-and-ignores this (scene.rs:120-128);
             # we honor box/triangle via filter importance sampling —

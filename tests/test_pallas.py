@@ -605,3 +605,54 @@ def test_filter_jitter_tent_statistics():
     assert abs(j.var() - 1.0 / 6.0) < 2e-3
     box = np.asarray(filter_jitter(jnp.asarray(u, jnp.float32), 0.0))
     np.testing.assert_allclose(box, u, rtol=1e-6)
+
+
+def test_sobol_sampler_matches_and_converges_faster(tmp_path):
+    """Sampler "sobol": (a) interpret-mode pallas with the padded
+    Owen-scrambled draws statistically matches the PRNG XLA engine;
+    (b) at equal spp the sobol render is closer to a high-spp
+    reference than the PRNG pallas render (variance reduction)."""
+    src = """
+LookAt 0 -4 1  0 0 0.5  0 0 1
+Camera "perspective" "float fov" 55
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "sobol" "integer pixelsamples" [64]
+Integrator "path" "integer maxdepth" 4
+WorldBegin
+LightSource "infinite" "rgb L" [.5 .5 .55]
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [10 8 6]
+  Material "matte" "rgb Kd" [0 0 0]
+  Translate 0 0 3
+  Shape "sphere" "float radius" 0.4
+AttributeEnd
+Material "matte" "rgb Kd" [.6 .45 .3]
+Shape "sphere" "float radius" 1
+Material "matte" "rgb Kd" [.5 .5 .5]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [-6 6 -1.2  -6 -6 -1.2  6 -6 -1.2  6 6 -1.2]
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    assert scene.sampler == "sobol"
+    bn, config = build_device_scene(scene)
+    assert config.sampler == "sobol"
+    run_s = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 32
+    out = run_s(5, spp)
+    sob_img = np.asarray(out["radiance"]) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=64, seed=3, engine="xla")
+    np.testing.assert_allclose(sob_img.mean(axis=0),
+                               xla["color"].mean(axis=(0, 1)),
+                               rtol=0.1)
+
+    # variance: per-pixel error vs a higher-spp XLA reference
+    ref = render(scene, spp=512, seed=11, engine="xla")["color"]
+    ref = ref[::-1].reshape(-1, 3)  # kernel ROWS are y-flipped
+    object.__setattr__(config, "sampler", "independent")
+    run_i = make_pallas_batch_fn(bn, config, interpret=True)
+    ind_img = np.asarray(run_i(5, spp)["radiance"]) / spp
+    err_s = np.abs(sob_img - ref).mean()
+    err_i = np.abs(ind_img - ref).mean()
+    assert err_s < err_i * 0.85, (err_s, err_i)
