@@ -5,7 +5,10 @@ sort/launch cost: per-step timings with RENE_WAVE_PROFILE, then the
 same wave with _PROFILE_SKIP_MT=True (boxes marched, MT unrolls
 skipped) to bound the box-sweep share.
 
-Usage: timeout 5400 python scripts/tpu_session_r3r.py [prof skipmt]
+Also: spw sweep at 720p (12/16 lanes vs the spw8 default) — deeper
+waves amortize per-step sort/launch overhead at more HBM state.
+
+Usage: timeout 5400 python scripts/tpu_session_r3r.py [prof skipmt spw]
 """
 import os
 import sys
@@ -49,6 +52,13 @@ def main():
         pp._PROFILE_SKIP_MT = True
         run_wave("R.skipmt", teapot)
         pp._PROFILE_SKIP_MT = False
+
+    if "spw" in args:
+        os.environ.pop("RENE_WAVE_PROFILE", None)
+        from tpu_session_r3a import measure_wave
+        for spw in (12, 16):
+            measure_wave(f"R.spw{spw} teapot hi", teapot, spp=spw,
+                         samples_per_wave=spw, reps=3)
 
 
 if __name__ == "__main__":
