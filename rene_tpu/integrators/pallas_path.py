@@ -113,7 +113,12 @@ WROW_ALIVE, WROW_RAYS, WROW_LANE = 18, 19, 20
 WROW_PX, WROW_PY, WROW_SMP, WROW_DEP = 21, 22, 23, 24
 WROW_WANT = 25  # per-lane sample target (pixels split samples across
                 # their lanes; a 1-target lane never regenerates)
-W_NROWS = 26
+WROW_KEY = 26   # next-launch sort key, computed IN-KERNEL at bounce
+                # time (hit-cluster origin bin x new-direction octant;
+                # see wave_bounce) and stored as a positive normal f32
+                # whose float order == its int bit order, so the host
+                # sort is a bare argsort of this row — no XLA key math
+W_NROWS = 27
 DEAD_ORIGIN = 1e30
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
@@ -1070,14 +1075,16 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 # ---------------------------------------------------------------------------
 
 def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
-                  wave_k: int = 0, wave_spw: int = 0):
+                  wave_k: int = 0, wave_spw: int = 0,
+                  wave_bounds=None):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
     pallas_wave.py — cross-tile ray redistribution between launches
     breaks the any-lane SIMT wall of the cluster march). wave_spw:
     lanes per pixel (the sobol sampler derives the pixel-global sample
-    index from the lane's slot)."""
+    index from the lane's slot). wave_bounds: (lo3, ext3) scene bounds
+    for the WROW_KEY Morton fallback of non-cluster hits."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1375,15 +1382,24 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                          jnp.maximum(t0z, t1z))
         return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
 
-    def _sub_closest(blk, s, ox, oy, oz, dx, dy, dz, tmin, carry):
+    def _sub_closest(blk, s, ox, oy, oz, dx, dy, dz, tmin, carry,
+                     bid=None):
         """Unrolled MT closest-hit over sub-block s of a loaded cluster
-        block; carry = (t_best, nx, ny, nz, matid[, u, v])."""
+        block; carry = (t_best, nx, ny, nz, matid[, u, v][, cid]).
+        `bid` (traced int32 scalar cluster id, present iff the carry
+        ends in a cid vector) tags the winning cluster: cid updates at
+        sub-block granularity — if t improved in this unroll, the
+        winner lies in this cluster — feeding the wave engine's
+        in-kernel sort key (2 VPU ops per sub-block, ~free)."""
         if _PROFILE_SKIP_MT:
             return carry
+        if bid is not None:
+            carry, cid = carry[:-1], carry[-1]
         if HAS_MESH_UV:
             t_b, nx, ny, nz, mid, mu, mv = carry
         else:
             t_b, nx, ny, nz, mid = carry
+        t_in = t_b
         for k in range(s * SUB, (s + 1) * SUB):
             t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
             ok = okg & (t >= tmin) & (t < t_b)
@@ -1402,9 +1418,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 mv = jnp.where(ok, blk[ROW_UV0 + 1, k]
                                + u * blk[ROW_DUV1 + 1, k]
                                + v * blk[ROW_DUV2 + 1, k], mv)
-        if HAS_MESH_UV:
-            return (t_b, nx, ny, nz, mid, mu, mv)
-        return (t_b, nx, ny, nz, mid)
+        out = (t_b, nx, ny, nz, mid, mu, mv) if HAS_MESH_UV \
+            else (t_b, nx, ny, nz, mid)
+        if bid is not None:
+            cid = jnp.where(t_b < t_in,
+                            jnp.zeros(SHAPE, jnp.int32) + bid, cid)
+            out = out + (cid,)
+        return out
 
     def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf):
         """Unrolled MT any-hit over sub-block s; hf is a 0/1 float mask."""
@@ -1424,11 +1444,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return (neg(dx) * 4 + neg(dy) * 2 + neg(dz)) * nsup
 
     def mesh_closest(mref, ox, oy, oz, dx, dy, dz, tmin, carry,
-                     nsup=None, root=None, oct=False):
+                     nsup=None, root=None, oct=False, want_cid=False):
         """Closest hit over a cluster table, threading a carry of
-        (t, nx, ny, nz, matid[, u, v]). `d` need not be unit length —
-        t parameterizes o + t*d, so instanced calls pass object-space
-        rays and t stays comparable with world-space hits.
+        (t, nx, ny, nz, matid[, u, v][, cid]). `d` need not be unit
+        length — t parameterizes o + t*d, so instanced calls pass
+        object-space rays and t stays comparable with world-space hits.
+        `want_cid`: the carry ends in an int32 winner-cluster-id vector
+        (wave-engine sort key; -1 = no cluster hit).
 
         Both modes gate on the compact VMEM box table (one (1,128) row
         per super group); geometry blocks are only touched for entered
@@ -1471,6 +1493,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         else:
                             blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
+                        bid = (gi * SUPER + g) if want_cid else None
                         for s in range(N_SUB):
                             r_, lane = ROWLANE(g * N_SUB + s)
                             enter_s = _box_enter_row(brow, r_, lane, ox, oy,
@@ -1479,7 +1502,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             carry = jax.lax.cond(
                                 jnp.any(enter_s),
                                 functools.partial(_sub_closest, blk, s, ox,
-                                                  oy, oz, dx, dy, dz, tmin),
+                                                  oy, oz, dx, dy, dz, tmin,
+                                                  bid=bid),
                                 lambda c_: c_, carry)
                     return carry
                 # member fori: one MT unroll in the program instead of
@@ -1506,9 +1530,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         else:
                             blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
+                        bid = (gi * SUPER + g) if want_cid else None
                         for s in range(N_SUB):
                             carry = _sub_closest(blk, s, ox, oy, oz,
-                                                 dx, dy, dz, tmin, carry)
+                                                 dx, dy, dz, tmin, carry,
+                                                 bid=bid)
                         return carry
 
                     return jax.lax.cond(flag, hit_blk, lambda c_: c_, carry)
@@ -1775,7 +1801,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return vals
 
     # ---- closest hit: unrolled over primitives; returns t + shading record
-    def trace_closest(ox, oy, oz, dx, dy, dz, tmin, mref=None):
+    def trace_closest(ox, oy, oz, dx, dy, dz, tmin, mref=None,
+                      want_cid=False):
+        """want_cid=True additionally returns the winning CLUSTER id
+        (int32, -1 for immediate/sphere hits and misses; instanced
+        meshes get disjoint id ranges per instance) — the wave engine's
+        surface-adaptive origin bin for its in-kernel sort key."""
         wx = oy * dz - oz * dy
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
@@ -1914,21 +1945,28 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
+        cid = (ox * 0.0).astype(jnp.int32) - 1 if want_cid else None
         if NC or NINST:
             main_ref, inst_refs = mref
             zero = ox * 0.0
             mres = (t_best, zero, zero, zero, zero - 1.0)
             if HAS_MESH_UV:
                 mres = mres + (zero, zero)
+            if want_cid:
+                mres = mres + (cid,)
             if NC:
                 mres = mesh_closest(main_ref, ox, oy, oz, dx, dy, dz,
                                     tmin, mres, root=ps.mesh_root,
-                                    oct=ps.mesh_oct)
+                                    oct=ps.mesh_oct, want_cid=want_cid)
+            cid_base = (NSUP * SUPER) if NC else 0
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
+                inst_cb = cid_base
+                cid_base += im["n_inst"] * nsup_b * SUPER
 
                 def inst_body(ii, carry, gref=gref, bref=bref,
-                              itref=itref, nsup_b=nsup_b):
+                              itref=itref, nsup_b=nsup_b,
+                              inst_cb=inst_cb):
                     row = itref[pl.ds(ii, 1), :]
                     mm = [row[0, k] for k in range(12)]
                     slot = row[0, 12]
@@ -1939,10 +1977,17 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     ldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
                     ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
                     t_pre = carry[0]
+                    if want_cid:
+                        # inner march writes LOCAL cluster ids on
+                        # improvement; remap winners to this mesh's
+                        # per-instance global range
+                        cid_prev = carry[-1]
+                        carry = carry[:-1] + (cid_prev * 0 - 1,)
                     res = mesh_closest((gref, bref), lox, loy, loz,
                                        ldx, ldy, ldz, tmin, carry,
                                        nsup_b, root=im["root"],
-                                       oct=im.get("oct", False))
+                                       oct=im.get("oct", False),
+                                       want_cid=want_cid)
                     won = res[0] < t_pre
                     # world normal = W2O^T n_obj (lib.rs:852-881)
                     nwx = mm[0] * res[1] + mm[4] * res[2] + mm[8] * res[3]
@@ -1956,6 +2001,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     if HAS_MESH_UV:
                         out = out + (jnp.where(won, res[5], carry[5]),
                                      jnp.where(won, res[6], carry[6]))
+                    if want_cid:
+                        gcid = res[-1] + (inst_cb
+                                          + ii * (nsup_b * SUPER))
+                        out = out + (jnp.where(won, gcid, cid_prev),)
                     return out
 
                 mres = jax.lax.fori_loop(0, im["n_inst"], inst_body,
@@ -1963,6 +2012,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             tm, mnx, mny, mnz, mid = mres[:5]
             if HAS_MESH_UV:
                 mu, mv = mres[5], mres[6]
+            if want_cid:
+                cid = mres[-1]  # >=0 iff a cluster mesh won the trace
             win = tm < t_best
             t_best = jnp.where(win, tm, t_best)
             attr["nx"] = jnp.where(win, mnx, attr["nx"])
@@ -1996,6 +2047,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 for key, val in vals.items():
                     attr[key] = jnp.where(sel, val, attr[key])
 
+        if want_cid:
+            return t_best, attr, cid
         return t_best, attr
 
     # ---- occlusion: any hit below tmax
@@ -3614,8 +3667,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         rays = c["rays"] + jnp.where(was_alive, 1.0, 0.0) \
             * (1.0 + len(ps.lights) + (1.0 if E > 0 else 0.0))
 
-        t, attr = trace_closest(c["ox"], c["oy"], c["oz"],
-                                c["dx"], c["dy"], c["dz"], TMIN, mref)
+        t, attr, cid = trace_closest(c["ox"], c["oy"], c["oz"],
+                                     c["dx"], c["dy"], c["dz"], TMIN,
+                                     mref, want_cid=True)
         hit = t < BIG
         miss = was_alive & ~hit
         attr, bg = apply_images(iref, c, attr, hit, miss)
@@ -3772,6 +3826,56 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         zero = c["alive"] * 0.0
         one = zero + 1.0
 
+        # --- next-launch sort key (WROW_KEY), computed here at VPU
+        # rate instead of ~20 XLA elementwise passes per sort on the
+        # host. Layout (int bits, stored bitcast as f32 — bit 30 is
+        # OR'd into every key so all keys are positive NORMAL floats,
+        # ordered exactly like their int bits: the host sort is a bare
+        # jnp.argsort of this row, no key math, no bitcast):
+        #   alive, cluster hit:  oct(new dir)<<24 | winner cluster id
+        #   alive, other hit:    oct<<24 | 1<<23 | 18-bit hit Morton
+        #   regenerated lane:    oct(cam dir)<<24 | 1<<22 | pixel block
+        #   dead/parked:         0x3F000000 (-> 0x7F000000, sorts last)
+        # Cluster ids are surface-adaptive origin bins (one 128-tri
+        # Morton-ordered patch), much finer on the actual geometry than
+        # the uniform scene-bbox cells the XLA key quantizes.
+        wlo, wext = wave_bounds if wave_bounds is not None else \
+            ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+        def _oct_of(a, b, g):
+            return (jnp.where(a < 0.0, 4, 0)
+                    + jnp.where(b < 0.0, 2, 0)
+                    + jnp.where(g < 0.0, 1, 0)).astype(jnp.int32)
+
+        def _mpart(v):  # spread 6 low bits to every 3rd bit
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+
+        def _q6(v, ax):
+            return jnp.clip((v - wlo[ax]) * (64.0 / wext[ax]),
+                            0.0, 63.0).astype(jnp.int32)
+
+        mort = (_mpart(_q6(hx, 0)) | (_mpart(_q6(hy, 1)) << 1)
+                | (_mpart(_q6(hz, 2)) << 2))
+        pay = jnp.where(cid >= 0, jnp.minimum(cid, 0x3FFFFF),
+                        (1 << 23) | mort)
+        k_al = (_oct_of(wx_, wy_, wz_) << 24) | pay
+        bi = (jnp.floor(c["py"] * (1.0 / 32.0))
+              * float(-(-W // 32))
+              + jnp.floor(c["px"] * (1.0 / 32.0))).astype(jnp.int32)
+        k_re = (_oct_of(cdx, cdy, cdz) << 24) | (1 << 22) \
+            | jnp.minimum(bi, 0x3FFFFF)
+        key_i = (jnp.where(alive, k_al,
+                           jnp.where(regen, k_re,
+                                     jnp.int32(0x3F000000)))
+                 | jnp.int32(0x40000000))
+        if interpret:
+            keyf = jax.lax.bitcast_convert_type(key_i, jnp.float32)
+        else:
+            keyf = pltpu.bitcast(key_i, jnp.float32)
+
         def pick3(a1, a2, b2c):
             return jnp.where(regen, a1, jnp.where(alive, a2, b2c))
 
@@ -3797,6 +3901,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "smp": smp,
             "dep": jnp.where(regen, zero,
                              jnp.where(alive, dep + 1.0, dep)),
+            "key": keyf,
             "st": st,
             **({"pixkey": c["pixkey"], "scum": c["scum"]}
                if SOBOL else {}),
@@ -3861,6 +3966,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "px": sin[WROW_PX, :, :], "py": sin[WROW_PY, :, :],
             "smp": sin[WROW_SMP, :, :], "dep": sin[WROW_DEP, :, :],
             "want": sin[WROW_WANT, :, :],
+            "key": sin[WROW_KEY, :, :],
             "st": st0,
         }
         if SOBOL:
@@ -3916,6 +4022,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         sout[WROW_SMP, :, :] = c["smp"]
         sout[WROW_DEP, :, :] = c["dep"]
         sout[WROW_WANT, :, :] = c["want"]
+        sout[WROW_KEY, :, :] = c["key"]
 
     return wave_kernel
 

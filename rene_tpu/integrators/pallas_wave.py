@@ -63,6 +63,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         dir_bits: int = 3,
                         sub_tris: int = 32,
                         check_every: int = 1,
+                        key_mode: str = "kernel",
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -73,6 +74,11 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     own, then widen chunks as the wave thins. Defaults to (k_bounces,).
     One Mosaic kernel per DISTINCT k. `dir_bits`: 3 = direction octant,
     6 = 2 bits/axis (finer beams, coarser 6-bit origin cells).
+    `key_mode`: "kernel" (default) sorts the WROW_KEY row the kernel
+    computed at bounce time — octant x winner-CLUSTER origin bins,
+    surface-adaptive and free of XLA key math; "xla" recomputes the
+    legacy octant x bbox-Morton-cell key host-side (oct_major/dir_bits
+    apply only there).
 
     num_samples per call is capped at run.chunk_hint (= samples carried
     by one wave); the render driver already chunks to that."""
@@ -137,12 +143,15 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     # its own, widen chunks as the wave thins (VALIDATION round 3)
     schedule = (tuple(k_schedule) if k_schedule
                 else ((k_bounces,) if k_bounces else (1, 1, 2, 4)))
+    wave_bounds = (tuple(float(v) for v in lo),
+                   tuple(float(v) for v in ext))
     _kernels = {}
     pp.SUB_TRIS = sub_tris
     try:
         for _k in set(schedule):
             _kernels[_k] = pp._build_kernel(ps, 0, interpret, wave_k=_k,
-                                            wave_spw=spw)
+                                            wave_spw=spw,
+                                            wave_bounds=wave_bounds)
     finally:
         pp.SUB_TRIS = _sub0
     mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
@@ -152,7 +161,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     def _kernel_for(k):
         if k not in _kernels:
             _kernels[k] = pp._build_kernel(ps, 0, interpret, wave_k=k,
-                                           wave_spw=spw)
+                                           wave_spw=spw,
+                                           wave_bounds=wave_bounds)
         return _kernels[k]
 
     def call_kernel(k, sc, state3):
@@ -177,10 +187,19 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         return v
 
     def bin_key(state):
-        """Direction octant x 8-bit/axis origin Morton cell (27 bits;
-        octant major by default — `oct_major=False` swaps to cell-major).
-        The sort is stable, so within-bucket order keeps the previous
-        (spatially coherent) arrangement. Dead lanes to the end."""
+        """key_mode="kernel": the sort key IS the WROW_KEY row — the
+        kernel wrote octant x winner-cluster-id (bit 30 set, so every
+        key is a positive normal f32 ordered like its int bits; dead
+        lanes carry 0x7F000000 = 1.7e38 and sort last). Zero host ops
+        beyond the argsort itself.
+
+        key_mode="xla": direction octant x 8-bit/axis origin Morton
+        cell (27 bits; octant major by default — `oct_major=False`
+        swaps to cell-major). Either way the sort is stable, so
+        within-bucket order keeps the previous (spatially coherent)
+        arrangement."""
+        if key_mode == "kernel":
+            return state[pp.WROW_KEY]
         ox, oy, oz = state[pp.WROW_O], state[pp.WROW_O + 1], \
             state[pp.WROW_O + 2]
         dx, dy, dz = state[pp.WROW_D], state[pp.WROW_D + 1], \
@@ -348,6 +367,19 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             .astype(jnp.float32)
         alive = (want_lane > 0).astype(jnp.float32)
         zeros = jnp.zeros((n_pad,), jnp.float32)
+        # WROW_KEY init mirrors the kernel's regen key (camera lanes:
+        # octant | 1<<22 | 32x32 pixel block); dead pad lanes get the
+        # sentinel so they sort last even before the first launch
+        dxn, dyn, dzn = dx * inv, dy * inv, dz * inv
+        oct_i = (jnp.where(dxn < 0, 4, 0) + jnp.where(dyn < 0, 2, 0)
+                 + jnp.where(dzn < 0, 1, 0)).astype(jnp.int32)
+        bi = (jnp.floor(pyf * (1.0 / 32.0)) * float(-(-W // 32))
+              + jnp.floor(pxf * (1.0 / 32.0))).astype(jnp.int32)
+        key_i = (jnp.where(alive > 0.5,
+                           (oct_i << 24) | (1 << 22) | bi,
+                           jnp.int32(0x3F000000))
+                 | jnp.int32(0x40000000))
+        key_row = jax.lax.bitcast_convert_type(key_i, jnp.float32)
         state = jnp.stack([
             jnp.where(alive > 0.5, cam_o[0], pp.DEAD_ORIGIN),
             jnp.where(alive > 0.5, cam_o[1], pp.DEAD_ORIGIN),
@@ -361,6 +393,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             pxf, pyf,                                 # owned pixel
             zeros, zeros,                             # sample, depth
             want_lane,                                # per-lane target
+            key_row,                                  # sort key
         ])
         return state, jnp.asarray(pix_host)
 

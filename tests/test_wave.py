@@ -104,6 +104,41 @@ def test_wave_odd_film_padding():
     assert (out["radiance"] >= 0).all()
 
 
+def test_wave_key_modes_pure_permutation():
+    """The in-kernel WROW_KEY sort (octant x hit-cluster origin bins)
+    and the legacy XLA Morton key produce bit-identical per-lane paths
+    (lane-attached interpret RNG): only summation order may differ."""
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="kernel",
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="xla",
+                            samples_per_wave=2)
+    oa = a(7, 2)
+    ob = b(7, 2)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+@pytest.mark.slow
+def test_wave_key_modes_cluster(monkeypatch):
+    """Kernel-key sorting is a pure permutation on a CLUSTER scene too
+    (exercises the winner-cid carry through the march)."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="kernel",
+                            samples_per_wave=4)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="xla",
+                            samples_per_wave=4)
+    oa = a(5, 4)
+    ob = b(5, 4)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
 @pytest.mark.slow
 def test_wave_matches_xla_cluster(monkeypatch):
     """Cluster-march wave (redistribution between bounces) matches XLA."""
