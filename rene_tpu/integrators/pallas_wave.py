@@ -495,6 +495,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         per_lane = -(-want // spw)
         max_launches = -(-maxd * per_lane // min(schedule)) + 8
         si = 0
+        pending = None  # alive-count handle of the PREVIOUS step
         while si < max_launches:
             k = schedule[min(si, len(schedule) - 1)]
             do_sort = (sort_rays and si >= sort_from
@@ -521,10 +522,19 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 if last_alive == 0:
                     break
                 continue
-            if si % check_every == 0:
-                last_alive = int(n_alive)
+            # pipelined early-exit: read the PREVIOUS step's count while
+            # this step executes on-device — the host<->device roundtrip
+            # per sync otherwise serializes every launch. Alive counts
+            # are monotone nonincreasing (regeneration keeps lanes
+            # alive, never resurrects), so the one-step-stale bound
+            # stays a safe upper bound for the sort prefix; at worst one
+            # extra all-parked launch runs after the wave dies (parked
+            # lanes sit at DEAD_ORIGIN outside every AABB — box-free).
+            if pending is not None and si % check_every == 0:
+                last_alive = int(pending)
                 if last_alive == 0:
                     break
+            pending = n_alive
         sums, rays = finish_wave(state, pix)
         sums = np.asarray(sums)
         return {
