@@ -408,6 +408,10 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     finish_wave = jax.jit(_finish_core)
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _accum_sums(prev_s, prev_r, s, r):
+        return prev_s + s, prev_r + r
+
     if mesh is not None:
         # ---- multichip sample-DP: every device runs an independent
         # wave with a decorrelated seed; films psum over ICI at finish.
@@ -475,9 +479,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
 
     profile = os.environ.get("RENE_WAVE_PROFILE") == "1"
 
-    def run(seed, num_samples):
-        """One wave of min(num_samples, spw) samples; sums like the
-        megakernel runner."""
+    def run_dev(seed, num_samples, accum=None):
+        """One wave of min(num_samples, spw) samples; returns DEVICE
+        (sums, rays) — optionally accumulated into a previous wave's
+        `accum` pair on-chip (donated), so a multi-wave render reads the
+        film back ONCE instead of per wave (the development tunnel
+        charges ~0.3-0.6 s per (9, npix) readback at 720p)."""
         import time as _time
 
         import jax.numpy as jnp
@@ -536,14 +543,27 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                     break
             pending = n_alive
         sums, rays = finish_wave(state, pix)
-        sums = np.asarray(sums)
+        if accum is not None:
+            sums, rays = _accum_sums(accum[0], accum[1], sums, rays)
+        return sums, rays
+
+    def read_back(acc):
+        """(sums, rays) device pair -> the runner's standard dict."""
+        sums = np.asarray(acc[0])
         return {
             "radiance": np.ascontiguousarray(sums[0:3].T),
             "normal": np.ascontiguousarray(sums[3:6].T),
             "albedo": np.ascontiguousarray(sums[6:9].T),
-            "rays": float(rays),
+            "rays": float(acc[1]),
         }
 
+    def run(seed, num_samples):
+        """One wave of min(num_samples, spw) samples; sums like the
+        megakernel runner."""
+        return read_back(run_dev(seed, num_samples))
+
+    run.run_dev = run_dev
+    run.read_back = read_back
     run.chunk_hint = cap
     run.samples_per_wave = cap
     # multichip: sums cover num_samples x ndev samples per call

@@ -293,13 +293,23 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
     t_start = time.time()
     t_batch = time.time()
     done = start_sample
+    # wave runners accumulate the film ON DEVICE across chunks and read
+    # back once (per-chunk readback costs ~0.3-0.6 s over the dev
+    # tunnel at 720p); checkpointing needs host sums every chunk, so it
+    # keeps the per-chunk path
+    dev_accum = (getattr(run, "run_dev", None)
+                 if not checkpoint and start_sample == 0 else None)
+    acc = None
     while done < spp:
         chunk = min(max_chunk, spp - done)
         chunk_seed = int(host_rng.integers(0, 2 ** 31, dtype=np.int32))
-        out = run(chunk_seed, chunk)
-        for k in accum:
-            accum[k] += np.asarray(out[k])
-        total_rays += float(out["rays"])
+        if dev_accum is not None:
+            acc = dev_accum(chunk_seed, chunk, acc)
+        else:
+            out = run(chunk_seed, chunk)
+            for k in accum:
+                accum[k] += np.asarray(out[k])
+            total_rays += float(out["rays"])
         done += chunk
         dt = (time.time() - t_batch) * 1000.0
         log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
@@ -309,6 +319,11 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
         if checkpoint:
             from .utils.checkpoint import save_checkpoint
             save_checkpoint(checkpoint, accum, done, fingerprint)
+    if acc is not None:
+        out = run.read_back(acc)
+        for k in accum:
+            accum[k] += out[k]
+        total_rays += out["rays"]
 
     return {
         "color": rays_to_image(accum["radiance"] / max(spp, 1), w, h),

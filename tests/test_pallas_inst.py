@@ -92,6 +92,27 @@ def test_replication_off_below_saving_threshold():
 
 
 @pytest.mark.slow
+def test_instanced_wave_key_modes(monkeypatch):
+    """The wave engine's in-kernel sort key threads the winner-cluster
+    id through the per-instance object-space march (disjoint global id
+    ranges per instance); kernel-key and xla-key waves are bit-identical
+    per lane, so films agree to summation order."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = instanced_scene()
+    bn, cfg = build_device_scene(scene)
+    from rene_tpu.integrators.pallas_wave import make_pallas_wave_fn
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="kernel",
+                            samples_per_wave=4)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="xla",
+                            samples_per_wave=4)
+    oa = a(11, 4)
+    ob = b(11, 4)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+@pytest.mark.slow
 def test_instanced_matches_xla(monkeypatch):
     """Interpret-mode shared-table march (object-space rays, W2O^T
     normals, per-instance material slots) matches the XLA integrator,
