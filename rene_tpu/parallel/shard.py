@@ -286,14 +286,26 @@ def _render_pallas_multichip(prun, config, spp: int, seed: int, mode: str):
     total_rays = 0.0
     done = 0
     target = max(1, (spp + per_call - 1) // per_call)
+    # wave runners accumulate the film on-device across chunks (one
+    # readback per render; see render._render_pallas)
+    dev_accum = getattr(prun, "run_dev", None)
+    acc = None
     while done < target:
         chunk = min(max_chunk, target - done)
         chunk_seed = int(host_rng.integers(0, 2 ** 31, dtype=np.int32))
-        out = prun(chunk_seed, chunk)
-        for k in accum:
-            accum[k] += np.asarray(out[k])
-        total_rays += float(out["rays"])
+        if dev_accum is not None:
+            acc = dev_accum(chunk_seed, chunk, acc)
+        else:
+            out = prun(chunk_seed, chunk)
+            for k in accum:
+                accum[k] += np.asarray(out[k])
+            total_rays += float(out["rays"])
         done += chunk
+    if acc is not None:
+        out = prun.read_back(acc)
+        for k in accum:
+            accum[k] += out[k]
+        total_rays += out["rays"]
     eff_spp = target * per_call
     return {
         "color": rays_to_image(accum["radiance"] / eff_spp, w, h),
