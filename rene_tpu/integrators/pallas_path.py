@@ -108,16 +108,23 @@ MEMBER_FORI = True  # fori over a group's member clusters: ONE MT unroll
 # entries, no MT-unroll work) and sorts dead-last.
 WROW_O, WROW_D, WROW_C, WROW_R = 0, 3, 6, 9    # origin, dir, throughput,
                                                # accumulated radiance
-WROW_AN, WROW_AA = 12, 15                      # AOV normal / albedo
-WROW_ALIVE, WROW_RAYS, WROW_LANE = 18, 19, 20
-WROW_PX, WROW_PY, WROW_SMP, WROW_DEP = 21, 22, 23, 24
-WROW_WANT = 25  # per-lane sample target (pixels split samples across
+WROW_ALIVE, WROW_RAYS, WROW_LANE = 12, 13, 14
+WROW_PX, WROW_PY, WROW_SMP, WROW_DEP = 15, 16, 17, 18
+WROW_WANT = 19  # per-lane sample target (pixels split samples across
                 # their lanes; a 1-target lane never regenerates)
-WROW_KEY = 26   # next-launch sort key, computed IN-KERNEL at bounce
+WROW_KEY = 20   # next-launch sort key, computed IN-KERNEL at bounce
                 # time (hit-cluster origin bin x new-direction octant;
                 # see wave_bounce) and stored as a positive normal f32
                 # whose float order == its int bit order, so the host
                 # sort is a bare argsort of this row — no XLA key math
+W_SORT_ROWS = 21  # rows the between-launch sorts permute ("slim"
+                  # sorts): the AOV rows below are written only at each
+                  # sample's bounce 0 — all in step 0 when the wave
+                  # carries one sample per lane — so they stay in
+                  # INITIAL lane order and the finish reads them
+                  # through a static permutation instead of paying
+                  # 6/27 of every sort's gather traffic
+WROW_AN, WROW_AA = 21, 24                      # AOV normal / albedo
 W_NROWS = 27
 DEAD_ORIGIN = 1e30
 # super-cluster level: SUPER consecutive clusters share one AABB. All

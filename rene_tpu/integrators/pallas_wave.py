@@ -234,6 +234,15 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 else ((morton << 3) | oct_)
         return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
+    # "slim" sorts permute only rows [0, W_SORT_ROWS): the AOV rows are
+    # written exclusively at each sample's bounce 0 — all inside step 0
+    # when the wave carries one sample per lane (always true: want is
+    # capped at spw) — so they stay in INITIAL lane order and the
+    # finish reads them through a static permutation. Only valid when
+    # step 0 runs on the initial order (sort_from >= 1).
+    slim = sort_rays and sort_from >= 1
+    SR = pp.W_SORT_ROWS if slim else NR
+
     def _sort_prefix_core(state, pix, m):
         """Sort the first m lanes (a host-chosen power-of-4 bucket that
         bounds the alive prefix — alive lanes always sit in a prefix
@@ -241,7 +250,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         costs ~8 ms where the full 1M-lane sort costs ~85 on this
         runtime; the write-back is an in-place dynamic_update_slice on
         the donated buffer."""
-        sub = state[:, :m]
+        sub = state[:SR, :m]
         perm = jnp.argsort(bin_key(sub))
         sub = jnp.take(sub, perm, axis=1)
         pix_sub = jnp.take(pix[:m], perm)
@@ -387,23 +396,32 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             dx * inv, dy * inv, dz * inv,
             zeros + 1.0, zeros + 1.0, zeros + 1.0,   # throughput
             zeros, zeros, zeros,                      # radiance
-            zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs
             alive, zeros,                             # alive, rays
             jnp.asarray(lane_host),
             pxf, pyf,                                 # owned pixel
             zeros, zeros,                             # sample, depth
             want_lane,                                # per-lane target
             key_row,                                  # sort key
-        ])
+            zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs (last:
+        ])                                             # slim sorts skip
         return state, jnp.asarray(pix_host)
 
     init_state = jax.jit(_init_state_core)
 
+    # static pixel grouping for the never-permuted AOV rows (slim mode)
+    aov_perm_host = np.argsort(pix_host, kind="stable").astype(np.int32)
+
     def _finish_core(state, pix):
         order = jnp.argsort(pix)
-        rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 9], order, axis=1)
+        rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 3], order, axis=1)
+        aorder = jnp.asarray(aov_perm_host) if slim else order
+        arows = jnp.take(state[pp.WROW_AN:pp.WROW_AN + 6], aorder,
+                         axis=1)
         # each pixel's spw lanes are consecutive after the pixel sort
-        sums = rows[:, :n_real].reshape(9, npix, spw).sum(axis=2)
+        sums = jnp.concatenate([
+            rows[:, :n_real].reshape(3, npix, spw).sum(axis=2),
+            arows[:, :n_real].reshape(6, npix, spw).sum(axis=2)],
+            axis=0)
         return sums, jnp.sum(state[pp.WROW_RAYS])
 
     finish_wave = jax.jit(_finish_core)
