@@ -1083,7 +1083,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 
 def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                   wave_k: int = 0, wave_spw: int = 0,
-                  wave_bounds=None):
+                  wave_bounds=None, wave_dir_sub: bool = False):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
@@ -3864,15 +3864,27 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return jnp.clip((v - wlo[ax]) * (64.0 / wext[ax]),
                             0.0, 63.0).astype(jnp.int32)
 
+        def _dir_of(a, b, g):
+            """Octant, optionally refined by the dominant axis (2 more
+            bits above the 24-bit payload): tiles then share a ~45-deg
+            cone instead of a 90-deg one."""
+            o = _oct_of(a, b, g)
+            if not wave_dir_sub:
+                return o << 24
+            aa, ab, ag = jnp.abs(a), jnp.abs(b), jnp.abs(g)
+            dom = jnp.where((aa >= ab) & (aa >= ag), 0,
+                            jnp.where(ab >= ag, 1, 2)).astype(jnp.int32)
+            return (o << 26) | (dom << 24)
+
         mort = (_mpart(_q6(hx, 0)) | (_mpart(_q6(hy, 1)) << 1)
                 | (_mpart(_q6(hz, 2)) << 2))
         pay = jnp.where(cid >= 0, jnp.minimum(cid, 0x3FFFFF),
                         (1 << 23) | mort)
-        k_al = (_oct_of(wx_, wy_, wz_) << 24) | pay
+        k_al = _dir_of(wx_, wy_, wz_) | pay
         bi = (jnp.floor(c["py"] * (1.0 / 32.0))
               * float(-(-W // 32))
               + jnp.floor(c["px"] * (1.0 / 32.0))).astype(jnp.int32)
-        k_re = (_oct_of(cdx, cdy, cdz) << 24) | (1 << 22) \
+        k_re = _dir_of(cdx, cdy, cdz) | (1 << 22) \
             | jnp.minimum(bi, 0x3FFFFF)
         key_i = (jnp.where(alive, k_al,
                            jnp.where(regen, k_re,

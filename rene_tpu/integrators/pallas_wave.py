@@ -64,6 +64,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         sub_tris: int = 32,
                         check_every: int = 1,
                         key_mode: str = "kernel",
+                        dir_sub: bool = False,
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -151,7 +152,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         for _k in set(schedule):
             _kernels[_k] = pp._build_kernel(ps, 0, interpret, wave_k=_k,
                                             wave_spw=spw,
-                                            wave_bounds=wave_bounds)
+                                            wave_bounds=wave_bounds,
+                                            wave_dir_sub=dir_sub)
     finally:
         pp.SUB_TRIS = _sub0
     mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
@@ -162,7 +164,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         if k not in _kernels:
             _kernels[k] = pp._build_kernel(ps, 0, interpret, wave_k=k,
                                            wave_spw=spw,
-                                           wave_bounds=wave_bounds)
+                                           wave_bounds=wave_bounds,
+                                           wave_dir_sub=dir_sub)
         return _kernels[k]
 
     def call_kernel(k, sc, state3):
