@@ -305,6 +305,7 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
         chunk_seed = int(host_rng.integers(0, 2 ** 31, dtype=np.int32))
         if dev_accum is not None:
             acc = dev_accum(chunk_seed, chunk, acc)
+            float(acc[1])  # scalar sync: keep per-chunk timing honest
         else:
             out = run(chunk_seed, chunk)
             for k in accum:
