@@ -140,6 +140,25 @@ def test_wave_key_modes_cluster(monkeypatch):
 
 
 @pytest.mark.slow
+def test_wave_key_modes_hbm(monkeypatch):
+    """Kernel-key parity with HBM-streamed geometry (cid carry through
+    the DMA'd while-march)."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="kernel",
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, key_mode="xla",
+                            samples_per_wave=2)
+    oa = a(5, 2)
+    ob = b(5, 2)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+@pytest.mark.slow
 def test_wave_matches_xla_cluster(monkeypatch):
     """Cluster-march wave (redistribution between bounces) matches XLA."""
     monkeypatch.setattr(pp, "CLUSTER", 16)
