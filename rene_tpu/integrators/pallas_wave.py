@@ -592,6 +592,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     run.n_tiles = n_tiles
     run.steps = steps
     run.sort_prefix = sort_prefix
+    run.kernel_step = kernel_step  # diagnostics: step one launch and
+    run.n_pad = n_pad              # inspect state rows (e.g. WROW_KEY
+    run.tile = tile                # tag-bit histograms on-chip)
     run.init_state = init_state
     run.finish_wave = finish_wave
     return run

@@ -20,10 +20,44 @@ from tpu_session_r2 import SAMPLES, load_at  # noqa: E402
 from tpu_session_r3aa import build, reps  # noqa: E402
 
 
+def key_diag(tag, scene):
+    """Step one primary launch and histogram the WROW_KEY tag bits —
+    proves the cluster-id path is live ON-CHIP (interpret parity can't
+    distinguish a silent Morton fallback)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rene_tpu.integrators import pallas_path as pp
+
+    run = build(scene, samples_per_wave=2)
+    state, pix = run.init_state(jnp.int32(3), jnp.int32(2))
+    nt = -(-run.n_pad // run.tile)
+    state, n_alive = run.kernel_step(1, state, jnp.int32(3),
+                                     jnp.int32(0), jnp.int32(nt),
+                                     jnp.int32(2))
+    keys = np.asarray(state[pp.WROW_KEY]).view(np.int32)
+    alive = np.asarray(state[pp.WROW_ALIVE]) > 0.5
+    pay = keys & 0x00FFFFFF
+    dead = (keys & 0x3F000000) == 0x3F000000
+    regen = (~dead) & ((pay & 0x400000) != 0)
+    mort = (~dead) & ~regen & ((pay & 0x800000) != 0)
+    clus = (~dead) & ~regen & ~mort
+    n = keys.size
+    print(f"{tag}: alive {alive.sum()/n:.3f} | key tags: cluster "
+          f"{clus.sum()/n:.3f} morton {mort.sum()/n:.3f} regen "
+          f"{regen.sum()/n:.3f} dead {dead.sum()/n:.3f}; "
+          f"distinct cluster ids {np.unique(keys[clus]).size}",
+          flush=True)
+
+
 def main():
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
     todo = sys.argv[1:] or ["E4", "E5", "E6"]
+
+    if "E0" in todo:
+        key_diag("AB.E0 teapot key tags",
+                 load_at(f"{SAMPLES}/teapot/scene.pbrt", 320, 180))
 
     if "E4" in todo or "E6" in todo:
         teapot = load_at(f"{SAMPLES}/teapot/scene.pbrt", 1280, 720)
