@@ -74,6 +74,32 @@ def main():
         reps("AB.E6 teapot profile", run, 8, n=1)
         os.environ.pop("RENE_WAVE_PROFILE", None)
 
+    if "E7" in todo:
+        # dragon @720p MEGA box-vs-MT split (the 0.08 s/spp VERDICT
+        # target needs to know which half dominates)
+        import time
+
+        import numpy as np
+
+        from rene_tpu.integrators import pallas_path as pp
+        from rene_tpu.scene.device import build_device_scene
+        dragon = load_at(f"{SAMPLES}/dragon/scene.pbrt", 1280, 720)
+        bn, cfg = build_device_scene(dragon)
+        for skip in (False, True):
+            pp._PROFILE_SKIP_MT = skip
+            run = pp.make_pallas_batch_fn(bn, cfg)
+            k1, k2 = 2, 6
+            np.asarray(run(0, k1)["radiance"])
+            np.asarray(run(0, k2)["radiance"])
+            t0 = time.time()
+            float(run(1, k1)["rays"])
+            t1 = time.time()
+            float(run(2, k2)["rays"])
+            marg = ((time.time() - t1) - (t1 - t0)) / (k2 - k1)
+            print(f"AB.E7 dragon mega skip_mt={skip}: marginal "
+                  f"{marg:.3f} s/spp", flush=True)
+        pp._PROFILE_SKIP_MT = False
+
 
 if __name__ == "__main__":
     main()
