@@ -178,8 +178,26 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
 
     if pallas_run is not None:
         log.info("engine: %s", engine_name)
-        return _render_pallas(pallas_run, config, spp, seed, checkpoint,
-                              resume, progress, fingerprint)
+        try:
+            return _render_pallas(pallas_run, config, spp, seed,
+                                  checkpoint, resume, progress,
+                                  fingerprint)
+        except Exception:
+            if engine != "auto" or engine_name != "pallas wavefront":
+                raise
+            # auto-selected wave engine failed (e.g. a Mosaic lowering
+            # regression): restart on the megakernel rather than losing
+            # the render; the exception is logged in full
+            log.exception("wave engine failed; falling back to the "
+                          "megakernel")
+            from .integrators.pallas_path import make_pallas_batch_fn
+            pallas_run = make_pallas_batch_fn(buffers_np, config,
+                                              interpret=not on_tpu)
+            if pallas_run is None:
+                raise
+            return _render_pallas(pallas_run, config, spp, seed,
+                                  checkpoint, resume, progress,
+                                  fingerprint)
 
     from .ops.accel import make_accel
     force = {None: None, True: "bvh", False: None}[use_bvh]
