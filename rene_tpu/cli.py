@@ -5,8 +5,10 @@ Mirrors the reference CLI (rene/src/main.rs:47-71): positional pbrt scene,
 knobs the reference hardcodes (SURVEY.md §5 config table): `--spp`
 (reference N_SAMPLES=5000), `--seed`, `--tile-rays`, `--checkpoint/--resume`,
 `--output` override, `--devices N --multichip-mode {samples,tiles}` for
-multi-chip rendering, and `--warm-cache` to pre-compile a scene's kernels
-into the persistent JAX compilation cache.
+multi-chip rendering, `--warm-cache` to pre-compile a scene's kernels
+into the persistent JAX compilation cache, and `--tungsten-compat` /
+`--mf-dist` to apply the shipped Tungsten-golden calibrations
+(scene/overrides.py) from the CLI surface.
 """
 from __future__ import annotations
 
@@ -66,6 +68,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON instance/material override file applied "
                         "after scene flattening (diagnostic/compat "
                         "layer; see rene_tpu/scene/overrides.py)")
+    p.add_argument("--tungsten-compat", action="store_true",
+                   help="auto-apply the shipped Tungsten-golden "
+                        "calibration for this scene "
+                        "(docs/overrides/<scene>_tungsten*.json: "
+                        "Beckmann lobes, conductor normalization, "
+                        "golden-matched albedos/depth). One flag "
+                        "reproduces veach SSIM >=0.95 vs "
+                        "TungstenRender.png")
+    p.add_argument("--mf-dist", choices=["auto", "ggx", "beckmann"],
+                   default="auto",
+                   help="microfacet distribution for all rough "
+                        "conductors/dielectrics (auto = ggx unless an "
+                        "override file selects otherwise)")
     p.add_argument("--devices", type=int, default=1, metavar="N",
                    help="render across N chips of the device mesh "
                         "(sharded pallas megakernel for eligible scenes, "
@@ -102,10 +117,21 @@ def main(argv=None) -> int:
         return 1
     if args.sampler != "auto":
         scene.sampler = args.sampler
-    if args.scene_overrides:
+    if args.mf_dist != "auto":
+        os.environ["RENE_MF_DIST"] = args.mf_dist
+    ov_file = args.scene_overrides
+    if args.tungsten_compat and not ov_file:
+        from .scene.overrides import find_tungsten_overrides
+        ov_file = find_tungsten_overrides(args.scene)
+        if ov_file is None:
+            log.warning("--tungsten-compat: no shipped calibration for "
+                        "this scene (docs/overrides/); rendering as-is")
+    if ov_file:
         from .scene.overrides import apply_overrides
-        apply_overrides(scene, args.scene_overrides)
-        log.info("applied scene overrides from %s", args.scene_overrides)
+        apply_overrides(scene, ov_file)
+        if args.mf_dist != "auto":  # explicit flag beats the file
+            os.environ["RENE_MF_DIST"] = args.mf_dist
+        log.info("applied scene overrides from %s", ov_file)
     log.info("scene compiled in %.2fs", time.time() - t0)
 
     if args.dump_module:

@@ -248,3 +248,50 @@ WorldEnd"""
     np.testing.assert_allclose(p1, x1, rtol=0.1)
     np.testing.assert_allclose(p5, x5, rtol=0.1)
     assert p5 < p1 * 0.95
+
+
+def test_tungsten_compat_discovery(tmp_path, monkeypatch):
+    """--tungsten-compat: find_tungsten_overrides locates the shipped
+    calibration by scene name (PNG-calibrated file wins) and the
+    settings block applies mf_dist + max_depth without env vars."""
+    import json
+    import os
+
+    from rene_tpu.pbrt import parse_pbrt
+    from rene_tpu.scene import create_scene
+    from rene_tpu.scene.overrides import (apply_overrides,
+                                          find_tungsten_overrides)
+
+    d = tmp_path / "ov"
+    d.mkdir()
+    (d / "veach_tungsten.json").write_text(json.dumps({"instances": []}))
+    (d / "veach_tungsten_png.json").write_text(json.dumps(
+        {"settings": {"mf_dist": "beckmann", "max_depth": 2},
+         "instances": []}))
+    got = find_tungsten_overrides(
+        "/any/where/veach-mis/scene.pbrt", search_dir=str(d))
+    assert got is not None and got.endswith("veach_tungsten_png.json")
+    # file-stem token match too (sphere.pbrt has no scene dir)
+    (d / "sphere_tungsten.json").write_text(json.dumps({"instances": []}))
+    got2 = find_tungsten_overrides("/x/sphere.pbrt", search_dir=str(d))
+    assert got2 is not None and got2.endswith("sphere_tungsten.json")
+    assert find_tungsten_overrides("/x/unknown/scene.pbrt",
+                                   search_dir=str(d)) is None
+
+    src = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Shape "sphere" "float radius" 1
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    monkeypatch.delenv("RENE_MF_DIST", raising=False)
+    apply_overrides(scene, got)
+    assert scene.max_depth_hint == 2
+    assert os.environ.get("RENE_MF_DIST") == "beckmann"
+
+    # the SHIPPED veach calibration resolves from the real docs dir
+    shipped = find_tungsten_overrides(
+        "/root/reference/sample_scenes/veach-mis/scene.pbrt")
+    assert shipped is not None and shipped.endswith(
+        "veach_tungsten_png.json")
