@@ -106,6 +106,25 @@ class ParseError(Exception):
         return "\n".join(out)
 
 
+class MultiParseError(ParseError):
+    """Several recovered parse errors from one run (the reference's
+    chumsky `parse_recovery` reports a Vec of errors, each rendered as
+    its own ariadne report, rene/src/main.rs:126-196)."""
+
+    def __init__(self, errors: List[ParseError]):
+        self.errors = errors
+        first = errors[0]
+        Exception.__init__(self, f"{len(errors)} parse errors")
+        self.msg = f"{len(errors)} parse errors"
+        self.pos = first.pos
+        self.text = first.text
+        self.line, self.col = first.line, first.col
+        self.labels = first.labels
+
+    def render(self, path: str = "<input>") -> str:
+        return "\n\n".join(e.render(path) for e in self.errors)
+
+
 def _line_col(text: str, pos: int) -> Tuple[int, int]:
     line = text.count("\n", 0, pos) + 1
     last_nl = text.rfind("\n", 0, pos)
@@ -199,11 +218,45 @@ _ARG_TYPES = {"float", "bool", "integer", "string", "point", "normal",
               "point3", "normal3", "point2", "vector", "vector3"}
 
 
+_TRANSFORM_DIRECTIVES = {"Transform", "ConcatTransform", "Translate",
+                         "Scale", "Rotate"}
+_SCENE_SYNC = (_SCENE_OBJECTS | _TRANSFORM_DIRECTIVES
+               | {"LookAt", "WorldBegin"})
+_WORLD_SYNC = (_WORLD_OBJECTS | _TRANSFORM_DIRECTIVES
+               | {"Texture", "NamedMaterial", "ObjectInstance",
+                  "CoordSysTransform", "MediumInterface",
+                  "ReverseOrientation", "AttributeBegin", "AttributeEnd",
+                  "TransformBegin", "TransformEnd", "ObjectBegin",
+                  "ObjectEnd", "WorldEnd"})
+
+_BLOCK_CLOSERS = {"WorldEnd", "AttributeEnd", "TransformEnd", "ObjectEnd"}
+
+MAX_PARSE_ERRORS = 8
+
+
 class _Parser:
     def __init__(self, text: str):
         self.text = text
         self.toks = tokenize(text)
         self.i = 0
+        self.errors: List[ParseError] = []
+
+    def _recover(self, err: ParseError, sync: set, start_i: int) -> None:
+        """Record a directive-level error and resync: skip tokens until
+        the next known directive ident (or end of input), guaranteeing
+        progress past `start_i`. The reference gets this from chumsky's
+        parse_recovery; aborting after MAX_PARSE_ERRORS bounds cascade
+        noise the same way editors cap diagnostics."""
+        self.errors.append(err)
+        if len(self.errors) >= MAX_PARSE_ERRORS:
+            raise MultiParseError(self.errors)
+        if self.i <= start_i:
+            self.i = start_i + 1
+        while True:
+            t = self.peek()
+            if t is None or (t.kind == "ident" and t.text in sync):
+                return
+            self.i += 1
 
     # -- token helpers ------------------------------------------------------
     def peek(self) -> Optional[Token]:
@@ -344,6 +397,19 @@ class _Parser:
     def parse_scene(self) -> List[SceneStmt]:
         stmts: List[SceneStmt] = []
         while self.peek() is not None:
+            start_i = self.i
+            try:
+                self._scene_directive(stmts)
+            except MultiParseError:
+                raise
+            except ParseError as e:
+                self._recover(e, _SCENE_SYNC, start_i)
+        if self.errors:
+            raise (self.errors[0] if len(self.errors) == 1
+                   else MultiParseError(self.errors))
+        return stmts
+
+    def _scene_directive(self, stmts: List[SceneStmt]) -> None:
             t = self.expect("ident")
             name = t.text
             if name == "LookAt":
@@ -372,7 +438,6 @@ class _Parser:
                 raise ParseError(f"unknown directive {name!r}", t.pos,
                                  self.text, end=t.end,
                                  label_msg=f"unexpected token {name!r}")
-        return stmts
 
     def parse_worlds(self, terminator: str,
                      opener: Optional[Token] = None) -> List[WorldStmt]:
@@ -387,14 +452,36 @@ class _Parser:
                     f"missing {terminator}", len(self.text), self.text,
                     label_msg="unexpected end of input",
                     labels=[hint] if hint else None)
+            if t.kind == "ident" and t.text == terminator:
+                self.next()
+                return stmts
+            if (t.kind == "ident" and t.text in _BLOCK_CLOSERS):
+                # a closer for an OUTER block: this block's terminator
+                # is missing. Report, leave the closer for the outer
+                # block (prevents one missing End cascading into
+                # unknown-directive noise at every level).
+                self.errors.append(ParseError(
+                    f"missing {terminator}", t.pos, self.text, end=t.end,
+                    label_msg=f"expected {terminator} before {t.text!r}",
+                    labels=[hint] if hint else None))
+                if len(self.errors) >= MAX_PARSE_ERRORS:
+                    raise MultiParseError(self.errors)
+                return stmts
+            start_i = self.i
+            try:
+                self._world_directive(stmts, t)
+            except MultiParseError:
+                raise
+            except ParseError as e:
+                self._recover(e, _WORLD_SYNC, start_i)
+
+    def _world_directive(self, stmts: List[WorldStmt], t: Token) -> None:
             if t.kind != "ident":
+                self.next()
                 raise ParseError(f"expected directive, got {t.text!r}",
                                  t.pos, self.text, end=t.end,
                                  label_msg=f"unexpected token {t.text!r}")
             name = t.text
-            if name == terminator:
-                self.next()
-                return stmts
             self.next()
             if name in _WORLD_OBJECTS:
                 subtype = self.string()

@@ -188,11 +188,12 @@ def test_report_unclosed_attribute_block():
            '  Shape "sphere" "float radius" 1\n'
            'WorldEnd\n')
     rep = _report(src)
-    assert "error: unknown world directive 'WorldEnd'" in rep or \
-           "missing AttributeEnd" in rep
-    # the report excerpts the offending source line with a caret label
+    # the missing closer is reported against the outer closer (no
+    # unknown-directive cascade) with a hint at the unclosed opener
+    assert "missing AttributeEnd" in rep
     assert "--> scene.pbrt:" in rep
-    assert "^" in rep and "unexpected" in rep
+    assert "^" in rep and "expected AttributeEnd before 'WorldEnd'" in rep
+    assert "unclosed delimiter 'AttributeBegin'" in rep
 
 
 def test_report_unclosed_bracket_hint():
@@ -225,3 +226,51 @@ def test_report_unknown_directive_excerpt():
     rep = _report('LookAtt 0 0 0  0 0 1  0 1 0\nWorldBegin WorldEnd')
     assert "error: unknown directive 'LookAtt'" in rep
     assert "^^^^^^^ unexpected token 'LookAtt'" in rep
+
+
+def test_multi_error_recovery():
+    """Directive-level recovery reports SEVERAL labeled errors per run,
+    like the reference's chumsky parse_recovery (rene/src/main.rs:126-196):
+    two seeded errors yield two rendered reports."""
+    from rene_tpu.pbrt.parser import MultiParseError, parse_pbrt
+
+    src = ('Film "image" "integer xresolution" [8]\n'
+           'Kamera "perspective"\n'
+           'WorldBegin\n'
+           'Material "matte" "rgb Kd" [.7 .2]\n'
+           'Shape "sphere" "float radius" 1\n'
+           'WorldEnd\n')
+    try:
+        parse_pbrt(src)
+        raise AssertionError("expected MultiParseError")
+    except MultiParseError as e:
+        assert len(e.errors) == 2
+        rep = e.render("scene.pbrt")
+        assert "unknown directive 'Kamera'" in rep
+        assert "length of rgb must be 3" in rep
+        assert rep.count("--> scene.pbrt:") == 2
+
+    # recovery resumes INSIDE blocks: the shape after the bad material
+    # still parses, so a single error stays a plain ParseError
+    from rene_tpu.pbrt.parser import ParseError
+    one = ('WorldBegin\n'
+           'Material "matte" "rgb Kd" [.7 .2]\n'
+           'Shape "sphere" "float radius" 1\n'
+           'WorldEnd\n')
+    try:
+        parse_pbrt(one)
+        raise AssertionError("expected ParseError")
+    except MultiParseError:
+        raise AssertionError("single error must not be wrapped")
+    except ParseError as e:
+        assert "length of rgb" in e.msg
+
+    # cascade cap: a flood of errors aborts at the bound
+    from rene_tpu.pbrt.parser import MAX_PARSE_ERRORS
+    flood = "WorldBegin\n" + 'Material "matte" "rgb Kd" [1 2]\n' * 40 \
+        + "WorldEnd\n"
+    try:
+        parse_pbrt(flood)
+        raise AssertionError("expected MultiParseError")
+    except MultiParseError as e:
+        assert len(e.errors) == MAX_PARSE_ERRORS
