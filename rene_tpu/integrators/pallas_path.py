@@ -126,6 +126,12 @@ W_SORT_ROWS = 21  # rows the between-launch sorts permute ("slim"
                   # 6/27 of every sort's gather traffic
 WROW_AN, WROW_AA = 21, 24                      # AOV normal / albedo
 W_NROWS = 27
+WROW_MED = 27   # volpath waves only: the lane's current medium index
+                # (appended after the AOVs so the path-mode layout is
+                # unchanged; the slim sorts permute it explicitly as a
+                # 28th row — it is per-lane state that must follow the
+                # ray, unlike the never-permuted AOV rows)
+W_NROWS_VOL = 28
 DEAD_ORIGIN = 1e30
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
@@ -3667,6 +3673,70 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     # terminated lane starts its pixel's next sample until `want`
     # samples are done (megakernel occupancy under redistribution),
     # then parks at DEAD_ORIGIN so dead lanes never enter an AABB.
+
+    # --- next-launch sort-key helpers (WROW_KEY), shared by the path
+    # and volpath wave bounces. Key layout (int bits, stored bitcast as
+    # f32 — bit 30 is OR'd into every key so all keys are positive
+    # NORMAL floats, ordered exactly like their int bits: the host sort
+    # is a bare jnp.argsort of this row, no key math, no bitcast):
+    #   alive, cluster hit:  oct(new dir)<<24 | winner cluster id
+    #   alive, other hit:    oct<<24 | 1<<23 | 18-bit hit Morton
+    #   regenerated lane:    oct(cam dir)<<24 | 1<<22 | pixel block
+    #   dead/parked:         0x3F000000 (-> 0x7F000000, sorts last)
+    # Cluster ids are surface-adaptive origin bins (one 128-tri
+    # Morton-ordered patch), much finer on the actual geometry than
+    # the uniform scene-bbox cells the XLA key quantizes.
+    wlo, wext = wave_bounds if wave_bounds is not None else \
+        ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+    def _oct_of(a, b, g):
+        return (jnp.where(a < 0.0, 4, 0)
+                + jnp.where(b < 0.0, 2, 0)
+                + jnp.where(g < 0.0, 1, 0)).astype(jnp.int32)
+
+    def _mpart(v):  # spread 6 low bits to every 3rd bit
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    def _q6(v, ax):
+        return jnp.clip((v - wlo[ax]) * (64.0 / wext[ax]),
+                        0.0, 63.0).astype(jnp.int32)
+
+    def _morton18(x, y, z):
+        return (_mpart(_q6(x, 0)) | (_mpart(_q6(y, 1)) << 1)
+                | (_mpart(_q6(z, 2)) << 2))
+
+    def _dir_of(a, b, g):
+        """Octant, optionally refined by the dominant axis (2 more
+        bits above the 24-bit payload): tiles then share a ~45-deg
+        cone instead of a 90-deg one."""
+        o = _oct_of(a, b, g)
+        if not wave_dir_sub:
+            return o << 24
+        aa, ab, ag = jnp.abs(a), jnp.abs(b), jnp.abs(g)
+        dom = jnp.where((aa >= ab) & (aa >= ag), 0,
+                        jnp.where(ab >= ag, 1, 2)).astype(jnp.int32)
+        return (o << 26) | (dom << 24)
+
+    def _regen_key(c, cdx, cdy, cdz):
+        """Key for a regenerated camera lane: octant x 32x32 block."""
+        bi = (jnp.floor(c["py"] * (1.0 / 32.0))
+              * float(-(-W // 32))
+              + jnp.floor(c["px"] * (1.0 / 32.0))).astype(jnp.int32)
+        return _dir_of(cdx, cdy, cdz) | (1 << 22) \
+            | jnp.minimum(bi, 0x3FFFFF)
+
+    def _pack_key(alive, regen, k_al, k_re):
+        key_i = (jnp.where(alive, k_al,
+                           jnp.where(regen, k_re,
+                                     jnp.int32(0x3F000000)))
+                 | jnp.int32(0x40000000))
+        if interpret:
+            return jax.lax.bitcast_convert_type(key_i, jnp.float32)
+        return pltpu.bitcast(key_i, jnp.float32)
+
     def wave_bounce(c, mref, iref):
         dep = c["dep"]  # per-lane (float) bounce index
         was_alive = c["alive"] > 0.5
@@ -3835,65 +3905,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
         # --- next-launch sort key (WROW_KEY), computed here at VPU
         # rate instead of ~20 XLA elementwise passes per sort on the
-        # host. Layout (int bits, stored bitcast as f32 — bit 30 is
-        # OR'd into every key so all keys are positive NORMAL floats,
-        # ordered exactly like their int bits: the host sort is a bare
-        # jnp.argsort of this row, no key math, no bitcast):
-        #   alive, cluster hit:  oct(new dir)<<24 | winner cluster id
-        #   alive, other hit:    oct<<24 | 1<<23 | 18-bit hit Morton
-        #   regenerated lane:    oct(cam dir)<<24 | 1<<22 | pixel block
-        #   dead/parked:         0x3F000000 (-> 0x7F000000, sorts last)
-        # Cluster ids are surface-adaptive origin bins (one 128-tri
-        # Morton-ordered patch), much finer on the actual geometry than
-        # the uniform scene-bbox cells the XLA key quantizes.
-        wlo, wext = wave_bounds if wave_bounds is not None else \
-            ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
-
-        def _oct_of(a, b, g):
-            return (jnp.where(a < 0.0, 4, 0)
-                    + jnp.where(b < 0.0, 2, 0)
-                    + jnp.where(g < 0.0, 1, 0)).astype(jnp.int32)
-
-        def _mpart(v):  # spread 6 low bits to every 3rd bit
-            v = (v | (v << 8)) & 0x0300F00F
-            v = (v | (v << 4)) & 0x030C30C3
-            v = (v | (v << 2)) & 0x09249249
-            return v
-
-        def _q6(v, ax):
-            return jnp.clip((v - wlo[ax]) * (64.0 / wext[ax]),
-                            0.0, 63.0).astype(jnp.int32)
-
-        def _dir_of(a, b, g):
-            """Octant, optionally refined by the dominant axis (2 more
-            bits above the 24-bit payload): tiles then share a ~45-deg
-            cone instead of a 90-deg one."""
-            o = _oct_of(a, b, g)
-            if not wave_dir_sub:
-                return o << 24
-            aa, ab, ag = jnp.abs(a), jnp.abs(b), jnp.abs(g)
-            dom = jnp.where((aa >= ab) & (aa >= ag), 0,
-                            jnp.where(ab >= ag, 1, 2)).astype(jnp.int32)
-            return (o << 26) | (dom << 24)
-
-        mort = (_mpart(_q6(hx, 0)) | (_mpart(_q6(hy, 1)) << 1)
-                | (_mpart(_q6(hz, 2)) << 2))
+        # host (layout: see the shared helpers above)
         pay = jnp.where(cid >= 0, jnp.minimum(cid, 0x3FFFFF),
-                        (1 << 23) | mort)
+                        (1 << 23) | _morton18(hx, hy, hz))
         k_al = _dir_of(wx_, wy_, wz_) | pay
-        bi = (jnp.floor(c["py"] * (1.0 / 32.0))
-              * float(-(-W // 32))
-              + jnp.floor(c["px"] * (1.0 / 32.0))).astype(jnp.int32)
-        k_re = _dir_of(cdx, cdy, cdz) | (1 << 22) \
-            | jnp.minimum(bi, 0x3FFFFF)
-        key_i = (jnp.where(alive, k_al,
-                           jnp.where(regen, k_re,
-                                     jnp.int32(0x3F000000)))
-                 | jnp.int32(0x40000000))
-        if interpret:
-            keyf = jax.lax.bitcast_convert_type(key_i, jnp.float32)
-        else:
-            keyf = pltpu.bitcast(key_i, jnp.float32)
+        keyf = _pack_key(alive, regen, k_al, _regen_key(c, cdx, cdy,
+                                                        cdz))
 
         def pick3(a1, a2, b2c):
             return jnp.where(regen, a1, jnp.where(alive, a2, b2c))
@@ -3920,6 +3937,271 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "smp": smp,
             "dep": jnp.where(regen, zero,
                              jnp.where(alive, dep + 1.0, dep)),
+            "key": keyf,
+            "st": st,
+            **({"pixkey": c["pixkey"], "scum": c["scum"]}
+               if SOBOL else {}),
+        }
+
+    def wave_bounce_vol(c, mref, iref):
+        """volpath wave bounce: body_vol's estimator (lib.rs:477-803 —
+        medium distance sampling, phase NEE through tr marching,
+        surface NEE with transmittance, None-material passthrough,
+        medium-interface tracking, no RR) under the wave contract
+        (want/smp regeneration, DEAD_ORIGIN parking, WROW_KEY)."""
+        dep = c["dep"]
+        was_alive = c["alive"] > 0.5
+        cr, cg, cb = c["cr"], c["cg"], c["cb"]
+        med = c["med"]
+        rays = c["rays"] + jnp.where(was_alive, 1.0, 0.0) \
+            * (1.0 + len(ps.lights) + (1.0 if E > 0 else 0.0))
+
+        t, attr, cid = trace_closest(c["ox"], c["oy"], c["oz"],
+                                     c["dx"], c["dy"], c["dz"], TMIN,
+                                     mref, want_cid=True)
+        hit = t < BIG
+        miss = was_alive & ~hit
+        attr, bg = apply_images(iref, c, attr, hit, miss)
+        rr_ = c["rr"] + jnp.where(miss, cr * bg[0], 0.0)
+        rg_ = c["rg"] + jnp.where(miss, cg * bg[1], 0.0)
+        rb_ = c["rb"] + jnp.where(miss, cb * bg[2], 0.0)
+        alive = was_alive & hit
+
+        hx = c["ox"] + t * c["dx"]
+        hy = c["oy"] + t * c["dy"]
+        hz = c["oz"] + t * c["dz"]
+        nx, ny, nz = normalize3(attr["nx"], attr["ny"], attr["nz"])
+        wox, woy, woz = -c["dx"], -c["dy"], -c["dz"]
+        ux, uy, uz, vx, vy, vz = onb_from_w(nx, ny, nz)
+        mat_none = attr["mat"] == float(T.MAT_NONE)
+
+        # -- medium sampling along the segment (lib.rs:561-565)
+        st = c["st"]
+        sampled, t_med, mw, st = med_sample(med, t, st)
+        sampled = sampled & alive
+        cr = jnp.where(alive, cr * mw[0], cr)
+        cg = jnp.where(alive, cg * mw[1], cg)
+        cb = jnp.where(alive, cb * mw[2], cb)
+        mpx = c["ox"] + t_med * c["dx"]
+        mpy = c["oy"] + t_med * c["dy"]
+        mpz = c["oz"] + t_med * c["dz"]
+
+        # ======== medium interaction ========
+        for lt in ps.lights:
+            ldx, ldy, ldz = lt["dir"]
+            trv = tr_march(mpx, mpy, mpz,
+                           jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
+                           jnp.full(SHAPE, ldz), med, False, mref)
+            cosw = wox * ldx + woy * ldy + woz * ldz
+            phase = med_phase(med, cosw)
+            rr_ = rr_ + jnp.where(sampled,
+                                  cr * trv[0] * phase * lt["color"][0],
+                                  0.0)
+            rg_ = rg_ + jnp.where(sampled,
+                                  cg * trv[1] * phase * lt["color"][1],
+                                  0.0)
+            rb_ = rb_ + jnp.where(sampled,
+                                  cb * trv[2] * phase * lt["color"][2],
+                                  0.0)
+        m_dx, m_dy, m_dz, st = med_sample_p(med, wox, woy, woz, st)
+        if E > 0:
+            ue1, st = uniform(st)
+            ue2, st = uniform(st)
+            ue3, st = uniform(st)
+            ue4, st = uniform(st)
+            ls_x, ls_y, ls_z = sample_emit(mpx, mpy, mpz,
+                                           ue1, ue2, ue3, ue4)
+            epdf = trace_emit_pdf(mpx, mpy, mpz,
+                                  ls_x, ls_y, ls_z) / float(E)
+            tr_e = tr_march(mpx, mpy, mpz, ls_x, ls_y, ls_z,
+                            med, True, mref)
+            cosw = wox * ls_x + woy * ls_y + woz * ls_z
+            phase_e = med_phase(med, cosw) / jnp.maximum(epdf, 1e-5)
+            ok_e = sampled & (epdf > 1e-5)
+            rr_ = rr_ + jnp.where(ok_e, cr * tr_e[0] * phase_e, 0.0)
+            rg_ = rg_ + jnp.where(ok_e, cg * tr_e[1] * phase_e, 0.0)
+            rb_ = rb_ + jnp.where(ok_e, cb * tr_e[2] * phase_e, 0.0)
+
+        # ======== surface interaction ========
+        surf = alive & ~sampled
+        al_on = surf & ((attr["alr"] != 0.0) | (attr["alg"] != 0.0)
+                        | (attr["alb"] != 0.0)) \
+            & (dot3(wox, woy, woz, nx, ny, nz) > 0.0)
+        rr_ = rr_ + jnp.where(al_on, cr * attr["alr"], 0.0)
+        rg_ = rg_ + jnp.where(al_on, cg * attr["alg"], 0.0)
+        rb_ = rb_ + jnp.where(al_on, cb * attr["alb"], 0.0)
+
+        first = surf & (dep == 0.0)
+        anx = c["anx"] + jnp.where(first, nx, 0.0)
+        any_ = c["any"] + jnp.where(first, ny, 0.0)
+        anz = c["anz"] + jnp.where(first, nz, 0.0)
+        aar = c["aar"] + jnp.where(first, attr["abr"], 0.0)
+        aag = c["aag"] + jnp.where(first, attr["abg"], 0.0)
+        aab = c["aab"] + jnp.where(first, attr["abb"], 0.0)
+
+        lox_, loy_, loz_ = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                    wox, woy, woz)
+        surf_scatter = surf & ~mat_none
+
+        # surface NEE with transmittance
+        for lt in ps.lights:
+            ldx, ldy, ldz = lt["dir"]
+            trv = tr_march(hx, hy, hz,
+                           jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
+                           jnp.full(SHAPE, ldz), med, False, mref)
+            lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                     jnp.full(SHAPE, ldx),
+                                     jnp.full(SHAPE, ldy),
+                                     jnp.full(SHAPE, ldz))
+            fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
+                                            lwx, lwy, lwz)
+            cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
+            rr_ = rr_ + jnp.where(surf_scatter, cr * trv[0] * fe_r
+                                  * cosl * lt["color"][0], 0.0)
+            rg_ = rg_ + jnp.where(surf_scatter, cg * trv[1] * fe_g
+                                  * cosl * lt["color"][1], 0.0)
+            rb_ = rb_ + jnp.where(surf_scatter, cb * trv[2] * fe_b
+                                  * cosl * lt["color"][2], 0.0)
+
+        # scatter with emitter MIS (same estimator as wave_bounce)
+        if SOBOL:
+            sidx = (c["scum"] + c["smp"]).astype(jnp.int32)
+            dep_i = dep.astype(jnp.int32)
+            u1, u2 = ld2(sidx, c["pixkey"], dep_i, SLOT_BSDF)
+            u_coin, ul = ld2(sidx, c["pixkey"], dep_i, SLOT_COIN)
+        else:
+            u_coin, st = uniform(st)
+            u1, st = uniform(st)
+            u2, st = uniform(st)
+            ul, st = uniform(st)
+        swx, swy, swz, sfr, sfg, sfb, spdf = bsdf_sample(
+            attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
+        swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                 swx, swy, swz)
+        if E > 0:
+            if SOBOL:
+                ue1, ue2 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE1)
+                ue3, ue4 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE2)
+                coin, _ = ld2(sidx, c["pixkey"], dep_i, SLOT_MISC)
+            else:
+                coin, st = uniform(st)
+                ue1, st = uniform(st)
+                ue2, st = uniform(st)
+                ue3, st = uniform(st)
+                ue4, st = uniform(st)
+            ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
+                                              ue3, ue4)
+            take_light = (coin > 0.5) & is_diffuse(attr)
+            wx_ = jnp.where(take_light, ls_wx, swx)
+            wy_ = jnp.where(take_light, ls_wy, swy)
+            wz_ = jnp.where(take_light, ls_wz, swz)
+            llx, lly, llz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
+                                     ls_wx, ls_wy, ls_wz)
+            fe_r, fe_g, fe_b, fe_pdf = bsdf_eval(attr, lox_, loy_, loz_,
+                                                 llx, lly, llz)
+            f_r = jnp.where(take_light, fe_r, sfr)
+            f_g = jnp.where(take_light, fe_g, sfg)
+            f_b = jnp.where(take_light, fe_b, sfb)
+            pdf_b = jnp.where(take_light, fe_pdf, spdf)
+            lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+            mis = is_diffuse(attr)
+            pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
+            f_r = jnp.where(mis, f_r, sfr)
+            f_g = jnp.where(mis, f_g, sfg)
+            f_b = jnp.where(mis, f_b, sfb)
+            wx_ = jnp.where(mis, wx_, swx)
+            wy_ = jnp.where(mis, wy_, swy)
+            wz_ = jnp.where(mis, wz_, swz)
+        else:
+            wx_, wy_, wz_, f_r, f_g, f_b, pdf = (swx, swy, swz, sfr,
+                                                 sfg, sfb, spdf)
+
+        cosw = jnp.abs(wx_ * nx + wy_ * ny + wz_ * nz)
+        scale = cosw / jnp.maximum(pdf, 1e-20)
+        sc_r = cr * f_r * scale
+        sc_g = cg * f_g * scale
+        sc_b = cb * f_b * scale
+
+        # next ray per lane kind (medium scatter / surface / parked)
+        new_ox = jnp.where(sampled, mpx, jnp.where(surf, hx, c["ox"]))
+        new_oy = jnp.where(sampled, mpy, jnp.where(surf, hy, c["oy"]))
+        new_oz = jnp.where(sampled, mpz, jnp.where(surf, hz, c["oz"]))
+        new_dx = jnp.where(sampled, m_dx,
+                           jnp.where(surf_scatter, wx_, c["dx"]))
+        new_dy = jnp.where(sampled, m_dy,
+                           jnp.where(surf_scatter, wy_, c["dy"]))
+        new_dz = jnp.where(sampled, m_dz,
+                           jnp.where(surf_scatter, wz_, c["dz"]))
+        cr = jnp.where(surf_scatter, sc_r, cr)
+        cg = jnp.where(surf_scatter, sc_g, cg)
+        cb = jnp.where(surf_scatter, sc_b, cb)
+        alive = alive & (sampled | (surf & (mat_none | (pdf >= 1e-5))))
+
+        # medium interface crossing at surfaces (lib.rs:775-779)
+        crossing_out = dot3(wox, woy, woz, nx, ny, nz) < 0.0
+        new_med = jnp.where(
+            surf, jnp.where(crossing_out, attr["emed"], attr["imed"]),
+            med)
+
+        alive = alive & ((cr != 0.0) | (cg != 0.0) | (cb != 0.0))
+        alive = alive & (dep + 1.0 < MAXD)
+
+        # regeneration (wave contract: finished lanes start their
+        # pixel's next sample until `want`, then park)
+        finished = was_alive & ~alive
+        smp = c["smp"] + jnp.where(finished, 1.0, 0.0)
+        regen = finished & (smp < c["want"])
+        if SOBOL:
+            cj1, cj2 = ld2((c["scum"] + smp).astype(jnp.int32),
+                           c["pixkey"],
+                           (c["smp"] * 0.0).astype(jnp.int32),
+                           SLOT_CAM)
+        else:
+            cj1, st = uniform(st)
+            cj2, st = uniform(st)
+        cdx, cdy, cdz = camera_ray(c["px"], c["py"], cj1, cj2)
+        park = finished & ~regen
+        zero = c["alive"] * 0.0
+        one = zero + 1.0
+
+        # sort key: surface lanes bin by the winner cluster like the
+        # path wave; medium-scattered lanes have no surface cluster —
+        # bin them by the scatter point's Morton cell x new octant
+        pay_s = jnp.where(cid >= 0, jnp.minimum(cid, 0x3FFFFF),
+                          (1 << 23) | _morton18(hx, hy, hz))
+        pay = jnp.where(sampled, (1 << 23) | _morton18(mpx, mpy, mpz),
+                        pay_s)
+        k_al = _dir_of(new_dx, new_dy, new_dz) | pay
+        keyf = _pack_key(alive, regen, k_al, _regen_key(c, cdx, cdy,
+                                                        cdz))
+
+        def pick3(a1, a2, b2c):
+            return jnp.where(regen, a1, jnp.where(alive, a2, b2c))
+
+        return {
+            "ox": pick3(zero + cam_ox, new_ox,
+                        jnp.where(park, DEAD_ORIGIN, c["ox"])),
+            "oy": pick3(zero + cam_oy, new_oy,
+                        jnp.where(park, DEAD_ORIGIN, c["oy"])),
+            "oz": pick3(zero + cam_oz, new_oz,
+                        jnp.where(park, DEAD_ORIGIN, c["oz"])),
+            "dx": pick3(cdx, new_dx, c["dx"]),
+            "dy": pick3(cdy, new_dy, c["dy"]),
+            "dz": pick3(cdz, new_dz, c["dz"]),
+            "cr": pick3(one, cr, c["cr"]),
+            "cg": pick3(one, cg, c["cg"]),
+            "cb": pick3(one, cb, c["cb"]),
+            "rr": rr_, "rg": rg_, "rb": rb_,
+            "anx": anx, "any": any_, "anz": anz,
+            "aar": aar, "aag": aag, "aab": aab,
+            "alive": jnp.where(alive | regen, one, zero),
+            "rays": rays,
+            "px": c["px"], "py": c["py"], "want": c["want"],
+            "smp": smp,
+            "dep": jnp.where(regen, zero,
+                             jnp.where(alive, dep + 1.0, dep)),
+            "med": jnp.where(regen, zero,
+                             jnp.where(alive, new_med, med)),
             "key": keyf,
             "st": st,
             **({"pixkey": c["pixkey"], "scum": c["scum"]}
@@ -3988,6 +4270,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             "key": sin[WROW_KEY, :, :],
             "st": st0,
         }
+        if VOL:
+            c["med"] = sin[WROW_MED, :, :]
         if SOBOL:
             # wave-constant seed (draws at a given depth happen in
             # DIFFERENT launches as lanes stagger, so the key must not
@@ -4010,7 +4294,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
         def chunk(cc):
             for _ in range(wave_k):
-                cc = wave_bounce(cc, mref, iref)
+                cc = (wave_bounce_vol if VOL else wave_bounce)(
+                    cc, mref, iref)
             return cc
 
         # tiles past the alive prefix (rays sorted dead-last) are a copy
@@ -4042,6 +4327,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         sout[WROW_DEP, :, :] = c["dep"]
         sout[WROW_WANT, :, :] = c["want"]
         sout[WROW_KEY, :, :] = c["key"]
+        if VOL:
+            sout[WROW_MED, :, :] = c["med"]
 
     return wave_kernel
 

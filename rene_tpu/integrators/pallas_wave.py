@@ -44,10 +44,10 @@ from . import pallas_path as pp
 
 
 def wave_supported(buffers_np, config: RenderConfig) -> bool:
-    """Wave engine handles the pallas-eligible `path` scenes (volpath
-    keeps the megakernel: its per-bounce medium marches don't suffer the
-    same any-lane geometry wall)."""
-    return (config.integrator == "path"
+    """Wave engine handles the pallas-eligible `path` AND `volpath`
+    scenes (volpath waves carry one extra state row, the lane's medium
+    index, and run the volpath bounce body — wave_bounce_vol)."""
+    return (config.integrator in ("path", "volpath")
             and pp.pallas_eligible(buffers_np, config))
 
 
@@ -105,7 +105,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     maxd = ps.max_depth
     tile_sub = pp.MESH_TILE_SUB
     tile = tile_sub * 128
-    NR = pp.W_NROWS
+    VOL = config.integrator == "volpath"
+    NR = pp.W_NROWS_VOL if VOL else pp.W_NROWS
 
     # spw lanes per pixel; each lane streams its share of the wave's
     # samples back-to-back (mega-kernel regeneration). Measured optimum
@@ -258,6 +259,13 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         sub = jnp.take(sub, perm, axis=1)
         pix_sub = jnp.take(pix[:m], perm)
         state = jax.lax.dynamic_update_slice(state, sub, (0, 0))
+        if VOL and slim:
+            # the medium row sits past the slim range (after the AOVs)
+            # but is per-lane ray state: permute it with the same perm
+            med_sub = jnp.take(state[pp.WROW_MED:pp.WROW_MED + 1, :m],
+                               perm, axis=1)
+            state = jax.lax.dynamic_update_slice(state, med_sub,
+                                                 (pp.WROW_MED, 0))
         pix = jax.lax.dynamic_update_slice(pix, pix_sub, (0,))
         return state, pix
 
@@ -406,7 +414,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             want_lane,                                # per-lane target
             key_row,                                  # sort key
             zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs (last:
-        ])                                             # slim sorts skip
+        ]                                              # slim sorts skip
+            + ([zeros] if VOL else []))  # volpath: medium index (vacuum)
         return state, jnp.asarray(pix_host)
 
     init_state = jax.jit(_init_state_core)

@@ -189,3 +189,41 @@ def test_wave_render_driver():
     assert np.isfinite(img).all()
     # background pixel = infinite light color (unoccluded from camera)
     np.testing.assert_allclose(img[0, 0], [0.4, 0.45, 0.5], atol=0.25)
+
+
+def test_wave_volpath_sort_is_pure_permutation():
+    """volpath waves: sorted and unsorted agree bit-for-bit — this
+    exercises the WROW_MED row's explicit permutation in the slim sort
+    (a missed med-row gather would misattach media to rays)."""
+    from .test_pallas import FOG_SCENE
+    scene = create_scene(parse_pbrt(FOG_SCENE), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    assert wave_supported(bn, cfg)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_rays=True,
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_rays=False,
+                            samples_per_wave=2)
+    oa = a(9, 2)
+    ob = b(9, 2)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+@pytest.mark.slow
+def test_wave_volpath_matches_xla_integrator():
+    """Wave volpath (wave_bounce_vol: medium sampling, phase NEE via tr
+    marching, interface tracking, no RR) statistically matches the XLA
+    volpath integrator."""
+    from .test_pallas import FOG_SCENE
+    scene = create_scene(parse_pbrt(FOG_SCENE), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_wave_fn(bn, cfg, interpret=True, k_bounces=2)
+    spp = min(16, run.samples_per_wave)
+    out = run(3, spp)
+    mean = out["radiance"].mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=48, seed=5, engine="xla")
+    np.testing.assert_allclose(mean, xla["color"].mean(axis=(0, 1)),
+                               rtol=0.1)
