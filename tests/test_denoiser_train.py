@@ -2,6 +2,7 @@
 decreases on synthetic pairs, trained net beats identity, weights
 roundtrip through save/load."""
 import numpy as np
+import pytest
 
 from rene_tpu.models.denoise import UNetDenoiser, atrous_denoise
 from rene_tpu.models.train_denoiser import synthetic_pairs, train
@@ -15,6 +16,7 @@ def test_untrained_net_equals_atrous():
         out, atrous_denoise(noisy[0], normal[0], albedo[0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_reduces_loss_and_beats_identity(tmp_path):
     data = synthetic_pairs(24, seed=3)
     net, losses = train(data, steps=200, batch=8, features=8,

@@ -360,6 +360,7 @@ WorldEnd"""
     assert np.abs(a_mean - xa_mean).max() < 0.05
 
 
+@pytest.mark.slow
 def test_many_spheres_and_lights_eligible_and_match():
     """Raised eligibility limits (MAX_SPHERES=64, MAX_LIGHTS=16): a scene
     with 12 spheres and 6 distant lights runs in the kernel and matches
@@ -444,6 +445,7 @@ WorldEnd"""
                                rtol=0.12)
 
 
+@pytest.mark.slow
 def test_textured_roughness_and_ks_eligible_and_match(tmp_path):
     """ANY-SLOT kernel textures (round-3): imagemap roughness (with
     remap) on substrate and checker Ks on plastic keep the scene at
@@ -607,6 +609,7 @@ def test_filter_jitter_tent_statistics():
     np.testing.assert_allclose(box, u, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sobol_sampler_matches_and_converges_faster(tmp_path):
     """Sampler "sobol": (a) interpret-mode pallas with the padded
     Owen-scrambled draws statistically matches the PRNG XLA engine;

@@ -51,6 +51,7 @@ def test_wave_supported():
     assert wave_supported(bn, cfg)
 
 
+@pytest.mark.slow
 def test_wave_sort_is_pure_permutation():
     """sorted and unsorted waves agree bit-for-bit (lane-attached RNG)."""
     scene = create_scene(parse_pbrt(SRC), "/tmp")
@@ -90,6 +91,7 @@ def test_wave_matches_xla_immediates():
     assert np.abs(a_mean - xa).max() < 0.05
 
 
+@pytest.mark.slow
 def test_wave_odd_film_padding():
     """A film whose lane count doesn't divide the tile renders finitely
     and pad lanes contribute nothing."""
@@ -104,6 +106,7 @@ def test_wave_odd_film_padding():
     assert (out["radiance"] >= 0).all()
 
 
+@pytest.mark.slow
 def test_wave_key_modes_pure_permutation():
     """The in-kernel WROW_KEY sort (octant x hit-cluster origin bins)
     and the legacy XLA Morton key produce bit-identical per-lane paths
@@ -179,6 +182,7 @@ def test_wave_matches_xla_cluster(monkeypatch):
     assert np.abs(n_mean - xn_mean).max() < 0.05
 
 
+@pytest.mark.slow
 def test_wave_render_driver():
     """render(engine='wave') drives the wave engine end-to-end."""
     from rene_tpu.render import render
@@ -191,12 +195,55 @@ def test_wave_render_driver():
     np.testing.assert_allclose(img[0, 0], [0.4, 0.45, 0.5], atol=0.25)
 
 
+@pytest.mark.slow
+def test_wave_sort_gran_pure_permutation():
+    """Coarse 128-lane bucket redistribution (sort_gran=128) is a pure
+    permutation too: it must agree bit-for-bit per-lane with the
+    per-lane sort (lane-attached RNG) AND with no sort at all; only the
+    per-pixel summation order may differ."""
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=128,
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=1,
+                            samples_per_wave=2)
+    oa = a(9, 2)
+    ob = b(9, 2)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(oa["albedo"], ob["albedo"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+@pytest.mark.slow
+def test_wave_sort_gran_cluster(monkeypatch):
+    """sort_gran=128 on a CLUSTER scene (the production big-mesh case):
+    pure permutation vs the per-lane sort, and the slice-count alive
+    bound never strands an alive lane past the march prefix."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=128,
+                            samples_per_wave=4)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=1,
+                            samples_per_wave=4)
+    oa = a(5, 4)
+    ob = b(5, 4)
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
+    assert oa["rays"] == ob["rays"]
+
+
+@pytest.mark.slow
 def test_wave_volpath_sort_is_pure_permutation():
     """volpath waves: sorted and unsorted agree bit-for-bit — this
     exercises the WROW_MED row's explicit permutation in the slim sort
     (a missed med-row gather would misattach media to rays)."""
     from .test_pallas import FOG_SCENE
-    scene = create_scene(parse_pbrt(FOG_SCENE), "/tmp")
+    src = FOG_SCENE.replace('[16]', '[10]').replace('maxdepth 6',
+                                                    'maxdepth 4')
+    scene = create_scene(parse_pbrt(src), "/tmp")
     bn, cfg = build_device_scene(scene)
     assert wave_supported(bn, cfg)
     a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_rays=True,
