@@ -1,0 +1,102 @@
+"""Round-4 TPU session B: coarse bucket redistribution + volpath wave.
+
+  G1 teapot @720p spw8 sort_gran=128 (slice-granularity bucket sort:
+     argsort over n/128 slice keys + contiguous-block gather) vs the
+     per-lane sort measured in session A (E1).
+  G2 dragon @720p spw8 sort_gran=128.
+  G3 teapot @720p per-step profile with sort_gran=128.
+  V1 fog-wrapped teapot (volpath, maxdepth 65) @320x180: megakernel
+     marginal s/spp vs wave s/spp — the round-3 VERDICT item 6 on-chip
+     number for the volpath wave engine (rene-shader/src/lib.rs:477-803
+     runs volpath through the same hardware traversal at full rate).
+  V2 fog-wrapped teapot @1280x720 wave.
+
+Usage: timeout 7200 python scripts/tpu_session_r4b.py [G1 G2 ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+from tpu_session_r2 import SAMPLES, load_at, measure  # noqa: E402
+from tpu_session_r3aa import build, reps  # noqa: E402
+from tpu_session_r4a import guard  # noqa: E402
+
+
+def fog_teapot(w, h):
+    """The teapot scene converted to a deep volumetric render: global
+    fog enclosure (Material "none" sphere with an interior medium,
+    radius 40 covers camera at ~26 units) + volpath integrator."""
+    src_path = f"{SAMPLES}/teapot/scene.pbrt"
+    with open(src_path) as f:
+        src = f.read()
+    src = src.replace('Integrator "path"', 'Integrator "volpath"')
+    src = src.replace('"integer xresolution" [ 1280 ]',
+                      f'"integer xresolution" [ {w} ]')
+    src = src.replace('"integer yresolution" [ 720 ]',
+                      f'"integer yresolution" [ {h} ]')
+    fog = ('WorldBegin\n'
+           'AttributeBegin\n'
+           '  MakeNamedMedium "fog" "rgb sigma_a" [.004 .005 .006]\n'
+           '    "rgb sigma_s" [.028 .025 .022] "float g" 0.2\n'
+           '  MediumInterface "fog" ""\n'
+           '  Material "none"\n'
+           '  Shape "sphere" "float radius" 40\n'
+           'AttributeEnd\n')
+    src = src.replace('WorldBegin', fog, 1)
+    from rene_tpu.pbrt import parse_pbrt
+    from rene_tpu.scene import create_scene
+    return create_scene(parse_pbrt(src), os.path.dirname(src_path))
+
+
+def main():
+    import jax
+    print("platform:", jax.devices()[0].platform, flush=True)
+    todo = sys.argv[1:] or ["G1", "G3", "G2", "V1", "V2"]
+
+    teapot = None
+    if "G1" in todo or "G3" in todo:
+        teapot = load_at(f"{SAMPLES}/teapot/scene.pbrt", 1280, 720)
+    rung = [None]
+    if "G1" in todo:
+        def g1():
+            rung[0] = build(teapot, samples_per_wave=8, sort_gran=128)
+            reps("B.G1 teapot gran128", rung[0], 8)
+        guard("G1", g1)
+    if "G3" in todo:
+        def g3():
+            os.environ["RENE_WAVE_PROFILE"] = "1"
+            try:
+                run = rung[0] or build(teapot, samples_per_wave=8,
+                                       sort_gran=128)
+                reps("B.G3 teapot gran128 profile", run, 8, n=1)
+            finally:
+                os.environ.pop("RENE_WAVE_PROFILE", None)
+        guard("G3", g3)
+    if "G2" in todo:
+        guard("G2", lambda: reps(
+            "B.G2 dragon gran128",
+            build(load_at(f"{SAMPLES}/dragon/scene.pbrt", 1280, 720),
+                  samples_per_wave=8, sort_gran=128), 8))
+
+    if "V1" in todo:
+        def v1():
+            scene = fog_teapot(320, 180)
+            measure("B.V1 fog-teapot mega @320x180", scene, spp_a=2,
+                    spp_b=6, reps=2)
+            run = build(scene, samples_per_wave=8)
+            reps("B.V1 fog-teapot wave @320x180", run, 8)
+        guard("V1", v1)
+    if "V2" in todo:
+        def v2():
+            run = build(fog_teapot(1280, 720), samples_per_wave=8)
+            reps("B.V2 fog-teapot wave @720p", run, 8)
+        guard("V2", v2)
+
+
+if __name__ == "__main__":
+    main()

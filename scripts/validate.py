@@ -3,7 +3,12 @@ shipped Tungsten goldens (sample_scenes/*/TungstenRender.png).
 
 Usage:
   python scripts/validate.py [--spp N] [--scale S] [--scenes a,b,...]
-          [--platform cpu|axon] [--denoiser atrous]
+          [--platform cpu|axon] [--denoiser atrous|cnn] [--engine E]
+          [--tungsten-compat] [--seed N]
+
+With --denoiser, BOTH raw and denoised SSIM are reported from the one
+render. --tungsten-compat applies the shipped per-scene calibration
+(docs/overrides/<scene>_tungsten*.json) exactly like the CLI flag.
 
 SSIM is computed on gamma-encoded 8-bit images (what the goldens are).
 `--scale` renders at reduced resolution and downsamples the golden — useful
@@ -42,6 +47,13 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--denoiser", default="none")
     ap.add_argument("--save-dir", default="/tmp/rene_validate")
+    ap.add_argument("--engine", default="auto",
+                    help="render engine: auto|pallas|wave|xla")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tungsten-compat", action="store_true",
+                    help="apply the shipped per-scene Tungsten "
+                         "calibration (docs/overrides/) like the CLI "
+                         "flag of the same name")
     args = ap.parse_args()
 
     if args.platform:
@@ -63,29 +75,44 @@ def main():
         golden_path = os.path.join(os.path.dirname(path),
                                    "TungstenRender.png")
         scene = load_scene(path)
+        if args.tungsten_compat:
+            from rene_tpu.scene.overrides import (apply_overrides,
+                                                  find_tungsten_overrides)
+            ov = find_tungsten_overrides(path)
+            if ov:
+                apply_overrides(scene, ov)
+                print(f"{name}: applied {ov}", flush=True)
         if args.scale > 1:
             scene.film.xresolution //= args.scale
             scene.film.yresolution //= args.scale
             # recompute camera for the new aspect (same here) — reload kept
         t0 = time.time()
-        out = render(scene, spp=args.spp, seed=0)
+        out = render(scene, spp=args.spp, seed=args.seed,
+                     engine=args.engine)
         dt = time.time() - t0
-        color = out["color"]
-        if args.denoiser != "none":
-            from rene_tpu.models.denoise import denoise
-            color = denoise(color, out["normal"], out["albedo"],
-                            method=args.denoiser)
-        ours8 = to_rgb8(color)
-        save_png(os.path.join(args.save_dir, f"{name}.png"), ours8)
 
         golden = np.asarray(PILImage.open(golden_path).convert("RGB"),
                             dtype=np.float32) / 255.0
         if args.scale > 1:
             golden = box_downsample(golden, args.scale)
-        s = ssim(ours8.astype(np.float32) / 255.0, golden)
+
+        ours8 = to_rgb8(out["color"])
+        save_png(os.path.join(args.save_dir, f"{name}.png"), ours8)
+        s_raw = ssim(ours8.astype(np.float32) / 255.0, golden)
+        results[name] = s_raw
+        s_dn = None
+        if args.denoiser != "none":
+            from rene_tpu.models.denoise import denoise
+            color = denoise(out["color"], out["normal"], out["albedo"],
+                            method=args.denoiser)
+            dn8 = to_rgb8(color)
+            save_png(os.path.join(args.save_dir,
+                                  f"{name}_{args.denoiser}.png"), dn8)
+            s_dn = ssim(dn8.astype(np.float32) / 255.0, golden)
+            results[f"{name}_{args.denoiser}"] = s_dn
         mrays = out["total_rays"] / dt / 1e6
-        results[name] = s
-        print(f"{name:12s} SSIM={s:.4f}  spp={args.spp} "
+        dn_txt = "" if s_dn is None else f"  {args.denoiser}={s_dn:.4f}"
+        print(f"{name:12s} SSIM={s_raw:.4f}{dn_txt}  spp={args.spp} "
               f"({dt:.1f}s, {mrays:.1f} Mrays/s)", flush=True)
     print({k: round(v, 4) for k, v in results.items()})
 
