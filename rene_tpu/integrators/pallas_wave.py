@@ -65,7 +65,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         check_every: int = 1,
                         key_mode: str = "kernel",
                         dir_sub: bool = False,
-                        sort_gran: int = 1,
+                        sort_gran: int = 0,
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -90,12 +90,16 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     work instead of O(n log^2 n) comparator stages on the ~3 GB/s XLA
     op floor, at the cost of never splitting a slice whose lanes
     diverged (slices start coherent: 32x32 camera blocks, and stay
-    coherent-ish because every sorted step groups by key).
+    coherent-ish because every sorted step groups by key). 0 (the
+    signature default) reads RENE_WAVE_GRAN (default 1) so the driver
+    surface can A/B the redistribution granularity without code
+    changes.
 
     num_samples per call is capped at run.chunk_hint (= samples carried
     by one wave); the render driver already chunks to that."""
     if not wave_supported(buffers_np, config):
         return None
+    sort_gran = sort_gran or int(os.environ.get("RENE_WAVE_GRAN", "1"))
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
