@@ -1089,7 +1089,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 
 def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                   wave_k: int = 0, wave_spw: int = 0,
-                  wave_bounds=None, wave_dir_sub: bool = False):
+                  wave_bounds=None, wave_dir_sub: bool = False,
+                  wave_genesis: bool = False):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
@@ -3736,6 +3737,104 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if interpret:
             return jax.lax.bitcast_convert_type(key_i, jnp.float32)
         return pltpu.bitcast(key_i, jnp.float32)
+
+    if wave_genesis:
+        # ------------------------------------------------------------------
+        # Genesis kernel: synthesize a FRESH wave entirely in-kernel —
+        # the XLA init (camera math + sobol bits + key init over n_pad
+        # lanes, ~25 elementwise passes on a runtime whose op floor is
+        # ~3 GB/s) collapses to one VPU-rate pallas launch. Inputs are
+        # the three per-lane constants (px, py, lane id — device
+        # resident, uploaded once at build); everything else (sample
+        # slot, per-lane want from sc[3]/sc[4], camera jitter + ray,
+        # regen-convention sort key) is computed here exactly as the
+        # wave kernel's regeneration path would (wave_bounce regen,
+        # camera.rs:77-90 math).
+        def _u32g(x_i32):
+            if interpret:
+                return jax.lax.bitcast_convert_type(x_i32, jnp.uint32)
+            return pltpu.bitcast(x_i32, jnp.uint32)
+
+        N_REAL_F = float(NPIX * max(wave_spw, 1))
+
+        def genesis_kernel(sc_ref, px_ref, py_ref, lane_ref, sout):
+            # sc: [seed, -1 (pre-launch depth), _, want//spw, want%spw]
+            pid = pl.program_id(0)
+            dep0 = sc_ref[1]
+            if not interpret:
+                pltpu.prng_seed(sc_ref[0] + pid * jnp.int32(65537)
+                                + dep0 * jnp.int32(7919))
+            pxf = px_ref[:, :]
+            pyf = py_ref[:, :]
+            lane_f = lane_ref[:, :]
+            if interpret:
+                lane_i = jax.lax.bitcast_convert_type(
+                    lane_f.astype(jnp.int32), jnp.uint32)
+                seed_u = jax.lax.bitcast_convert_type(
+                    jnp.full(SHAPE, sc_ref[0] + (dep0 + jnp.int32(1))
+                             * jnp.int32(7919), jnp.int32), jnp.uint32)
+                st = (lane_i * jnp.uint32(2654435761) ^ seed_u) \
+                    | jnp.uint32(1)
+            else:
+                st = jnp.uint32(1)  # pass-through on TPU
+            # sample slot q = lane // npix (float div + fixup, exact for
+            # lane < 2^23) and the per-lane want split base + `rem` ones
+            npix_f = float(NPIX)
+            q = jnp.floor(lane_f * (1.0 / npix_f))
+            r = lane_f - q * npix_f
+            q = q + jnp.where(r >= npix_f, 1.0, 0.0) \
+                - jnp.where(r < 0.0, 1.0, 0.0)
+            base_f = _i2f_small(_u32g(jnp.full(SHAPE, sc_ref[3],
+                                               jnp.int32)))
+            rem_f = _i2f_small(_u32g(jnp.full(SHAPE, sc_ref[4],
+                                              jnp.int32)))
+            real = lane_f < N_REAL_F
+            want = jnp.where(
+                real, base_f + jnp.where(q < rem_f, 1.0, 0.0), 0.0)
+            alive = want > 0.0
+            if SOBOL:
+                wseed_u = _u32g(jnp.full(SHAPE, sc_ref[0], jnp.int32))
+                pixkey = sob_pixkey(pxf, pyf, wseed_u)
+                scum = q * base_f + jnp.minimum(q, rem_f)
+                ju, jv = ld2(scum.astype(jnp.int32), pixkey,
+                             (scum * 0.0).astype(jnp.int32), SLOT_CAM)
+            else:
+                ju, st = uniform(st)
+                jv, st = uniform(st)
+            cdx, cdy, cdz = camera_ray(pxf, pyf, ju, jv)
+            zero = pxf * 0.0
+            one = zero + 1.0
+            alf = jnp.where(alive, one, zero)
+            keyf = _pack_key(alive, alive & False,
+                             _regen_key({"px": pxf, "py": pyf},
+                                        cdx, cdy, cdz), jnp.int32(0))
+            sout[WROW_O, :, :] = jnp.where(alive, zero + cam_ox,
+                                           zero + DEAD_ORIGIN)
+            sout[WROW_O + 1, :, :] = jnp.where(alive, zero + cam_oy,
+                                               zero + DEAD_ORIGIN)
+            sout[WROW_O + 2, :, :] = jnp.where(alive, zero + cam_oz,
+                                               zero + DEAD_ORIGIN)
+            sout[WROW_D, :, :] = cdx
+            sout[WROW_D + 1, :, :] = cdy
+            sout[WROW_D + 2, :, :] = cdz
+            for _row in range(3):
+                sout[WROW_C + _row, :, :] = one
+                sout[WROW_R + _row, :, :] = zero
+            sout[WROW_ALIVE, :, :] = alf
+            sout[WROW_RAYS, :, :] = zero
+            sout[WROW_LANE, :, :] = lane_f
+            sout[WROW_PX, :, :] = pxf
+            sout[WROW_PY, :, :] = pyf
+            sout[WROW_SMP, :, :] = zero
+            sout[WROW_DEP, :, :] = zero
+            sout[WROW_WANT, :, :] = want
+            sout[WROW_KEY, :, :] = keyf
+            for _row in range(6):
+                sout[WROW_AN + _row, :, :] = zero
+            if VOL:
+                sout[WROW_MED, :, :] = zero
+
+        return genesis_kernel
 
     def wave_bounce(c, mref, iref):
         dep = c["dep"]  # per-lane (float) bounce index

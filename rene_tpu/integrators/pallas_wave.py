@@ -66,6 +66,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         key_mode: str = "kernel",
                         dir_sub: bool = False,
                         sort_gran: int = 0,
+                        init_mode: str = "",
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -95,11 +96,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     surface can A/B the redistribution granularity without code
     changes.
 
+    `init_mode`: "xla" (default) builds the fresh wave host-side (~25
+    elementwise passes over n_pad lanes on the ~3 GB/s op-floor
+    runtime); "kernel" runs the in-kernel GENESIS pass instead (one
+    pallas launch; pallas_path wave_genesis). "" reads RENE_WAVE_INIT.
+
     num_samples per call is capped at run.chunk_hint (= samples carried
     by one wave); the render driver already chunks to that."""
     if not wave_supported(buffers_np, config):
         return None
     sort_gran = sort_gran or int(os.environ.get("RENE_WAVE_GRAN", "1"))
+    init_mode = init_mode or os.environ.get("RENE_WAVE_INIT", "xla")
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -163,6 +170,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     wave_bounds = (tuple(float(v) for v in lo),
                    tuple(float(v) for v in ext))
     _kernels = {}
+    _genesis = None
     pp.SUB_TRIS = sub_tris
     try:
         for _k in set(schedule):
@@ -170,6 +178,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                                             wave_spw=spw,
                                             wave_bounds=wave_bounds,
                                             wave_dir_sub=dir_sub)
+        if init_mode == "kernel":
+            _genesis = pp._build_kernel(ps, 0, interpret, wave_k=1,
+                                        wave_spw=spw,
+                                        wave_bounds=wave_bounds,
+                                        wave_dir_sub=dir_sub,
+                                        wave_genesis=True)
     finally:
         pp.SUB_TRIS = _sub0
     mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
@@ -461,6 +475,37 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         ]                                              # slim sorts skip
             + ([zeros] if VOL else []))  # volpath: medium index (vacuum)
         return state, jnp.asarray(pix_host)
+
+    if init_mode == "kernel":
+        # in-kernel genesis: the per-lane constants stream in as three
+        # tiled f32 inputs (jit closure constants, uploaded once);
+        # everything else is synthesized at VPU rate (wave_genesis in
+        # pallas_path.py). The pix side array is a device-resident
+        # constant copied on-chip (one op) — it is donated to the
+        # sorts, so each wave needs a fresh buffer.
+        _px2 = pxf_host.reshape(n_tiles * tile_sub, 128)
+        _py2 = pyf_host.reshape(n_tiles * tile_sub, 128)
+        _ln2 = lane_host.reshape(n_tiles * tile_sub, 128)
+        _const_spec = pl.BlockSpec((tile_sub, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+
+        def _genesis_call(sc):
+            return pl.pallas_call(
+                _genesis, grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          _const_spec, _const_spec, _const_spec],
+                out_specs=state_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (NR, n_tiles * tile_sub, 128), jnp.float32),
+                interpret=interpret,
+            )(sc, _px2, _py2, _ln2)
+
+        def _init_state_core(seed, want_total):  # noqa: F811
+            wt = want_total.astype(jnp.int32)
+            sc = jnp.stack([seed.astype(jnp.int32), jnp.int32(-1),
+                            jnp.int32(0), wt // spw, wt % spw])
+            state = _genesis_call(sc).reshape(NR, n_pad)
+            return state, jnp.asarray(pix_host) + 0
 
     init_state = jax.jit(_init_state_core)
 

@@ -10,6 +10,9 @@
      number for the volpath wave engine (rene-shader/src/lib.rs:477-803
      runs volpath through the same hardware traversal at full rate).
   V2 fog-wrapped teapot @1280x720 wave.
+  I1 teapot @720p init cost: init_state timing + full-wave s/spp,
+     init_mode="xla" (~25 elementwise passes on the ~3 GB/s op floor)
+     vs "kernel" (in-kernel genesis pass, pallas_path wave_genesis).
 
 Usage: timeout 7200 python scripts/tpu_session_r4b.py [G1 G2 ...]
 """
@@ -56,10 +59,10 @@ def fog_teapot(w, h):
 def main():
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
-    todo = sys.argv[1:] or ["G1", "G3", "G2", "V1", "V2"]
+    todo = sys.argv[1:] or ["G1", "G3", "G2", "V1", "V2", "I1"]
 
     teapot = None
-    if "G1" in todo or "G3" in todo:
+    if any(e in todo for e in ("G1", "G3", "I1")):
         teapot = load_at(f"{SAMPLES}/teapot/scene.pbrt", 1280, 720)
     rung = [None]
     if "G1" in todo:
@@ -96,6 +99,26 @@ def main():
             run = build(fog_teapot(1280, 720), samples_per_wave=8)
             reps("B.V2 fog-teapot wave @720p", run, 8)
         guard("V2", v2)
+
+    if "I1" in todo:
+        def i1():
+            import jax.numpy as jnp
+            import numpy as np
+            for mode in ("xla", "kernel"):
+                run = build(teapot, samples_per_wave=8, init_mode=mode)
+                # isolate init_state: first call compiles, then 3 reps
+                s, p = run.init_state(jnp.int32(1), jnp.int32(8))
+                float(jnp.sum(s[12]))  # force
+                best = 1e30
+                for r in range(3):
+                    t0 = time.time()
+                    s, p = run.init_state(jnp.int32(2 + r), jnp.int32(8))
+                    np.asarray(jnp.sum(s[12]))
+                    best = min(best, time.time() - t0)
+                print(f"B.I1 init_mode={mode}: init_state best "
+                      f"{best * 1000:.0f} ms", flush=True)
+                reps(f"B.I1 teapot init={mode}", run, 8)
+        guard("I1", i1)
 
 
 if __name__ == "__main__":

@@ -274,3 +274,53 @@ def test_wave_volpath_matches_xla_integrator():
     xla = render(scene, spp=48, seed=5, engine="xla")
     np.testing.assert_allclose(mean, xla["color"].mean(axis=(0, 1)),
                                rtol=0.1)
+
+
+def test_wave_genesis_init_matches_xla_init():
+    """In-kernel genesis init (init_mode="kernel", pallas_path
+    wave_genesis) reproduces the XLA init exactly on the real lanes
+    under the sobol sampler: same sort keys, same per-lane want/alive,
+    near-identical camera rays (the kernel draws the identical
+    Owen-scrambled point through ld2; only mantissa-trick rounding of
+    the unit floats differs)."""
+    import jax.numpy as jnp
+    src = SRC.replace("WorldBegin", 'Sampler "sobol"\nWorldBegin', 1)
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, samples_per_wave=2,
+                            init_mode="kernel")
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, samples_per_wave=2,
+                            init_mode="xla")
+    sa, pa = a.init_state(jnp.int32(7), jnp.int32(2))
+    sb, pb = b.init_state(jnp.int32(7), jnp.int32(2))
+    sa, sb = np.asarray(sa), np.asarray(sb)
+    assert np.array_equal(np.asarray(pa), np.asarray(pb))
+    n_real = 24 * 16 * 2
+    # integer-exact rows: alive/rays/lane/px/py/smp/dep/want
+    np.testing.assert_array_equal(sa[12:20], sb[12:20])
+    ka = sa[pp.WROW_KEY].view(np.int32)
+    kb = sb[pp.WROW_KEY].view(np.int32)
+    np.testing.assert_array_equal(ka, kb)
+    # real-lane camera rays agree to unit-float rounding
+    np.testing.assert_allclose(sa[0:12, :n_real], sb[0:12, :n_real],
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_wave_genesis_full_wave_parity():
+    """A full wave run from the genesis init matches the XLA-init wave
+    (sobol draws are deterministic by (pixel, sample, slot))."""
+    src = SRC.replace("WorldBegin", 'Sampler "sobol"\nWorldBegin', 1)
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, samples_per_wave=2,
+                            init_mode="kernel")
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, samples_per_wave=2,
+                            init_mode="xla")
+    oa = a(9, 2)
+    ob = b(9, 2)
+    assert oa["rays"] == ob["rays"]
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(oa["albedo"], ob["albedo"],
+                               rtol=1e-4, atol=1e-5)
