@@ -123,15 +123,22 @@ W_SORT_ROWS = 21  # rows the between-launch sorts permute ("slim"
                   # carries one sample per lane — so they stay in
                   # INITIAL lane order and the finish reads them
                   # through a static permutation instead of paying
-                  # 6/27 of every sort's gather traffic
-WROW_AN, WROW_AA = 21, 24                      # AOV normal / albedo
-W_NROWS = 27
-WROW_MED = 27   # volpath waves only: the lane's current medium index
-                # (appended after the AOVs so the path-mode layout is
-                # unchanged; the slim sorts permute it explicitly as a
-                # 28th row — it is per-lane state that must follow the
-                # ray, unlike the never-permuted AOV rows)
-W_NROWS_VOL = 28
+                  # 6/30 of every sort's gather traffic
+WROW_MED = 21   # volpath waves only: the lane's current medium index —
+                # per-lane ray state that must follow the ray, placed
+                # directly after the sort rows so the slim gather (SR=22
+                # in volpath) and the DMA slice permutation both move it
+W_SORT_PAD = 24  # row extent the DMA slice-permutation kernel copies:
+                 # the 21 sort rows + med/dummy padding up to the f32
+                 # sublane tile (8) x 3 — HBM DMA slices must be
+                 # 8-row-aligned in the sublane dimension (probed; see
+                 # CLAUDE.md landmines). Rows [W_SORT_ROWS+VOL, 24) are
+                 # dummy zeros.
+WROW_AN, WROW_AA = 24, 27                      # AOV normal / albedo
+W_NROWS = 32    # 6 AOV rows + 2 dummy rows after W_SORT_PAD: the DMA
+W_NROWS_VOL = 32  # permutation's AOV passthrough then moves one full
+                  # 8-row sublane tile (rows 24-31) — no partial-tile
+                  # vector stores anywhere in the 2D kernel
 DEAD_ORIGIN = 1e30
 # super-cluster level: SUPER consecutive clusters share one AABB. All
 # boxes of a group live in ONE (1,128) row of the box table: super AABB
@@ -3831,8 +3838,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             sout[WROW_KEY, :, :] = keyf
             for _row in range(6):
                 sout[WROW_AN + _row, :, :] = zero
-            if VOL:
-                sout[WROW_MED, :, :] = zero
+            # med (vacuum) for volpath + dummy padding rows
+            for _row in range(W_SORT_ROWS, W_SORT_PAD):
+                sout[_row, :, :] = zero
+            for _row in range(WROW_AA + 3, W_NROWS):
+                sout[_row, :, :] = zero
 
         return genesis_kernel
 
@@ -4428,6 +4438,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         sout[WROW_KEY, :, :] = c["key"]
         if VOL:
             sout[WROW_MED, :, :] = c["med"]
+        # dummy padding rows (DMA-permutation alignment): keep them
+        # written so the output block is fully defined
+        for _row in range(W_SORT_ROWS + (1 if VOL else 0), W_SORT_PAD):
+            sout[_row, :, :] = lane_f * 0.0
+        for _row in range(WROW_AA + 3, W_NROWS):
+            sout[_row, :, :] = lane_f * 0.0
 
     return wave_kernel
 

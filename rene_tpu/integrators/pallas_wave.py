@@ -67,6 +67,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         dir_sub: bool = False,
                         sort_gran: int = 0,
                         init_mode: str = "",
+                        sort_mode: str = "",
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -101,12 +102,31 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     runtime); "kernel" runs the in-kernel GENESIS pass instead (one
     pallas launch; pallas_path wave_genesis). "" reads RENE_WAVE_INIT.
 
+    `sort_mode`: "gather" (default) redistributes with jnp.take on the
+    ~3 GB/s XLA op floor (granularity per `sort_gran`). "dma" is the
+    second structurally distinct redistribution design (VERDICT round-3
+    item 2): slice keys (min over each 128-lane slice of WROW_KEY) +
+    a tiny ns-element argsort, then a Pallas kernel moves the whole
+    population at HBM rate — G outstanding async copies per grid chunk,
+    each a (W_SORT_PAD, 128) HBM->VMEM slice at a dynamic 128-aligned
+    lane offset (the one legal DMA-gather shape; CLAUDE.md landmines).
+    AOV rows pass through unpermuted (requires slim sorts,
+    sort_from >= 1). Always full-population: the argsort is off the
+    critical path, so prefix bucketing only bounds the MARCH tiles.
+    "" reads RENE_WAVE_SORT.
+
     num_samples per call is capped at run.chunk_hint (= samples carried
     by one wave); the render driver already chunks to that."""
     if not wave_supported(buffers_np, config):
         return None
     sort_gran = sort_gran or int(os.environ.get("RENE_WAVE_GRAN", "1"))
     init_mode = init_mode or os.environ.get("RENE_WAVE_INIT", "xla")
+    sort_mode = sort_mode or os.environ.get("RENE_WAVE_SORT", "gather")
+    if sort_mode == "dma" and sort_from < 1:
+        sort_mode = "gather"  # dma passes AOVs through unpermuted,
+        # which is only correct under slim-sort conditions
+    if sort_mode == "dma":
+        sort_gran = 128  # alive counts / prefix bounds are per-slice
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -267,14 +287,64 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 else ((morton << 3) | oct_)
         return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
 
-    # "slim" sorts permute only rows [0, W_SORT_ROWS): the AOV rows are
-    # written exclusively at each sample's bounce 0 — all inside step 0
-    # when the wave carries one sample per lane (always true: want is
-    # capped at spw) — so they stay in INITIAL lane order and the
-    # finish reads them through a static permutation. Only valid when
-    # step 0 runs on the initial order (sort_from >= 1).
+    # "slim" sorts permute only rows [0, SR): the AOV rows are written
+    # exclusively at each sample's bounce 0 — all inside step 0 when
+    # the wave carries one sample per lane (always true: want is capped
+    # at spw) — so they stay in INITIAL lane order and the finish reads
+    # them through a static permutation. Only valid when step 0 runs on
+    # the initial order (sort_from >= 1). volpath includes the med row
+    # (WROW_MED = W_SORT_ROWS: per-lane ray state, directly adjacent).
     slim = sort_rays and sort_from >= 1
-    SR = pp.W_SORT_ROWS if slim else NR
+    SR = (pp.WROW_MED + 1 if VOL else pp.W_SORT_ROWS) if slim else NR
+
+    # ---- DMA slice-permutation (sort_mode="dma") ---------------------
+    # out[:, j*128:(j+1)*128] = state[:W_SORT_PAD, perm[j]*128:...] via
+    # G outstanding async copies per grid chunk; AOV rows stream
+    # through unpermuted on the regular block pipeline.
+    NS_ALL = n_pad // 128
+    SPAD = pp.W_SORT_PAD
+    if sort_mode == "dma":
+        _g = 8
+        while _g < 64 and NS_ALL % (_g * 2) == 0:
+            _g *= 2
+        DMA_G = _g
+        N_CHUNK = NS_ALL // DMA_G
+
+        def _dma_perm_kernel(perm_ref, state_ref, aov_ref, out_ref,
+                             sem):
+            cps = []
+            for g in range(DMA_G):
+                src = perm_ref[0, g]
+                cp = pltpu.make_async_copy(
+                    state_ref.at[0:SPAD, pl.ds(src * 128, 128)],
+                    out_ref.at[0:SPAD, g * 128:(g + 1) * 128],
+                    sem.at[g])
+                cp.start()
+                cps.append(cp)
+            for cp in cps:
+                cp.wait()
+            out_ref[SPAD:, :] = aov_ref[:, :]
+
+        def _dma_permute(state, perm2):
+            return pl.pallas_call(
+                _dma_perm_kernel,
+                grid=(N_CHUNK,),
+                in_specs=[
+                    pl.BlockSpec((1, DMA_G), lambda i: (0, i),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((NR - SPAD, DMA_G * 128),
+                                 lambda i: (SPAD // (NR - SPAD), i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((NR, DMA_G * 128),
+                                       lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((NR, n_pad),
+                                               jnp.float32),
+                scratch_shapes=[pltpu.SemaphoreType.DMA((DMA_G,))],
+                interpret=interpret,
+            )(perm2, state, state)
 
     def _sort_prefix_core(state, pix, m):
         """Sort the first m lanes (a host-chosen power-of-4 bucket that
@@ -287,7 +357,22 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         sort_gran > 1: permute whole slices instead of lanes — the
         slice key is the MIN lane key (dead sentinel sorts fully-dead
         slices last), the argsort shrinks by gran x, and the gather
-        moves contiguous blocks."""
+        moves contiguous blocks.
+
+        sort_mode="dma": full-population slice permutation through the
+        Pallas DMA kernel (HBM rate, not the XLA op floor); m only
+        bounds the march tiles upstream. Lanes never leave their
+        128-lane slice, so `pix` carries the COMPOSED slice permutation
+        (cum: current slice j holds initial slice cum[j]) instead of
+        per-lane pixel ids — composition is an ns-element take, and the
+        finish UNDOES the total permutation with one more DMA pass
+        instead of a full-population argsort(pix)."""
+        if sort_mode == "dma":
+            skey = jnp.min(state[pp.WROW_KEY].reshape(NS_ALL, 128),
+                           axis=1)
+            perm = jnp.argsort(skey).astype(jnp.int32)
+            state = _dma_permute(state, perm.reshape(1, NS_ALL))
+            return state, jnp.take(pix, perm)
         sub = state[:SR, :m]
         if sort_gran > 1:
             g = sort_gran
@@ -303,18 +388,6 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             sub = jnp.take(sub, perm, axis=1)
             pix_sub = jnp.take(pix[:m], perm)
         state = jax.lax.dynamic_update_slice(state, sub, (0, 0))
-        if VOL and slim:
-            # the medium row sits past the slim range (after the AOVs)
-            # but is per-lane ray state: permute it with the same perm
-            med = state[pp.WROW_MED:pp.WROW_MED + 1, :m]
-            if sort_gran > 1:
-                med_sub = jnp.take(med.reshape(1, m // sort_gran,
-                                               sort_gran), perm,
-                                   axis=1).reshape(1, m)
-            else:
-                med_sub = jnp.take(med, perm, axis=1)
-            state = jax.lax.dynamic_update_slice(state, med_sub,
-                                                 (pp.WROW_MED, 0))
         pix = jax.lax.dynamic_update_slice(pix, pix_sub, (0,))
         return state, pix
 
@@ -471,9 +544,14 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             zeros, zeros,                             # sample, depth
             want_lane,                                # per-lane target
             key_row,                                  # sort key
-            zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs (last:
-        ]                                              # slim sorts skip
-            + ([zeros] if VOL else []))  # volpath: medium index (vacuum)
+            zeros, zeros, zeros,   # med (volpath: vacuum) + dummy
+                                   # padding up to W_SORT_PAD
+            zeros, zeros, zeros, zeros, zeros, zeros,  # AOVs (never
+                                                       # permuted)
+            zeros, zeros,          # tail padding to W_NROWS (8-row
+        ])                         # aligned DMA AOV passthrough)
+        if sort_mode == "dma":
+            return state, jnp.arange(NS_ALL, dtype=jnp.int32)
         return state, jnp.asarray(pix_host)
 
     if init_mode == "kernel":
@@ -505,17 +583,37 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             sc = jnp.stack([seed.astype(jnp.int32), jnp.int32(-1),
                             jnp.int32(0), wt // spw, wt % spw])
             state = _genesis_call(sc).reshape(NR, n_pad)
+            if sort_mode == "dma":
+                return state, jnp.arange(NS_ALL, dtype=jnp.int32)
             return state, jnp.asarray(pix_host) + 0
 
     init_state = jax.jit(_init_state_core)
 
     # static pixel grouping for the never-permuted AOV rows (slim mode)
     aov_perm_host = np.argsort(pix_host, kind="stable").astype(np.int32)
+    # dma mode: rank r of the initial order owns pixel order[r]; after
+    # the restore pass the per-rank sums map to the film through the
+    # static inverse
+    inv_order_host = np.argsort(order).astype(np.int32)
 
     def _finish_core(state, pix):
-        order = jnp.argsort(pix)
-        rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 3], order, axis=1)
-        aorder = jnp.asarray(aov_perm_host) if slim else order
+        if sort_mode == "dma":
+            # `pix` is the composed slice permutation: one more DMA
+            # pass restores the INITIAL lane order, making the pixel
+            # grouping fully static — no full-population argsort
+            inv = jnp.argsort(pix).astype(jnp.int32)
+            state = _dma_permute(state, inv.reshape(1, NS_ALL))
+            rows = state[pp.WROW_R:pp.WROW_R + 3, :n_real] \
+                .reshape(3, spw, npix).sum(axis=1)
+            arows = state[pp.WROW_AN:pp.WROW_AN + 6, :n_real] \
+                .reshape(6, spw, npix).sum(axis=1)
+            sums = jnp.take(jnp.concatenate([rows, arows], axis=0),
+                            jnp.asarray(inv_order_host), axis=1)
+            return sums, jnp.sum(state[pp.WROW_RAYS])
+        order_d = jnp.argsort(pix)
+        rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 3], order_d,
+                        axis=1)
+        aorder = jnp.asarray(aov_perm_host) if slim else order_d
         arows = jnp.take(state[pp.WROW_AN:pp.WROW_AN + 6], aorder,
                          axis=1)
         # each pixel's spw lanes are consecutive after the pixel sort
@@ -629,7 +727,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                             or si < sort_from + sort_first))
             t0 = _time.time() if profile else 0.0
             if do_sort:
-                m = _bucket(prefix)
+                # dma sorts are always full-population: pin the static
+                # bucket arg so every wave step shares ONE compile
+                m = n_pad if sort_mode == "dma" else _bucket(prefix)
                 state, pix = sort_prefix(state, pix, m)
                 nt = min(-(-last_alive // tile), m // tile)
                 prefix = nt * tile

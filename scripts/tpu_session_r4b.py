@@ -13,6 +13,16 @@
   I1 teapot @720p init cost: init_state timing + full-wave s/spp,
      init_mode="xla" (~25 elementwise passes on the ~3 GB/s op floor)
      vs "kernel" (in-kernel genesis pass, pallas_path wave_genesis).
+  D1 teapot @720p sort_mode="dma" (Pallas slice-permutation at HBM
+     rate — VERDICT round-3 item 2's second structurally distinct
+     redistribution design) + per-step profile.
+  S1 teapot @720p FULL STACK (init=kernel + sort=dma) + dragon @720p
+     full stack — the candidate production config.
+  S2 teapot @720p full stack, every-bounce re-bin (k_schedule=(1,)):
+     the wide (1,1,2,4) schedule amortized ~0.5 s XLA sorts; DMA
+     sorts are ~30 ms, so re-binning every bounce may cut the MT
+     march (the dominant cost) via finer-grained coherence.
+  S3 teapot @720p full stack + dir_sub (45-deg beam cones).
 
 Usage: timeout 7200 python scripts/tpu_session_r4b.py [G1 G2 ...]
 """
@@ -59,10 +69,11 @@ def fog_teapot(w, h):
 def main():
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
-    todo = sys.argv[1:] or ["G1", "G3", "G2", "V1", "V2", "I1"]
+    todo = sys.argv[1:] or ["G1", "G3", "D1", "S1", "S2", "S3", "I1",
+                            "G2", "V1", "V2"]
 
     teapot = None
-    if any(e in todo for e in ("G1", "G3", "I1")):
+    if any(e in todo for e in ("G1", "G3", "I1", "D1", "S1")):
         teapot = load_at(f"{SAMPLES}/teapot/scene.pbrt", 1280, 720)
     rung = [None]
     if "G1" in todo:
@@ -99,6 +110,47 @@ def main():
             run = build(fog_teapot(1280, 720), samples_per_wave=8)
             reps("B.V2 fog-teapot wave @720p", run, 8)
         guard("V2", v2)
+
+    if "D1" in todo:
+        def d1():
+            run = build(teapot, samples_per_wave=8, sort_mode="dma")
+            reps("B.D1 teapot dma-sort", run, 8)
+            os.environ["RENE_WAVE_PROFILE"] = "1"
+            try:
+                reps("B.D1 teapot dma-sort profile", run, 8, n=1)
+            finally:
+                os.environ.pop("RENE_WAVE_PROFILE", None)
+        guard("D1", d1)
+
+    if "S1" in todo:
+        def s1():
+            run = build(teapot, samples_per_wave=8, sort_mode="dma",
+                        init_mode="kernel")
+            reps("B.S1 teapot FULL STACK (genesis+dma)", run, 8)
+            run = build(load_at(f"{SAMPLES}/dragon/scene.pbrt",
+                                1280, 720),
+                        samples_per_wave=8, sort_mode="dma",
+                        init_mode="kernel")
+            reps("B.S1 dragon FULL STACK (genesis+dma)", run, 8)
+        guard("S1", s1)
+
+    if "S2" in todo:
+        def s2():
+            run = build(teapot, samples_per_wave=8, sort_mode="dma",
+                        init_mode="kernel", k_schedule=(1,))
+            reps("B.S2 teapot full stack every-bounce re-bin", run, 8)
+            os.environ["RENE_WAVE_PROFILE"] = "1"
+            try:
+                reps("B.S2 profile", run, 8, n=1)
+            finally:
+                os.environ.pop("RENE_WAVE_PROFILE", None)
+        guard("S2", s2)
+
+    if "S3" in todo:
+        guard("S3", lambda: reps(
+            "B.S3 teapot full stack dir_sub",
+            build(teapot, samples_per_wave=8, sort_mode="dma",
+                  init_mode="kernel", dir_sub=True), 8))
 
     if "I1" in todo:
         def i1():

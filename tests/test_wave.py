@@ -324,3 +324,57 @@ def test_wave_genesis_full_wave_parity():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(oa["albedo"], ob["albedo"],
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_wave_dma_sort_matches_gather():
+    """sort_mode="dma" — the Pallas slice-permutation (G outstanding
+    HBM->VMEM async copies at dynamic 128-aligned lane offsets, AOV
+    rows streamed through unpermuted) — agrees bit-for-bit with the
+    XLA slice gather at the same granularity."""
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_mode="dma",
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=128,
+                            samples_per_wave=2)
+    oa = a(9, 2)
+    ob = b(9, 2)
+    assert oa["rays"] == ob["rays"]
+    np.testing.assert_array_equal(oa["radiance"], ob["radiance"])
+    np.testing.assert_array_equal(oa["albedo"], ob["albedo"])
+
+
+@pytest.mark.slow
+def test_wave_dma_sort_volpath_cluster(monkeypatch):
+    """DMA slice permutation on a volpath scene (med row travels inside
+    the padded sort range) and on a CLUSTER scene (production big-mesh
+    case) both match the gather path."""
+    from .test_pallas import FOG_SCENE
+    src = FOG_SCENE.replace("[16]", "[10]").replace("maxdepth 6",
+                                                    "maxdepth 4")
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_mode="dma",
+                            samples_per_wave=2)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=128,
+                            samples_per_wave=2)
+    oa = a(5, 2)
+    ob = b(5, 2)
+    assert oa["rays"] == ob["rays"]
+    np.testing.assert_array_equal(oa["radiance"], ob["radiance"])
+
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    a = make_pallas_wave_fn(bn, cfg, interpret=True, sort_mode="dma",
+                            samples_per_wave=4)
+    b = make_pallas_wave_fn(bn, cfg, interpret=True, sort_gran=128,
+                            samples_per_wave=4)
+    oa = a(5, 4)
+    ob = b(5, 4)
+    assert oa["rays"] == ob["rays"]
+    # spw=4: per-pixel summation order differs (dma finish sums in
+    # static slot order), so last-ulp noise is expected
+    np.testing.assert_allclose(oa["radiance"], ob["radiance"],
+                               rtol=1e-5, atol=1e-6)
