@@ -309,6 +309,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             _g *= 2
         DMA_G = _g
         N_CHUNK = NS_ALL // DMA_G
+        # fallback shape knob: copy ALL NR rows per slice (the
+        # landmine-exact full-row-range DMA pattern; the AOV
+        # passthrough then overwrites rows [SPAD, NR)) in case Mosaic
+        # rejects the 24-of-32 row subrange src — +NR/SPAD DMA traffic
+        DMA_FULL = os.environ.get("RENE_WAVE_DMA_FULL") == "1"
+        CROWS = NR if DMA_FULL else SPAD
 
         def _dma_perm_kernel(perm_ref, state_ref, aov_ref, out_ref,
                              sem):
@@ -316,8 +322,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             for g in range(DMA_G):
                 src = perm_ref[0, g]
                 cp = pltpu.make_async_copy(
-                    state_ref.at[0:SPAD, pl.ds(src * 128, 128)],
-                    out_ref.at[0:SPAD, g * 128:(g + 1) * 128],
+                    state_ref.at[0:CROWS, pl.ds(src * 128, 128)],
+                    out_ref.at[0:CROWS, g * 128:(g + 1) * 128],
                     sem.at[g])
                 cp.start()
                 cps.append(cp)
@@ -789,6 +795,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     run.effective_multiplier = mesh.devices.size if mesh is not None else 1
     run.n_tiles = n_tiles
     run.steps = steps
+    run.sort_mode = sort_mode   # resolved (incl. env knobs): sessions
+    run.init_mode = init_mode   # and tests can assert the active config
+    run.sort_gran = sort_gran
     run.sort_prefix = sort_prefix
     run.kernel_step = kernel_step  # diagnostics: step one launch and
     run.n_pad = n_pad              # inspect state rows (e.g. WROW_KEY

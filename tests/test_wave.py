@@ -378,3 +378,27 @@ def test_wave_dma_sort_volpath_cluster(monkeypatch):
     # static slot order), so last-ulp noise is expected
     np.testing.assert_allclose(oa["radiance"], ob["radiance"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_wave_env_knob_resolution(monkeypatch):
+    """RENE_WAVE_SORT / RENE_WAVE_INIT / RENE_WAVE_GRAN resolve onto
+    the runner (the driver surface A/Bs configs without code changes);
+    explicit arguments win over the environment."""
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    monkeypatch.setenv("RENE_WAVE_SORT", "dma")
+    monkeypatch.setenv("RENE_WAVE_INIT", "kernel")
+    run = make_pallas_wave_fn(bn, cfg, interpret=True,
+                              samples_per_wave=2)
+    assert run.sort_mode == "dma"
+    assert run.init_mode == "kernel"
+    assert run.sort_gran == 128  # dma implies slice-granular counts
+    monkeypatch.delenv("RENE_WAVE_SORT")
+    monkeypatch.delenv("RENE_WAVE_INIT")
+    monkeypatch.setenv("RENE_WAVE_GRAN", "128")
+    run = make_pallas_wave_fn(bn, cfg, interpret=True,
+                              samples_per_wave=2)
+    assert run.sort_mode == "gather" and run.sort_gran == 128
+    run = make_pallas_wave_fn(bn, cfg, interpret=True,
+                              samples_per_wave=2, sort_gran=1)
+    assert run.sort_gran == 1
