@@ -107,8 +107,12 @@ def main():
         guard("V1", v1)
     if "V2" in todo:
         def v2():
-            run = build(fog_teapot(1280, 720), samples_per_wave=8)
+            scene = fog_teapot(1280, 720)
+            run = build(scene, samples_per_wave=8)
             reps("B.V2 fog-teapot wave @720p", run, 8)
+            run = build(scene, samples_per_wave=8, sort_mode="dma",
+                        init_mode="kernel")
+            reps("B.V2 fog-teapot wave @720p FULL STACK", run, 8)
         guard("V2", v2)
 
     if "D1" in todo:
