@@ -1,0 +1,105 @@
+"""TPU Mosaic lowering checks that run WITHOUT a chip.
+
+`jax.export(..., platforms=['tpu'])` runs the Pallas->Mosaic MLIR
+lowering pass on any host platform, which is where most Mosaic
+legality errors surface (unsupported gathers, slice/tiling alignment,
+iota restrictions — the CLAUDE.md landmine class). Interpret-mode
+parity tests cannot catch those; before this, the first signal was a
+compile failure on real hardware (often mid-outage). These tests
+export the production kernel configurations so a lowering regression
+fails CI on CPU.
+
+The full Mosaic->binary compile still only happens on device load, so
+this is necessary-not-sufficient — but it has caught the bulk of the
+landmine class at zero chip cost.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rene_tpu.integrators.pallas_wave import make_pallas_wave_fn
+from rene_tpu.pbrt import parse_pbrt
+from rene_tpu.scene import create_scene
+from rene_tpu.scene.device import build_device_scene
+
+from .test_wave import SRC
+
+
+@pytest.fixture(scope="module")
+def wave_run():
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    # interpret=False: the real Mosaic lowering path
+    run = make_pallas_wave_fn(bn, cfg, interpret=False,
+                              samples_per_wave=2, sort_mode="dma",
+                              init_mode="kernel")
+    assert run is not None
+    return run
+
+
+def test_dma_permutation_lowers_for_tpu(wave_run):
+    from jax import export
+    state = jax.ShapeDtypeStruct((32, wave_run.n_pad), jnp.float32)
+    cum = jax.ShapeDtypeStruct((wave_run.n_pad // 128,), jnp.int32)
+    export.export(
+        jax.jit(lambda s, p: wave_run.sort_prefix(s, p,
+                                                  wave_run.n_pad)),
+        platforms=["tpu"])(state, cum)
+
+
+def test_genesis_init_lowers_for_tpu(wave_run):
+    from jax import export
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(wave_run.init_state.__wrapped__
+                          if hasattr(wave_run.init_state, "__wrapped__")
+                          else wave_run.init_state),
+                  platforms=["tpu"])(i32, i32)
+
+
+def test_wave_kernel_step_lowers_for_tpu(wave_run):
+    from jax import export
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    state = jax.ShapeDtypeStruct((32, wave_run.n_pad), jnp.float32)
+    export.export(
+        jax.jit(lambda st, s, l, nt, w: wave_run.kernel_step(
+            1, st, s, l, nt, w)),
+        platforms=["tpu"])(state, i32, i32, i32, i32)
+
+
+def test_megakernel_lowers_for_tpu():
+    from jax import export
+
+    from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+    scene = create_scene(parse_pbrt(SRC), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_cluster_lowers_for_tpu(monkeypatch):
+    from jax import export
+
+    from rene_tpu.integrators import pallas_path as pp
+    from .test_pallas_cluster import big_mesh_scene
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_volpath_lowers_for_tpu():
+    from jax import export
+
+    from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+    from .test_pallas import FOG_SCENE
+    scene = create_scene(parse_pbrt(FOG_SCENE), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
