@@ -103,3 +103,34 @@ def test_megakernel_volpath_lowers_for_tpu():
     assert run is not None
     i32 = jax.ShapeDtypeStruct((), jnp.int32)
     export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_hbm_stream_lowers_for_tpu(monkeypatch):
+    """HBM-streamed cluster geometry: the march's make_async_copy DMA
+    path must lower."""
+    from jax import export
+
+    from rene_tpu.integrators import pallas_path as pp
+    from .test_pallas_cluster import big_mesh_scene
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_instanced_lowers_for_tpu(monkeypatch):
+    from jax import export
+
+    from rene_tpu.integrators import pallas_path as pp
+    from .test_pallas_inst import instanced_scene
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = instanced_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
