@@ -658,6 +658,48 @@ def _morton3(xi: np.ndarray, yi: np.ndarray, zi: np.ndarray) -> np.ndarray:
     return part(xi) | (part(yi) << np.uint64(1)) | (part(zi) << np.uint64(2))
 
 
+# How triangles are permuted before being chopped into consecutive
+# SUB_TRIS / CLUSTER / SUPER*CLUSTER chunks (any permutation is correct;
+# tightness of the resulting chunk AABBs decides how many gated MT
+# unrolls the march executes — 75-80% of march cost, VALIDATION.md).
+#   "morton": 30-bit centroid Morton sort (rounds 1-3).
+#   "median": recursive largest-extent median split whose split counts
+#             are aligned to the chunk hierarchy (super, then cluster,
+#             then sub-block) — a balanced kd-tree whose leaves ARE the
+#             chunks. CPU accounting on the real meshes (/tmp experiment,
+#             VALIDATION.md round 4): any-lane entered sub-blocks per
+#             sorted 128-lane wave tile -26% teapot / -8% dragon vs
+#             Morton (per-ray enters -2.2x / -1.5x).
+# Module default, overridable per-build via RENE_CLUSTER_ORDER.
+CLUSTER_ORDER = "morton"
+
+
+def _median_split_order(c: np.ndarray, units) -> np.ndarray:
+    """Permutation of triangle centroids `c` (M,3) by recursive
+    largest-extent median split. `units` (descending) aligns every
+    split count to the largest chunk size that still fits, so chunks
+    of any hierarchy level never straddle a split boundary."""
+    m = len(c)
+    out = np.empty(m, np.int64)
+    pos = 0
+    stack = [np.arange(m)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= units[-1]:
+            out[pos:pos + len(idx)] = idx
+            pos += len(idx)
+            continue
+        unit = next(u for u in units if len(idx) > u)
+        cc = c[idx]
+        ax = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
+        o = np.argsort(cc[:, ax], kind="stable")
+        nleft = ((len(idx) // 2 + unit - 1) // unit) * unit
+        nleft = min(nleft, len(idx) - 1)
+        stack.append(idx[o[nleft:]])
+        stack.append(idx[o[:nleft]])
+    return out
+
+
 def _pack_mesh(buffers_np, mesh_idx: np.ndarray, needs_uv=None):
     """Build the (MESH_ROWS, C*128) cluster table + matid material list.
 
@@ -697,10 +739,14 @@ def _pack_tris(p, n, uv, inv, cam, needs_uv):
     object space): returns (geom, n_clusters, box_tab)."""
     mesh_rows = MESH_ROWS_UV if needs_uv else MESH_ROWS
     c = p.mean(axis=1)
-    lo_all = c.min(axis=0)
-    ext = np.maximum(c.max(axis=0) - lo_all, 1e-12)
-    g = np.clip(((c - lo_all) / ext * 1023.0), 0, 1023).astype(np.uint64)
-    order = np.argsort(_morton3(g[:, 0], g[:, 1], g[:, 2]), kind="stable")
+    if os.environ.get("RENE_CLUSTER_ORDER", CLUSTER_ORDER) == "median":
+        order = _median_split_order(
+            c, (SUPER * CLUSTER, CLUSTER, _sub_split(CLUSTER)[1]))
+    else:
+        lo_all = c.min(axis=0)
+        ext = np.maximum(c.max(axis=0) - lo_all, 1e-12)
+        g = np.clip(((c - lo_all) / ext * 1023.0), 0, 1023).astype(np.uint64)
+        order = np.argsort(_morton3(g[:, 0], g[:, 1], g[:, 2]), kind="stable")
     p, n, inv, uv = p[order], n[order], inv[order], uv[order]
 
     m = p.shape[0]

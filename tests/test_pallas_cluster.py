@@ -476,3 +476,48 @@ def test_oct_packing_invariants(monkeypatch):
         want = np.where(valid[perm], corner @ sgn, 1e30)
         np.testing.assert_allclose(minpj, want.astype(np.float32),
                                    rtol=1e-6)
+
+
+def test_median_split_order_is_aligned_permutation():
+    """_median_split_order returns a permutation whose chunks never
+    straddle a split and whose chunk AABBs are no looser than Morton's
+    (SAH proxy) on a clustered random centroid set."""
+    rng = np.random.RandomState(3)
+    # two spatial blobs: the worst case for Morton-range straddling
+    c = np.concatenate([rng.randn(700, 3), rng.randn(500, 3) + 8.0])
+    units = (128, 16, 16)
+    order = pp._median_split_order(c, units)
+    assert sorted(order) == list(range(len(c)))
+
+    def sah(o, chunk):
+        cc = c[o]
+        pad = (-len(cc)) % chunk
+        cc = np.concatenate([cc, np.repeat(cc[-1:], pad, axis=0)])
+        lo = cc.reshape(-1, chunk, 3).min(axis=1)
+        hi = cc.reshape(-1, chunk, 3).max(axis=1)
+        d = hi - lo
+        return float((d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                      + d[:, 0] * d[:, 2]).sum())
+
+    lo_all = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo_all, 1e-12)
+    g = np.clip((c - lo_all) / ext * 1023.0, 0, 1023).astype(np.uint64)
+    morton = np.argsort(pp._morton3(g[:, 0], g[:, 1], g[:, 2]),
+                        kind="stable")
+    assert sah(order, 16) < sah(morton, 16)
+
+
+def test_median_cluster_order_matches_morton(monkeypatch):
+    """RENE_CLUSTER_ORDER=median is a pure re-clustering: the interpret
+    -mode march must produce the same image as the Morton default
+    (closest-hit winners are order-independent up to exact-t ties)."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run_m = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    out_m = np.asarray(run_m(3, 4)["radiance"])
+    monkeypatch.setenv("RENE_CLUSTER_ORDER", "median")
+    bn2, cfg2 = build_device_scene(scene)
+    run_k = pp.make_pallas_batch_fn(bn2, cfg2, interpret=True)
+    out_k = np.asarray(run_k(3, 4)["radiance"])
+    np.testing.assert_allclose(out_k, out_m, rtol=1e-5, atol=1e-6)
