@@ -14,6 +14,10 @@ process so chip run-noise cancels):
      round-4 candidate production config, vs r4b S1 (morton).
   C4 dragon mega @320x180 marginal median (the bench second metric's
      config).
+  C5 teapot wave @720p median + SUB_TRIS=32: finer sub-blocks were
+     rejected under Morton (-16% @720p, pallas_path.py SUB_TRIS note)
+     because loose boxes rarely rejected; median's tighter boxes
+     change that tradeoff.
 
 Usage: timeout 5400 python scripts/tpu_session_r4c.py [C1 C2 ...]
 """
@@ -37,7 +41,7 @@ def order(mode):
 def main():
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
-    todo = sys.argv[1:] or ["C1", "C3", "C2", "C4"]
+    todo = sys.argv[1:] or ["C1", "C3", "C2", "C4", "C5"]
 
     teapot = dragon = None
     if any(e in todo for e in ("C1", "C3")):
@@ -67,6 +71,18 @@ def main():
                 measure(f"C.C2 dragon mega @720p {mode}", dragon,
                         spp_a=2, spp_b=6, reps=2)
         guard("C2", c2)
+    if "C5" in todo:
+        def c5():
+            import rene_tpu.integrators.pallas_path as pp
+            old = pp.SUB_TRIS
+            pp.SUB_TRIS = 32
+            try:
+                order("median")
+                reps("C.C5 teapot wave median SUB_TRIS=32",
+                     build(teapot, samples_per_wave=8), 8)
+            finally:
+                pp.SUB_TRIS = old
+        guard("C5", c5)
     if "C4" in todo:
         def c4():
             d320 = load_at(f"{SAMPLES}/dragon/scene.pbrt", 320, 180)
