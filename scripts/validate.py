@@ -54,6 +54,11 @@ def main():
                     help="apply the shipped per-scene Tungsten "
                          "calibration (docs/overrides/) like the CLI "
                          "flag of the same name")
+    ap.add_argument("--diff-map", action="store_true",
+                    help="save a |render-golden| heatmap and print the "
+                         "8x8-grid per-region mean|diff| hotspots (the "
+                         "methodology that proved dragon's asset "
+                         "ceiling, VALIDATION.md round-3)")
     args = ap.parse_args()
 
     if args.platform:
@@ -114,6 +119,21 @@ def main():
         dn_txt = "" if s_dn is None else f"  {args.denoiser}={s_dn:.4f}"
         print(f"{name:12s} SSIM={s_raw:.4f}{dn_txt}  spp={args.spp} "
               f"({dt:.1f}s, {mrays:.1f} Mrays/s)", flush=True)
+        if args.diff_map:
+            diff = np.abs(ours8.astype(np.float32) / 255.0 - golden)
+            save_png(os.path.join(args.save_dir, f"{name}_diff.png"),
+                     np.clip(diff * 4.0 * 255.0, 0, 255)
+                     .astype(np.uint8))
+            h, w = diff.shape[:2]
+            gh, gw = max(1, h // 8), max(1, w // 8)
+            cells = diff[:gh * 8, :gw * 8].mean(axis=2) \
+                .reshape(8, gh, 8, gw).mean(axis=(1, 3))
+            order = np.dstack(np.unravel_index(
+                np.argsort(cells, axis=None)[::-1], cells.shape))[0]
+            hot = ", ".join(f"r{r}c{c}={cells[r, c]:.3f}"
+                            for r, c in order[:5])
+            print(f"{name:12s} mean|diff|={diff.mean():.4f}  "
+                  f"hot cells: {hot}", flush=True)
     print({k: round(v, 4) for k, v in results.items()})
 
 
