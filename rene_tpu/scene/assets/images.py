@@ -74,6 +74,18 @@ def load_pfm(path: str) -> Image:
     return Image(rgba)
 
 
+def save_pfm(path: str, rgb: np.ndarray) -> str:
+    """Write a color PFM (little-endian, rows bottom-up — the format
+    load_pfm reads back). `rgb` is (H, W, 3) float, top-down."""
+    rgb = np.asarray(rgb, dtype="<f4")
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    h, w = rgb.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"PF\n%d %d\n-1.0\n" % (w, h))
+        f.write(rgb[::-1].tobytes())
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Minimal EXR reader (scanline, NONE/ZIP/ZIPS, half/float/uint channels)
 # ---------------------------------------------------------------------------

@@ -92,9 +92,31 @@ def find_tungsten_overrides(scene_path: str,
 
 def apply_overrides(scene: FlatScene, spec: Union[str, dict]) -> FlatScene:
     """Apply an override spec (path or dict) to a FlatScene in place."""
+    base_dir = "."
     if isinstance(spec, str):
+        base_dir = os.path.dirname(os.path.abspath(spec))
         with open(spec) as f:
             spec = json.load(f)
+    bg = spec.get("background")
+    if bg:
+        if "color" in bg:
+            scene.background_color = np.asarray(bg["color"], np.float32)
+        if "mapname" in bg:
+            # replace (or add) the infinite light's environment map —
+            # the compat surface for scenes whose shipped assets are
+            # missing (teapot's textures/envmap.pfm; the reconstruction
+            # recipe lives in docs/overrides/)
+            from .assets.images import load_image
+            p = bg["mapname"]
+            if not os.path.isabs(p):
+                p = os.path.join(base_dir, p)
+            img_idx = len(scene.images)
+            scene.images.append(load_image(p))
+            scene.background_texture = scene._push_texture(
+                T.TEX_IMAGEMAP, [img_idx, 0, 0, 0], [0.0] * 4)
+        if "matrix" in bg:
+            m = np.asarray(bg["matrix"], np.float32).reshape(4, 4)
+            scene.background_matrix = m
     settings = spec.get("settings", {})
     if "max_depth" in settings:
         scene.max_depth_hint = int(settings["max_depth"])
