@@ -158,6 +158,13 @@ class UNetDenoiser:
                     sh = skips[l].shape
                     h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                     h = h[:, :sh[1], :sh[2]]
+                    # odd skip sizes: avg_pool floors (45 -> 22), so the
+                    # upsample comes back one short (44); edge-pad up.
+                    # No-op for pool-divisible films, so trained weights
+                    # are unaffected.
+                    h = jnp.pad(h, ((0, 0), (0, sh[1] - h.shape[1]),
+                                    (0, sh[2] - h.shape[2]), (0, 0)),
+                                mode="edge")
                     h = jnp.concatenate([h, skips[l]], axis=-1)
                     h = Block(self.feats << l)(h)
                 return ConvZero(3, name="Conv_0")(h)
