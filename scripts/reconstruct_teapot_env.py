@@ -58,7 +58,8 @@ GOLDEN_EXR = "/root/reference/sample_scenes/teapot/TungstenRender.exr"
 MW, MH = 128, 64
 C = np.array([0.593, 0.634, 0.737])  # floor-calibrated constant env
 KD, KS = 0.9, 0.04
-CLAMP = 8.0  # peak radiance cap (see below)
+CLAMP = 3.0   # peak radiance cap (see below)
+BLUR = 0.8    # latlong gaussian sigma (texels), applied after the clamp
 # light-to-world rotation of the scene's TransformBegin block
 # (columns = the light frame's axes in world space; +z_light = world up)
 L2W = np.array([[-0.386527, -0.922278, 0.0],
@@ -137,13 +138,23 @@ def main(out_pfm):
         known |= new
     filled[~have] = 0.5 * filled[~have] + 0.5 * C
 
-    # peak clamp: the render samples the env only through BSDF rays
-    # (no infinite-light NEE — reference parity, lib.rs:120-139), so a
-    # 70x-sky window texel makes diffuse paths firefly for thousands of
-    # spp. Clamp peaks to CLAMP and return the clipped energy through
-    # the constant layer below: direct specular reflections keep the
-    # window structure (dimmer), the floor calibration stays exact.
+    # peak clamp + slight blur: the render samples the env only through
+    # BSDF rays (no infinite-light NEE — reference parity,
+    # lib.rs:120-139), so a 70x-sky window texel makes diffuse paths
+    # firefly for thousands of spp (measured: cosine-weighted relvar
+    # 3.75 unclamped -> 0.59 at clamp 3 + blur 0.8; the 64-spp denoised
+    # A/B picked this point: cnn SSIM 0.8552 vs 0.8482 @clamp8 vs
+    # 0.8104 base). Clipped energy returns through the constant layer
+    # below, so the floor calibration stays exact and the window
+    # structure survives (dimmer).
     filled = np.minimum(filled, CLAMP)
+    if BLUR:
+        try:
+            from scipy.ndimage import gaussian_filter
+            filled = gaussian_filter(filled, sigma=(BLUR, BLUR, 0),
+                                     mode="wrap")
+        except ImportError:
+            pass
 
     # renormalize: upper-hemisphere irradiance must stay at pi*C
     k = np.arange(MH)

@@ -360,3 +360,28 @@ WorldEnd"""
     got = np.array([float(out.x[0]), float(out.y[0]), float(out.z[0])])
     np.testing.assert_allclose(
         got, np.array([2.0, 1.0, 0.5]) * [0.5, 0.6, 0.7], rtol=1e-5)
+
+
+def test_teapot_tungsten_compat_ships_envmap(sample_scenes):
+    """--tungsten-compat discovers the shipped teapot calibration and
+    installs the probe-reconstructed envmap (the scene's own
+    textures/envmap.pfm is not shipped with the reference)."""
+    import numpy as np
+
+    from rene_tpu.scene import load_scene
+    from rene_tpu.scene.overrides import (apply_overrides,
+                                          find_tungsten_overrides)
+
+    p = "/root/reference/sample_scenes/teapot/scene.pbrt"
+    ov = find_tungsten_overrides(p)
+    assert ov and ov.endswith("teapot_tungsten_png.json")
+    scene = load_scene(p)
+    before = scene.background_texture
+    apply_overrides(scene, ov)
+    assert scene.background_texture != before
+    img = scene.images[-1].data
+    assert img.shape[0] >= 32 and img.shape[2] == 4
+    assert np.isfinite(img).all() and img[..., :3].max() <= 16.0
+    # world-to-light rotation: world up must map to the latlong pole
+    up = np.asarray(scene.background_matrix)[:3, :3] @ np.array([0, 1, 0.0])
+    np.testing.assert_allclose(up, [0, 0, 1], atol=1e-6)
