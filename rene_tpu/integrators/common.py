@@ -28,6 +28,62 @@ def background_radiance(buffers, direction: V3, config=None) -> V3:
     return tex * V3(bg[0], bg[1], bg[2])
 
 
+def sample_background(buffers, state):
+    """Importance-sample the imagemap infinite light (env_nee).
+
+    Draws a coarse (ENV_GH, ENV_GW) texel from the luminance*sin(theta)
+    distribution (marginal row CDF, then the row's conditional CDF),
+    a uniform point inside it, and returns the WORLD direction plus the
+    solid-angle pdf (= env_pdf[r, c] exactly — see device.py). Beyond
+    the reference: rene only picks the env up through the miss shader
+    (lib.rs:120-139), which fireflies on HDR window texels."""
+    import math
+
+    mcdf = buffers["env_mcdf"]          # (GH,)
+    ccdf = buffers["env_ccdf"]          # (GH, GW)
+    gh, gw = ccdf.shape
+    x1, state = rng.next_f32(state)
+    x2, state = rng.next_f32(state)
+    x3, state = rng.next_f32(state)
+    x4, state = rng.next_f32(state)
+    r = jnp.sum(mcdf[None, :] < x1[:, None], axis=1).astype(jnp.int32)
+    r = jnp.clip(r, 0, gh - 1)
+    rows = jnp.take(ccdf, r, axis=0)    # (N, GW)
+    c = jnp.sum(rows < x2[:, None], axis=1).astype(jnp.int32)
+    c = jnp.clip(c, 0, gw - 1)
+    theta = (r.astype(jnp.float32) + x3) * (math.pi / gh)
+    phi = (c.astype(jnp.float32) + x4) * (2.0 * math.pi / gw)
+    st = jnp.sin(theta)
+    d_l = V3(st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta))
+    m = buffers["background_matrix_inv"]
+    wi = V3(m[0, 0] * d_l.x + m[0, 1] * d_l.y + m[0, 2] * d_l.z,
+            m[1, 0] * d_l.x + m[1, 1] * d_l.y + m[1, 2] * d_l.z,
+            m[2, 0] * d_l.x + m[2, 1] * d_l.y + m[2, 2] * d_l.z)
+    pdf = buffers["env_pdf"][r, c]
+    return wi.normalized(), pdf, state
+
+
+def background_pdf(buffers, direction: V3):
+    """Solid-angle pdf sample_background would have for `direction`."""
+    import math
+
+    m = buffers["background_matrix"]
+    d = V3(m[0, 0] * direction.x + m[0, 1] * direction.y
+           + m[0, 2] * direction.z,
+           m[1, 0] * direction.x + m[1, 1] * direction.y
+           + m[1, 2] * direction.z,
+           m[2, 0] * direction.x + m[2, 1] * direction.y
+           + m[2, 2] * direction.z).normalized()
+    gh, gw = buffers["env_ccdf"].shape
+    theta = jnp.arccos(jnp.clip(d.z, -1.0, 1.0))
+    phi = jnp.arctan2(d.y, d.x)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
+    r = jnp.clip((theta * (gh / math.pi)).astype(jnp.int32), 0, gh - 1)
+    c = jnp.clip((phi * (gw / (2.0 * math.pi))).astype(jnp.int32),
+                 0, gw - 1)
+    return buffers["env_pdf"][r, c]
+
+
 def sample_emit_object(buffers, config, position: V3, state):
     """Uniformly pick an emissive object and sample a direction to it.
 

@@ -41,7 +41,8 @@ from ..ops.vec3 import V3
 from ..scene import types as T
 from ..scene.device import RenderConfig
 from .camera import generate_rays
-from .common import background_radiance, sample_emit_object
+from .common import (background_pdf, background_radiance,
+                     sample_background, sample_emit_object)
 
 TMIN = 1e-3
 TMAX = 1e5
@@ -151,12 +152,26 @@ def render_batch(buffers, config: RenderConfig, px, py, seed, num_samples,
             radiance = radiance + v3.where(path_alive & ~shadowed, contrib,
                                            0.0)
 
-        # -- scatter: MIS mixture or plain BSDF sampling
+        # -- scatter: MIS mixture or plain BSDF sampling. The light
+        # strategy set is the emissive objects plus (env_nee) the
+        # importance-sampled imagemap infinite light — a light-sampled
+        # direction CONTINUES the path, so emitter-hit / miss pickup
+        # and the mixture pdf below are the whole MIS.
+        n_strat = num_emit + (1 if config.env_nee else 0)
         swi, sf, spdf, state = B.bsdf_sample_f(lobes, onb, wo, state, config)
-        if num_emit > 0:
+        if n_strat > 0:
             coin, state = rng.next_f32(state)
-            ls_wi, state = sample_emit_object(buffers, config, position,
-                                              state)
+            if num_emit > 0:
+                ls_wi, state = sample_emit_object(buffers, config,
+                                                  position, state)
+            if config.env_nee:
+                env_wi, _, state = sample_background(buffers, state)
+                if num_emit > 0:
+                    upick, state = rng.next_f32(state)
+                    take_env = upick * n_strat < 1.0
+                    ls_wi = v3.where(take_env, env_wi, ls_wi)
+                else:
+                    ls_wi = env_wi
             take_light = coin > 0.5
             use_mis = B.bsdf_contains(lobes, T.KIND_DIFFUSE)
             sel_l = use_mis & take_light
@@ -167,9 +182,14 @@ def render_batch(buffers, config: RenderConfig, px, py, seed, num_samples,
             pdf_b = jnp.where(sel_l,
                               B.bsdf_pdf(lobes, onb, wo, ls_wi, config),
                               spdf)
-            light_pdf = I.trace_emissive_pdf(
-                buffers, config, position, wi, TMIN, TMAX,
-                accel=accel) / num_emit
+            light_pdf = jnp.zeros_like(spdf)
+            if num_emit > 0:
+                light_pdf = light_pdf + I.trace_emissive_pdf(
+                    buffers, config, position, wi, TMIN, TMAX,
+                    accel=accel)
+            if config.env_nee:
+                light_pdf = light_pdf + background_pdf(buffers, wi)
+            light_pdf = light_pdf / n_strat
             pdf = jnp.where(use_mis, 0.5 * pdf_b + 0.5 * light_pdf, spdf)
             f = v3.where(use_mis, f, sf)
             wi = v3.where(use_mis, wi, swi)

@@ -20,6 +20,7 @@ Everything is float32/int32 numpy; `to_jax()` moves the buffers on device.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -27,6 +28,12 @@ import numpy as np
 from . import types as T
 from .flatten import FlatScene
 from .intermediate import Film
+
+# infinite-light importance-sampling grid (see build_device_scene):
+# ENV_GW is one VPU register row wide and ENV_GH fits a single row too,
+# so the pallas kernels can binary-search both CDFs with broadcast-row
+# lane gathers (the only per-lane gather Mosaic lowers).
+ENV_GH, ENV_GW = 64, 128
 
 
 @dataclasses.dataclass
@@ -59,6 +66,12 @@ class RenderConfig:
     # "sobol": padded Owen-scrambled (0,2)-sequence draws in the pallas
     # engines (ops/sobol.py); "independent": the PRNG everywhere
     sampler: str = "independent"
+    # importance-sample an imagemap infinite light inside the NEE/MIS
+    # mixture (beyond the reference, which only picks the env up
+    # through the miss shader — HDR window texels firefly there).
+    # True iff the background texture is an imagemap (see ENV_* grid
+    # buffers); RENE_ENV_NEE=0 disables.
+    env_nee: bool = False
 
 
 def _affine(m: np.ndarray) -> np.ndarray:
@@ -254,6 +267,69 @@ def build_device_scene(scene: FlatScene):
     buffers["background_texture"] = np.asarray(scene.background_texture,
                                                np.int32)
 
+    # -- infinite-light importance sampling grid (ENV_GH x ENV_GW) ------
+    # When the background is an imagemap, build a coarse luminance x
+    # sin(theta) distribution over the latlong sphere: marginal CDF over
+    # rows, conditional CDF per row, and the per-texel solid-angle pdf.
+    # Sampling picks a coarse texel then a uniform point inside it, so
+    # the pdf used in MIS is exactly env_pdf[r, c] — unbiased regardless
+    # of how coarsely the real map was reduced (radiance is still read
+    # from the full-resolution map by the miss shader). Row r covers
+    # theta in [pi*r/GH, pi*(r+1)/GH] with v = 1 - theta/pi (sphere_uv)
+    # and the image fetch's y = (1-v)*h flip, i.e. row 0 = zenith.
+    env_nee = False
+    bt = int(scene.background_texture)
+    if (int(scene.tex_type[bt]) == T.TEX_IMAGEMAP
+            and os.environ.get("RENE_ENV_NEE", "1") != "0"):
+        img = scene.images[int(scene.tex_u0[bt][0])]
+        src = np.asarray(img.data, np.float64)[..., :3]
+
+        def resize_axis(a, n, axis):
+            """Mean-reduce when the source is finer than the grid,
+            replicate when coarser — per axis, so a map smaller than
+            the grid in one dimension still populates EVERY grid cell
+            (a half-empty grid would leave pdf~0 stripes across real
+            radiance, and those directions would firefly through the
+            BSDF side of the mixture)."""
+            m = a.shape[axis]
+            if m == n:
+                return a
+            a = np.moveaxis(a, axis, 0)
+            if m > n:
+                idx = (np.arange(m) * n) // m
+                out = np.zeros((n,) + a.shape[1:], np.float64)
+                np.add.at(out, idx, a)
+                cnt = np.bincount(idx, minlength=n).astype(np.float64)
+                out /= cnt.reshape((n,) + (1,) * (a.ndim - 1))
+            else:
+                out = a[(np.arange(n) * m) // n]
+            return np.moveaxis(out, 0, axis)
+
+        lum = resize_axis(resize_axis(src.mean(axis=2), ENV_GH, 0),
+                          ENV_GW, 1)
+        grid = lum
+        th = (np.arange(ENV_GH) + 0.5) * np.pi / ENV_GH
+        p = grid * np.sin(th)[:, None] + 1e-12
+        p /= p.sum()
+        dom = (2 * np.pi / ENV_GW) * (np.pi / ENV_GH) * np.sin(th)
+        buffers["env_pdf"] = (p / dom[:, None]).astype(np.float32)
+        prow = p.sum(axis=1)
+        buffers["env_mcdf"] = np.cumsum(prow).astype(np.float32)
+        buffers["env_ccdf"] = np.cumsum(
+            p / prow[:, None], axis=1).astype(np.float32)
+        m = scene.background_matrix.astype(np.float64)
+        buffers["background_matrix_inv"] = np.linalg.inv(m).astype(
+            np.float32)
+        env_nee = True
+    else:
+        buffers["env_pdf"] = np.zeros((ENV_GH, ENV_GW), np.float32)
+        buffers["env_mcdf"] = np.linspace(
+            1.0 / ENV_GH, 1.0, ENV_GH).astype(np.float32)
+        buffers["env_ccdf"] = np.tile(np.linspace(
+            1.0 / ENV_GW, 1.0, ENV_GW, dtype=np.float32), (ENV_GH, 1))
+        buffers["background_matrix_inv"] = np.linalg.inv(
+            scene.background_matrix.astype(np.float64)).astype(np.float32)
+
     _mat_lobe_count = {T.MAT_NONE: 0, T.MAT_MATTE: 1, T.MAT_GLASS: 1,
                        T.MAT_SUBSTRATE: 1, T.MAT_METAL: 1, T.MAT_MIRROR: 1,
                        T.MAT_UBER: 5, T.MAT_PLASTIC: 2}
@@ -279,6 +355,7 @@ def build_device_scene(scene: FlatScene):
                        if getattr(scene, "pixel_filter",
                                   ("box",))[0] == "triangle" else 0.0),
         sampler=getattr(scene, "sampler", "independent"),
+        env_nee=env_nee,
     )
 
     # guarantee non-empty gatherable buffers (reference pushes dummies,
