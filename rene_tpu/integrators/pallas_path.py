@@ -259,6 +259,11 @@ class PallasScene:
     img_rows: int = 0
     bg_img: Optional[tuple] = None
     bg_matrix: Optional[np.ndarray] = None
+    # infinite-light importance sampling (config.env_nee): one VMEM
+    # table of (ENV_GH ccdf rows, ENV_GH pdf rows, 1 mcdf row, pad to a
+    # sublane-tile multiple) x 128 lanes — see device.py ENV_* buffers
+    env_tab: Optional[np.ndarray] = None
+    bg_matrix_inv: Optional[np.ndarray] = None
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -1116,6 +1121,24 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         background = tuple(
             float(bg_rgb[i] * buffers_np["background_color"][i])
             for i in range(3))
+
+    # infinite-light importance sampling table (config.env_nee): rows
+    # [0, GW) the TRANSPOSED conditional CDFs (row j = entry j of every
+    # row's conditional CDF along the first GH lanes — the kernel's
+    # conditional search gathers static ccdfT rows at the per-lane
+    # marginal row, see env_strategy), rows [GW, GW+GH) the per-texel
+    # solid-angle pdfs, row GW+GH the marginal CDF (lanes >= GH padded
+    # with 1.0), then zero rows up to the f32 sublane tile (8)
+    env_tab = None
+    if getattr(config, "env_nee", False) and bg_img is not None:
+        from ..scene.device import ENV_GH, ENV_GW
+        assert ENV_GW == 128, "env table rows are VPU lanes"
+        nrows = ((ENV_GW + ENV_GH + 1 + 7) // 8) * 8
+        env_tab = np.zeros((nrows, 128), np.float32)
+        env_tab[:ENV_GW, :ENV_GH] = buffers_np["env_ccdf"].T
+        env_tab[ENV_GW:ENV_GW + ENV_GH] = buffers_np["env_pdf"]
+        env_tab[ENV_GW + ENV_GH, :] = 1.0
+        env_tab[ENV_GW + ENV_GH, :ENV_GH] = buffers_np["env_mcdf"]
     return PallasScene(
         tris=tris, spheres=spheres, emit_objects=emit_objects,
         lights=lights,
@@ -1123,6 +1146,10 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         img_table=img_table, img_rows=img_rows, bg_img=bg_img,
         bg_matrix=np.asarray(buffers_np["background_matrix"],
                              np.float64),
+        env_tab=env_tab,
+        bg_matrix_inv=np.asarray(
+            buffers_np.get("background_matrix_inv", np.eye(4)),
+            np.float64),
         cam_proj_inv=np.asarray(buffers_np["camera_proj_inv"], np.float64),
         cam_to_world=np.asarray(buffers_np["camera_to_world"], np.float64),
         width=config.film.xresolution, height=config.film.yresolution,
@@ -1332,15 +1359,24 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 rowk = [[jnp.broadcast_to(blks[ch][k:k + 1, :], SHAPE)
                          for k in range(IMG_PAGE)] for ch in range(3)]
                 for j in range(4):
-                    # select the wanted row per lane first, then ONE lane
-                    # gather per channel (gathers are the scarce op)
+                    # gather from EVERY page row, then select by the
+                    # lane's own row. (The reverse order — select the
+                    # row first, one gather after — was a long-lived
+                    # bug: the where-chain keys on the row wanted at
+                    # each LANE POSITION, but the gather then reads
+                    # lanes[j], whose position wanted a different row.
+                    # Coherent camera tiles mostly agree on rows, so
+                    # textures only smeared subtly; incoherent env-map
+                    # fetches read vertically displaced texels — caught
+                    # by the env_nee parity tests, fixed 2026-08.)
                     inp = (rows[j] >= lo) & (rows[j] < lo + IMG_PAGE)
                     for ch in range(3):
-                        sel = rowk[ch][0]
+                        g = jnp.take_along_axis(rowk[ch][0], lanes[j],
+                                                axis=1)
                         for k in range(1, IMG_PAGE):
-                            sel = jnp.where(rows[j] == lo + k,
-                                            rowk[ch][k], sel)
-                        g = jnp.take_along_axis(sel, lanes[j], axis=1)
+                            gk = jnp.take_along_axis(rowk[ch][k],
+                                                     lanes[j], axis=1)
+                            g = jnp.where(rows[j] == lo + k, gk, g)
                         out[j * 3 + ch] = jnp.where(inp, g,
                                                     out[j * 3 + ch])
                 return tuple(out)
@@ -1387,6 +1423,109 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         phi = atan2_approx(ny_, nx_)
         phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
         return phi * (0.5 / math.pi), (theta - math.pi) * (-1.0 / math.pi)
+
+    # ---- infinite-light importance sampling (config.env_nee) ----------
+    # The CDF grid was sized for this kernel: every lookup decomposes
+    # into take_along_axis lane gathers on BROADCAST rows (the only
+    # per-lane gather Mosaic lowers). Crucial subtlety, learned from the
+    # fetch_image bug this feature exposed: a where-chain that selects a
+    # per-POSITION row and is then gathered at a different lane index
+    # reads the row wanted by THAT lane — every gather below therefore
+    # reads a row that is STATIC (a broadcast of one table row), with
+    # per-position row choices resolved by selecting among gathered
+    # VALUES, never among rows.
+    # env_tab layout (see pack_scene): rows [0, GW) = ccdfT (row j holds
+    # conditional-CDF entry j for all GH rows along the first GH lanes),
+    # rows [GW, GW+GH) = per-texel solid-angle pdf, row GW+GH = marginal
+    # CDF (lanes >= GH padded with 1.0).
+    HAS_ENV = ps.env_tab is not None
+    if HAS_ENV:
+        from ..scene.device import ENV_GH, ENV_GW
+
+        def _mcdf_search(eref, x):
+            """Lower-bound of x in the marginal CDF (one broadcast row;
+            the gathered content is lane-independent, so per-position
+            gathers are exact)."""
+            mrow = jnp.broadcast_to(
+                eref[ENV_GW + ENV_GH:ENV_GW + ENV_GH + 1, :], SHAPE)
+            lo = (x * 0.0).astype(jnp.int32)
+            step = ENV_GH >> 1
+            while step:
+                v = jnp.take_along_axis(mrow, lo + (step - 1), axis=1)
+                lo = jnp.where(v < x, lo + step, lo)
+                step >>= 1
+            return jnp.minimum(lo, ENV_GH - 1)
+
+        def _ccdf_search(eref, r, x):
+            """Lower-bound of x in conditional row r (per-position r).
+
+            At step `step`, the probe index lo+step-1 can only take the
+            static values m*2*step + step-1 — for each, ccdfT row
+            [probe] is a STATIC broadcast row gathered at the
+            per-position r, and the per-position probe VALUE is
+            selected from those gathers (sum of 2^s gathers per step,
+            127 total)."""
+            lo = (x * 0.0).astype(jnp.int32)
+            step = ENV_GW >> 1
+            while step:
+                cand0 = step - 1
+                v = jnp.take_along_axis(
+                    jnp.broadcast_to(eref[cand0:cand0 + 1, :], SHAPE),
+                    r, axis=1)
+                m = 1
+                while m * 2 * step < ENV_GW:
+                    cand = m * 2 * step + step - 1
+                    vm = jnp.take_along_axis(
+                        jnp.broadcast_to(eref[cand:cand + 1, :], SHAPE),
+                        r, axis=1)
+                    v = jnp.where(lo == m * 2 * step, vm, v)
+                    m += 1
+                lo = jnp.where(v < x, lo + step, lo)
+                step >>= 1
+            return jnp.minimum(lo, ENV_GW - 1)
+
+        def env_strategy(eref, x1, x2, x3, x4):
+            """Draw a world direction ~ the env grid distribution."""
+            r = _mcdf_search(eref, x1)
+            cc = _ccdf_search(eref, r, x2)
+            theta = (r.astype(jnp.float32) + x3) * (math.pi / ENV_GH)
+            phi = (cc.astype(jnp.float32) + x4) * (TWO_PI / ENV_GW)
+            stn = jnp.sin(theta)
+            dlx = stn * jnp.cos(phi)
+            dly = stn * jnp.sin(phi)
+            dlz = jnp.cos(theta)
+            m = ps.bg_matrix_inv
+            return normalize3(
+                m[0, 0] * dlx + m[0, 1] * dly + m[0, 2] * dlz,
+                m[1, 0] * dlx + m[1, 1] * dly + m[1, 2] * dlz,
+                m[2, 0] * dlx + m[2, 1] * dly + m[2, 2] * dlz)
+
+        def env_pdf_dir(eref, wx, wy, wz):
+            """Solid-angle pdf env_strategy would have for (wx,wy,wz):
+            gather pdf row k at the per-position column FIRST, then
+            select by the per-position row (fetch_image fix pattern)."""
+            m = ps.bg_matrix
+            dlx = m[0, 0] * wx + m[0, 1] * wy + m[0, 2] * wz
+            dly = m[1, 0] * wx + m[1, 1] * wy + m[1, 2] * wz
+            dlz = m[2, 0] * wx + m[2, 1] * wy + m[2, 2] * wz
+            dlx, dly, dlz = normalize3(dlx, dly, dlz)
+            theta = atan2_approx(
+                jnp.sqrt(jnp.maximum(1.0 - dlz * dlz, 0.0)), dlz)
+            phi = atan2_approx(dly, dlx)
+            phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+            r = jnp.clip((theta * (ENV_GH / math.pi)).astype(jnp.int32),
+                         0, ENV_GH - 1)
+            cc = jnp.clip((phi * (ENV_GW / TWO_PI)).astype(jnp.int32),
+                          0, ENV_GW - 1)
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(eref[ENV_GW:ENV_GW + 1, :], SHAPE),
+                cc, axis=1)
+            for k in range(1, ENV_GH):
+                gk = jnp.take_along_axis(
+                    jnp.broadcast_to(eref[ENV_GW + k:ENV_GW + k + 1, :],
+                                     SHAPE), cc, axis=1)
+                g = jnp.where(r == k, gk, g)
+            return g
 
     # ---- clustered big-mesh march (see module constants for the layout)
     NC = ps.n_clusters
@@ -3222,6 +3361,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             iref, refs = refs[0], refs[1:]
         else:
             iref = None
+        if HAS_ENV:
+            eref, refs = refs[0], refs[1:]
+        else:
+            eref = None
         (px_ref, py_ref, rad_r, rad_g, rad_b,
          an_x, an_y, an_z, aa_r, aa_g, aa_b, rays_out) = refs
         pid = pl.program_id(0)
@@ -3340,22 +3483,37 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                      swx, swy, swz)
 
-            if E > 0:
+            if E > 0 or HAS_ENV:
                 if SOBOL:
                     ue1, ue2 = ld2(c["sample"], pixkey, depth,
                                    SLOT_NEE1)
                     ue3, ue4 = ld2(c["sample"], pixkey, depth,
                                    SLOT_NEE2)
-                    coin, _ = ld2(c["sample"], pixkey, depth,
-                                  SLOT_MISC)
+                    coin, upick = ld2(c["sample"], pixkey, depth,
+                                      SLOT_MISC)
                 else:
                     coin, st = uniform(st)
                     ue1, st = uniform(st)
                     ue2, st = uniform(st)
                     ue3, st = uniform(st)
                     ue4, st = uniform(st)
-                ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
-                                                  ue3, ue4)
+                    if HAS_ENV and E > 0:
+                        upick, st = uniform(st)
+                # the env strategy reuses ue1..ue4 — only one of the two
+                # light samplers is consumed per lane, and the pick
+                # (upick) is an independent draw
+                if E > 0:
+                    ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1,
+                                                      ue2, ue3, ue4)
+                if HAS_ENV:
+                    ex_, ey_, ez_ = env_strategy(eref, ue1, ue2, ue3, ue4)
+                    if E > 0:
+                        tke = upick * float(E + 1) < 1.0
+                        ls_wx = jnp.where(tke, ex_, ls_wx)
+                        ls_wy = jnp.where(tke, ey_, ls_wy)
+                        ls_wz = jnp.where(tke, ez_, ls_wz)
+                    else:
+                        ls_wx, ls_wy, ls_wz = ex_, ey_, ez_
                 take_light = (coin > 0.5) & is_diffuse(attr)
                 wx_ = jnp.where(take_light, ls_wx, swx)
                 wy_ = jnp.where(take_light, ls_wy, swy)
@@ -3368,7 +3526,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 f_g = jnp.where(take_light, fe_g, sfg)
                 f_b = jnp.where(take_light, fe_b, sfb)
                 pdf_b = jnp.where(take_light, fe_pdf, spdf)
-                lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+                lp_ = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) \
+                    if E > 0 else 0.0
+                if HAS_ENV:
+                    lp_ = lp_ + env_pdf_dir(eref, wx_, wy_, wz_)
+                lpdf = lp_ / float(E + (1 if HAS_ENV else 0))
                 mis = is_diffuse(attr)
                 pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
                 f_r = jnp.where(mis, f_r, sfr)
@@ -3575,22 +3737,37 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
             swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                      swx, swy, swz)
-            if E > 0:
+            if E > 0 or HAS_ENV:
                 if SOBOL:
                     ue1, ue2 = ld2(c["sample"], pixkey, depth,
                                    SLOT_NEE1)
                     ue3, ue4 = ld2(c["sample"], pixkey, depth,
                                    SLOT_NEE2)
-                    coin, _ = ld2(c["sample"], pixkey, depth,
-                                  SLOT_MISC)
+                    coin, upick = ld2(c["sample"], pixkey, depth,
+                                      SLOT_MISC)
                 else:
                     coin, st = uniform(st)
                     ue1, st = uniform(st)
                     ue2, st = uniform(st)
                     ue3, st = uniform(st)
                     ue4, st = uniform(st)
-                ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
-                                                  ue3, ue4)
+                    if HAS_ENV and E > 0:
+                        upick, st = uniform(st)
+                # the env strategy reuses ue1..ue4 — only one of the two
+                # light samplers is consumed per lane, and the pick
+                # (upick) is an independent draw
+                if E > 0:
+                    ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1,
+                                                      ue2, ue3, ue4)
+                if HAS_ENV:
+                    ex_, ey_, ez_ = env_strategy(eref, ue1, ue2, ue3, ue4)
+                    if E > 0:
+                        tke = upick * float(E + 1) < 1.0
+                        ls_wx = jnp.where(tke, ex_, ls_wx)
+                        ls_wy = jnp.where(tke, ey_, ls_wy)
+                        ls_wz = jnp.where(tke, ez_, ls_wz)
+                    else:
+                        ls_wx, ls_wy, ls_wz = ex_, ey_, ez_
                 take_light = (coin > 0.5) & is_diffuse(attr)
                 wx_ = jnp.where(take_light, ls_wx, swx)
                 wy_ = jnp.where(take_light, ls_wy, swy)
@@ -3603,7 +3780,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 f_g = jnp.where(take_light, fe_g, sfg)
                 f_b = jnp.where(take_light, fe_b, sfb)
                 pdf_b = jnp.where(take_light, fe_pdf, spdf)
-                lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+                lp_ = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) \
+                    if E > 0 else 0.0
+                if HAS_ENV:
+                    lp_ = lp_ + env_pdf_dir(eref, wx_, wy_, wz_)
+                lpdf = lp_ / float(E + (1 if HAS_ENV else 0))
                 mis = is_diffuse(attr)
                 pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
                 f_r = jnp.where(mis, f_r, sfr)
@@ -3892,7 +4073,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
         return genesis_kernel
 
-    def wave_bounce(c, mref, iref):
+    def wave_bounce(c, mref, iref, eref):
         dep = c["dep"]  # per-lane (float) bounce index
         was_alive = c["alive"] > 0.5
         cr, cg, cb = c["cr"], c["cg"], c["cb"]
@@ -3977,19 +4158,31 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                  swx, swy, swz)
 
-        if E > 0:
+        if E > 0 or HAS_ENV:
             if SOBOL:
                 ue1, ue2 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE1)
                 ue3, ue4 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE2)
-                coin, _ = ld2(sidx, c["pixkey"], dep_i, SLOT_MISC)
+                coin, upick = ld2(sidx, c["pixkey"], dep_i, SLOT_MISC)
             else:
                 coin, st = uniform(st)
                 ue1, st = uniform(st)
                 ue2, st = uniform(st)
                 ue3, st = uniform(st)
                 ue4, st = uniform(st)
-            ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
-                                              ue3, ue4)
+                if HAS_ENV and E > 0:
+                    upick, st = uniform(st)
+            if E > 0:
+                ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
+                                                  ue3, ue4)
+            if HAS_ENV:
+                ex_, ey_, ez_ = env_strategy(eref, ue1, ue2, ue3, ue4)
+                if E > 0:
+                    tke = upick * float(E + 1) < 1.0
+                    ls_wx = jnp.where(tke, ex_, ls_wx)
+                    ls_wy = jnp.where(tke, ey_, ls_wy)
+                    ls_wz = jnp.where(tke, ez_, ls_wz)
+                else:
+                    ls_wx, ls_wy, ls_wz = ex_, ey_, ez_
             take_light = (coin > 0.5) & is_diffuse(attr)
             wx_ = jnp.where(take_light, ls_wx, swx)
             wy_ = jnp.where(take_light, ls_wy, swy)
@@ -4002,7 +4195,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             f_g = jnp.where(take_light, fe_g, sfg)
             f_b = jnp.where(take_light, fe_b, sfb)
             pdf_b = jnp.where(take_light, fe_pdf, spdf)
-            lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+            lp_ = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) \
+                if E > 0 else 0.0
+            if HAS_ENV:
+                lp_ = lp_ + env_pdf_dir(eref, wx_, wy_, wz_)
+            lpdf = lp_ / float(E + (1 if HAS_ENV else 0))
             mis = is_diffuse(attr)
             pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
             f_r = jnp.where(mis, f_r, sfr)
@@ -4098,7 +4295,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                if SOBOL else {}),
         }
 
-    def wave_bounce_vol(c, mref, iref):
+    def wave_bounce_vol(c, mref, iref, eref):
         """volpath wave bounce: body_vol's estimator (lib.rs:477-803 —
         medium distance sampling, phase NEE through tr marching,
         surface NEE with transmittance, None-material passthrough,
@@ -4233,19 +4430,31 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             attr, lox_, loy_, loz_, u_coin, u1, u2, ul)
         swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                  swx, swy, swz)
-        if E > 0:
+        if E > 0 or HAS_ENV:
             if SOBOL:
                 ue1, ue2 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE1)
                 ue3, ue4 = ld2(sidx, c["pixkey"], dep_i, SLOT_NEE2)
-                coin, _ = ld2(sidx, c["pixkey"], dep_i, SLOT_MISC)
+                coin, upick = ld2(sidx, c["pixkey"], dep_i, SLOT_MISC)
             else:
                 coin, st = uniform(st)
                 ue1, st = uniform(st)
                 ue2, st = uniform(st)
                 ue3, st = uniform(st)
                 ue4, st = uniform(st)
-            ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
-                                              ue3, ue4)
+                if HAS_ENV and E > 0:
+                    upick, st = uniform(st)
+            if E > 0:
+                ls_wx, ls_wy, ls_wz = sample_emit(hx, hy, hz, ue1, ue2,
+                                                  ue3, ue4)
+            if HAS_ENV:
+                ex_, ey_, ez_ = env_strategy(eref, ue1, ue2, ue3, ue4)
+                if E > 0:
+                    tke = upick * float(E + 1) < 1.0
+                    ls_wx = jnp.where(tke, ex_, ls_wx)
+                    ls_wy = jnp.where(tke, ey_, ls_wy)
+                    ls_wz = jnp.where(tke, ez_, ls_wz)
+                else:
+                    ls_wx, ls_wy, ls_wz = ex_, ey_, ez_
             take_light = (coin > 0.5) & is_diffuse(attr)
             wx_ = jnp.where(take_light, ls_wx, swx)
             wy_ = jnp.where(take_light, ls_wy, swy)
@@ -4258,7 +4467,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             f_g = jnp.where(take_light, fe_g, sfg)
             f_b = jnp.where(take_light, fe_b, sfb)
             pdf_b = jnp.where(take_light, fe_pdf, spdf)
-            lpdf = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) / float(E)
+            lp_ = trace_emit_pdf(hx, hy, hz, wx_, wy_, wz_) \
+                if E > 0 else 0.0
+            if HAS_ENV:
+                lp_ = lp_ + env_pdf_dir(eref, wx_, wy_, wz_)
+            lpdf = lp_ / float(E + (1 if HAS_ENV else 0))
             mis = is_diffuse(attr)
             pdf = jnp.where(mis, 0.5 * pdf_b + 0.5 * lpdf, spdf)
             f_r = jnp.where(mis, f_r, sfr)
@@ -4381,6 +4594,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             iref, refs = refs[0], refs[1:]
         else:
             iref = None
+        if HAS_ENV:
+            eref, refs = refs[0], refs[1:]
+        else:
+            eref = None
         sin, sout = refs
         pid = pl.program_id(0)
         dep0 = sc_ref[1]
@@ -4450,7 +4667,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         def chunk(cc):
             for _ in range(wave_k):
                 cc = (wave_bounce_vol if VOL else wave_bounce)(
-                    cc, mref, iref)
+                    cc, mref, iref, eref)
             return cc
 
         # tiles past the alive prefix (rays sorted dead-last) are a copy
@@ -4532,6 +4749,10 @@ def _mesh_operands(ps: PallasScene):
         specs.append(pl.BlockSpec(ps.img_table.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM))
         args.append(jnp.asarray(ps.img_table))
+    if ps.env_tab is not None:
+        specs.append(pl.BlockSpec(ps.env_tab.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(ps.env_tab))
     return specs, args, scratch
 
 

@@ -134,3 +134,41 @@ def test_megakernel_instanced_lowers_for_tpu(monkeypatch):
     assert run is not None
     i32 = jax.ShapeDtypeStruct((), jnp.int32)
     export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_env_nee_lowers_for_tpu(tmp_path):
+    """env_nee kernel machinery (transposed-CDF binary search with
+    static-row gathers, pdf gather-then-select, fetch_image's
+    gather-then-select) must pass the Mosaic lowering."""
+    import numpy as np
+    from jax import export
+
+    from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+    from rene_tpu.scene.assets.images import save_pfm
+
+    rng = np.random.RandomState(0)
+    save_pfm(str(tmp_path / "env.pfm"),
+             (rng.rand(16, 32, 3) * 3).astype(np.float32))
+    src = """
+Integrator "path" "integer maxdepth" [4]
+LookAt 0 1.2 -3.2  0 0.6 0  0 1 0
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [24] "integer yresolution" [16]
+WorldBegin
+LightSource "infinite" "string mapname" ["env.pfm"]
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [8 7 6]
+  Shape "trianglemesh" "integer indices" [0 1 2]
+    "point P" [-0.6 2.2 -0.6  0.6 2.2 -0.6  0.6 2.2 0.6]
+AttributeEnd
+Material "matte" "rgb Kd" [0.6 0.5 0.4]
+Shape "sphere" "float radius" 0.6
+WorldEnd
+"""
+    scene = create_scene(parse_pbrt(src), str(tmp_path))
+    bn, cfg = build_device_scene(scene)
+    assert cfg.env_nee
+    run = make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
