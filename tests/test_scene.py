@@ -381,7 +381,9 @@ def test_teapot_tungsten_compat_ships_envmap(sample_scenes):
     assert scene.background_texture != before
     img = scene.images[-1].data
     assert img.shape[0] >= 32 and img.shape[2] == 4
-    assert np.isfinite(img).all() and img[..., :3].max() <= 16.0
+    # env NEE importance-samples the window peak, so the shipped map is
+    # only lightly clamped (commit 716a3aa raised the old hard clamp)
+    assert np.isfinite(img).all() and 0 < img[..., :3].max() <= 128.0
     # world-to-light rotation: world up must map to the latlong pole
     up = np.asarray(scene.background_matrix)[:3, :3] @ np.array([0, 1, 0.0])
     np.testing.assert_allclose(up, [0, 0, 1], atol=1e-6)
