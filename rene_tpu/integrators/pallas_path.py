@@ -676,7 +676,9 @@ def _morton3(xi: np.ndarray, yi: np.ndarray, zi: np.ndarray) -> np.ndarray:
 #             sorted 128-lane wave tile -26% teapot / -8% dragon vs
 #             Morton (per-ray enters -2.2x / -1.5x).
 # Module default, overridable per-build via RENE_CLUSTER_ORDER.
-CLUSTER_ORDER = "morton"
+# "median" measured on-chip round 4 (tpu_session_r4c): teapot wave
+# @720p 0.635 vs 0.757 s/spp, dragon mega @720p 0.116 vs 0.124.
+CLUSTER_ORDER = "median"
 
 
 def _median_split_order(c: np.ndarray, units) -> np.ndarray:

@@ -304,10 +304,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     NS_ALL = n_pad // 128
     SPAD = pp.W_SORT_PAD
     if sort_mode == "dma":
-        _g = 8
-        while _g < 64 and NS_ALL % (_g * 2) == 0:
-            _g *= 2
-        DMA_G = _g
+        # Mosaic's block rule applies to the SMEM perm spec too: the
+        # lane dim of a (1, DMA_G) block over the (1, NS_ALL) perm must
+        # be 128-divisible or equal NS_ALL (on-chip r4b D1 failure —
+        # G=64 lowered fine on tiny test shapes where the block WAS the
+        # full array, then died at production NS_ALL=57600).
+        DMA_G = 128 if NS_ALL % 128 == 0 else NS_ALL
         N_CHUNK = NS_ALL // DMA_G
         # fallback shape knob: copy ALL NR rows per slice (the
         # landmine-exact full-row-range DMA pattern; the AOV
@@ -700,8 +702,6 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         _dep += schedule[min(steps, len(schedule) - 1)]
         steps += 1
 
-    profile = os.environ.get("RENE_WAVE_PROFILE") == "1"
-
     def run_dev(seed, num_samples, accum=None):
         """One wave of min(num_samples, spw) samples; returns DEVICE
         (sums, rays) — optionally accumulated into a previous wave's
@@ -711,6 +711,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         import time as _time
 
         import jax.numpy as jnp
+        # read per call, not at build time: sessions toggle profiling
+        # on an already-built runner
+        profile = os.environ.get("RENE_WAVE_PROFILE") == "1"
         want = min(int(num_samples), cap)
         state, pix = init_state(jnp.int32(seed), jnp.int32(want))
         # `prefix` = lane count bounding where alive rays can sit: the

@@ -47,6 +47,30 @@ def test_dma_permutation_lowers_for_tpu(wave_run):
         platforms=["tpu"])(state, cum)
 
 
+def test_dma_permutation_chunked_lowers_for_tpu():
+    """Production-shape DMA sort: NS_ALL larger than one grid chunk, so
+    the SMEM perm BlockSpec is a PARTIAL (1, DMA_G) block — the exact
+    configuration that failed Mosaic's 128-divisibility check on-chip
+    (r4b D1) while the tiny-scene test above passed because its block
+    covered the whole perm array."""
+    from jax import export
+    src = SRC.replace('"integer xresolution" [24]',
+                      '"integer xresolution" [128]').replace(
+        '"integer yresolution" [16]', '"integer yresolution" [128]')
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_wave_fn(bn, cfg, interpret=False,
+                              samples_per_wave=2, sort_mode="dma")
+    assert run is not None
+    ns = run.n_pad // 128
+    assert ns > 128, "scene too small to exercise the chunked perm block"
+    state = jax.ShapeDtypeStruct((32, run.n_pad), jnp.float32)
+    cum = jax.ShapeDtypeStruct((ns,), jnp.int32)
+    export.export(
+        jax.jit(lambda s, p: run.sort_prefix(s, p, run.n_pad)),
+        platforms=["tpu"])(state, cum)
+
+
 def test_genesis_init_lowers_for_tpu(wave_run):
     from jax import export
     i32 = jax.ShapeDtypeStruct((), jnp.int32)
