@@ -38,6 +38,8 @@ def _wave_default(buffers_np, config) -> bool:
     (dragon-class: most paths die within 2 bounces, so the megakernel's
     in-kernel regeneration amortizes better than per-launch overheads).
     maxdepth >= 32 is the cheap prior separating the two on the corpus.
+    Holds for volpath too (measured round 4, tpu_session_r4b V1:
+    fog-teapot @320x180 wave 0.122 vs mega 0.207 s/spp).
     Override with RENE_WAVE=0/1."""
     ov = os.environ.get("RENE_WAVE")
     if ov is not None:
