@@ -63,7 +63,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         dir_bits: int = 3,
                         sub_tris: int = 32,
                         check_every: int = 1,
-                        key_mode: str = "kernel",
+                        key_mode: str = "xla",
                         dir_sub: bool = False,
                         sort_gran: int = 0,
                         init_mode: str = "",
@@ -74,15 +74,20 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     over num_samples + ray count), or None if unsupported.
 
     `k_schedule`: bounces per launch, per step (last entry repeats) —
-    e.g. (1, 1, 2, 4): sort the critical first diffuse bounce on its
-    own, then widen chunks as the wave thins. Defaults to (k_bounces,).
+    e.g. (1, 1, 1, 2, 4): sort each of the first three bounces on its
+    own, then widen chunks as the wave thins. Defaults to the measured
+    round-4 best (1, 1, 1, 2, 4) (teapot @720p 0.585 vs 0.613 s/spp for
+    the round-3 (1, 1, 2, 4); VALIDATION round-4 D5).
     One Mosaic kernel per DISTINCT k. `dir_bits`: 3 = direction octant,
     6 = 2 bits/axis (finer beams, coarser 6-bit origin cells).
-    `key_mode`: "kernel" (default) sorts the WROW_KEY row the kernel
-    computed at bounce time — octant x winner-CLUSTER origin bins,
-    surface-adaptive and free of XLA key math; "xla" recomputes the
-    legacy octant x bbox-Morton-cell key host-side (oct_major/dir_bits
-    apply only there).
+    `key_mode`: "xla" (default) computes the octant x bbox-Morton-cell
+    key host-side (oct_major/dir_bits apply only there); "kernel" sorts
+    the WROW_KEY row the kernel computed at bounce time — octant x
+    winner-CLUSTER origin bins, surface-adaptive and free of XLA key
+    math. Measured on-chip (r4a E1/E2, r4d D0): kernel keys LOSE ~4%
+    both under morton and median clustering — the XLA key passes were
+    already overlapped with device execution, and cluster-id bins buy
+    no march win; xla is the default on the numbers.
     `sort_gran`: redistribution granularity in lanes. 1 (default) is
     the full per-lane stable argsort+gather. 128 is the COARSE bucket
     redistribution (VERDICT round-3 item 2): each 128-lane slice is a
@@ -183,10 +188,11 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     lo = lo - 0.05 * ext
     ext = ext * 1.1
 
-    # measured-best default schedule: sort the first diffuse bounce on
-    # its own, widen chunks as the wave thins (VALIDATION round 3)
+    # measured-best default schedule: sort each of the first three
+    # bounces on its own, widen chunks as the wave thins (round-4 D5:
+    # 0.585 vs 0.613 s/spp teapot @720p under median clustering)
     schedule = (tuple(k_schedule) if k_schedule
-                else ((k_bounces,) if k_bounces else (1, 1, 2, 4)))
+                else ((k_bounces,) if k_bounces else (1, 1, 1, 2, 4)))
     wave_bounds = (tuple(float(v) for v in lo),
                    tuple(float(v) for v in ext))
     _kernels = {}
