@@ -191,8 +191,15 @@ MINPJ_LANE = 127
 
 
 def _sub_split(cluster: int):
-    """(n_sub, sub) block split of a cluster width (tests shrink CLUSTER)."""
+    """(n_sub, sub) block split of a cluster width (tests shrink CLUSTER).
+
+    ROW_BOX carries n_sub*6 sub-box lanes plus 6 super lanes inside the
+    cluster's own `cluster` lanes, so n_sub is clamped to fit (SUB_TRIS=4
+    at CLUSTER=64 would need 102 lanes and previously crashed the packer).
+    """
     n_sub = max(1, cluster // SUB_TRIS)
+    while n_sub > 1 and n_sub * 6 + 6 > cluster:
+        n_sub //= 2
     return n_sub, cluster // n_sub
 
 
