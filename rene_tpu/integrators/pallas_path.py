@@ -98,6 +98,17 @@ MEMBER_FORI = True  # fori over a group's member clusters: ONE MT unroll
                     # compile 1024s -> 62s, dragon 0.017 -> 0.015 s/spp,
                     # teapot 0.152 -> 0.165 (the one small loss);
                     # bit-identical images either way.
+SUB_GATE = os.environ.get("RENE_SUB_GATE", "0") == "1"
+# Per-sub-block gating INSIDE the member fori: the r4a E7 skip_mt A/B
+# proved dragon's marginal cost is ~100% MT unrolls, and under
+# MEMBER_FORI an entered member runs MT on the whole 128-tri cluster —
+# the SUB_TRIS sub-boxes only tighten the member-entry flag. SUB_GATE
+# wraps each sub-block's MT unroll in its own lax.cond keyed on a
+# scalar flag chain (select over the traced member index), restoring
+# the non-MEMBER_FORI path's gating at N_SUB MT copies instead of
+# SUPER*N_SUB. Flags are computed from the group-entry t_best/hf —
+# stale but conservative (a skipped sub-box cannot contain a closer
+# hit). Off by default until measured on-chip (tpu_session_r4f).
 # -- wavefront engine ray-state layout (see pallas_wave.py) -----------------
 # One (W_NROWS, N) f32 array carries every in-flight ray; the host sorts
 # lanes by direction-octant x origin-cell between k-bounce kernel launches
@@ -1726,13 +1737,19 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 # and collapse to scalar any-lane flags selected by the
                 # traced member index
                 flags = []
+                subflags = []
                 for g in range(SUPER):
                     eg = jnp.zeros(SHAPE, bool)
+                    row = []
                     for s in range(N_SUB):
                         r_, lane = ROWLANE(g * N_SUB + s)
-                        eg = eg | _box_enter_row(brow, r_, lane, ox, oy, oz,
-                                                 ix, iy, iz, tmin, carry[0])
+                        es = _box_enter_row(brow, r_, lane, ox, oy, oz,
+                                            ix, iy, iz, tmin, carry[0])
+                        if SUB_GATE:
+                            row.append(jnp.any(es))
+                        eg = eg | es
                     flags.append(jnp.any(eg))
+                    subflags.append(row)
 
                 def member(g, carry):
                     flag = flags[0]
@@ -1747,9 +1764,21 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                                 CLUSTER)]
                         bid = (gi * SUPER + g) if want_cid else None
                         for s in range(N_SUB):
-                            carry = _sub_closest(blk, s, ox, oy, oz,
-                                                 dx, dy, dz, tmin, carry,
-                                                 bid=bid)
+                            if SUB_GATE:
+                                fs = subflags[0][s]
+                                for k in range(1, SUPER):
+                                    fs = jax.lax.select(g == k,
+                                                        subflags[k][s], fs)
+                                carry = jax.lax.cond(
+                                    fs,
+                                    functools.partial(_sub_closest, blk, s,
+                                                      ox, oy, oz, dx, dy, dz,
+                                                      tmin, bid=bid),
+                                    lambda c_: c_, carry)
+                            else:
+                                carry = _sub_closest(blk, s, ox, oy, oz,
+                                                     dx, dy, dz, tmin, carry,
+                                                     bid=bid)
                         return carry
 
                     return jax.lax.cond(flag, hit_blk, lambda c_: c_, carry)
@@ -1874,13 +1903,19 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                 lambda h: h, hf)
                     return hf
                 flags = []
+                subflags = []
                 for g in range(SUPER):
                     eg = jnp.zeros(SHAPE, bool)
+                    row = []
                     for s in range(N_SUB):
                         r_, lane = ROWLANE(g * N_SUB + s)
-                        eg = eg | _box_enter_row(brow, r_, lane, ox, oy, oz,
-                                                 ix, iy, iz, tmin, tmax)
+                        es = _box_enter_row(brow, r_, lane, ox, oy, oz,
+                                            ix, iy, iz, tmin, tmax)
+                        if SUB_GATE:
+                            row.append(jnp.any(es & (hf < 0.5)))
+                        eg = eg | es
                     flags.append(jnp.any(eg & (hf < 0.5)))
+                    subflags.append(row)
 
                 def member(g, hf):
                     flag = flags[0]
@@ -1894,8 +1929,20 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
                         for s in range(N_SUB):
-                            hf = _sub_any(blk, s, ox, oy, oz, dx, dy, dz,
-                                          tmin, tmax, hf)
+                            if SUB_GATE:
+                                fs = subflags[0][s]
+                                for k in range(1, SUPER):
+                                    fs = jax.lax.select(g == k,
+                                                        subflags[k][s], fs)
+                                hf = jax.lax.cond(
+                                    fs,
+                                    functools.partial(_sub_any, blk, s, ox,
+                                                      oy, oz, dx, dy, dz,
+                                                      tmin, tmax),
+                                    lambda h: h, hf)
+                            else:
+                                hf = _sub_any(blk, s, ox, oy, oz, dx, dy, dz,
+                                              tmin, tmax, hf)
                         return hf
 
                     return jax.lax.cond(flag, hit_blk, lambda h: h, hf)

@@ -116,6 +116,40 @@ def test_megakernel_cluster_lowers_for_tpu(monkeypatch):
     export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
 
 
+def test_megakernel_cluster_sub_gate_lowers_for_tpu(monkeypatch):
+    """SUB_GATE: per-sub-block lax.cond chains inside the member fori
+    (scalar select chains over the traced member index) must lower."""
+    from jax import export
+
+    from rene_tpu.integrators import pallas_path as pp
+    from .test_pallas_cluster import big_mesh_scene
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "SUB_GATE", True)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_hbm_sub_gate_lowers_for_tpu(monkeypatch):
+    """SUB_GATE under HBM streaming (DMA + gated sub-unrolls)."""
+    from jax import export
+
+    from rene_tpu.integrators import pallas_path as pp
+    from .test_pallas_cluster import big_mesh_scene
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    monkeypatch.setattr(pp, "SUB_GATE", True)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
 def test_megakernel_volpath_lowers_for_tpu():
     from jax import export
 

@@ -442,6 +442,36 @@ def test_march_break_optin_matches(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sub_split_clamps_to_lane_budget(monkeypatch):
+    """SUB_TRIS=4 at CLUSTER=128 would need 32*6+6=198 ROW_BOX lanes;
+    the clamp halves n_sub until it fits (16 sub-blocks of 8 — the
+    effective floor of the SUB_TRIS sweep)."""
+    monkeypatch.setattr(pp, "SUB_TRIS", 4)
+    n_sub, sub = pp._sub_split(128)
+    assert n_sub * 6 + 6 <= 128
+    assert (n_sub, sub) == (16, 8)
+    n_sub, sub = pp._sub_split(64)
+    assert n_sub * 6 + 6 <= 64
+    assert n_sub * sub == 64
+
+
+def test_sub_gate_matches(monkeypatch):
+    """SUB_GATE (per-sub-block MT conds inside the member fori) must
+    render identically to the ungated member march: a skipped sub-box
+    cannot contain a hit inside [tmin, t_best/tmax]."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    spp = 8
+    base = pp.make_pallas_batch_fn(bn, cfg, interpret=True)(3, spp)
+    monkeypatch.setattr(pp, "SUB_GATE", True)
+    gated = pp.make_pallas_batch_fn(bn, cfg, interpret=True)(3, spp)
+    for k in ("radiance", "normal", "albedo"):
+        np.testing.assert_allclose(np.asarray(gated[k]),
+                                   np.asarray(base[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_oct_packing_invariants(monkeypatch):
     """Octant-section layout (mesh_oct): per section, the row-0
     IDX_LANE indices are a permutation of the groups, the MINPJ keys
