@@ -108,7 +108,12 @@ SUB_GATE = os.environ.get("RENE_SUB_GATE", "0") == "1"
 # the non-MEMBER_FORI path's gating at N_SUB MT copies instead of
 # SUPER*N_SUB. Flags are computed from the group-entry t_best/hf —
 # stale but conservative (a skipped sub-box cannot contain a closer
-# hit). Off by default until measured on-chip (tpu_session_r4f).
+# hit). Measured (tpu_session_r4f): WINS -5% for the wave engine's
+# sorted coherent tiles (teapot @720p 0.582 -> 0.554, now the wave
+# default via make_pallas_wave_fn sub_gate), LOSES +17% for the
+# megakernel's wide bounce beams (dragon @720p 0.108 -> 0.126) — this
+# module-level default stays off; _build_kernel snapshots the knob (or
+# its sub_gate override) at build time.
 # -- wavefront engine ray-state layout (see pallas_wave.py) -----------------
 # One (W_NROWS, N) f32 array carries every in-flight ray; the host sorts
 # lanes by direction-octant x origin-cell between k-bounce kernel launches
@@ -1190,7 +1195,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                   wave_k: int = 0, wave_spw: int = 0,
                   wave_bounds=None, wave_dir_sub: bool = False,
-                  wave_genesis: bool = False):
+                  wave_genesis: bool = False, sub_gate=None):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
@@ -1204,6 +1209,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # snapshot the gating knob at BUILD time: kernels trace lazily (the
+    # wave runner builds its kernels under set/restore of module knobs)
+    sub_gate = SUB_GATE if sub_gate is None else sub_gate
     SHAPE = ((MESH_TILE_SUB
               if (ps.n_clusters or ps.inst_meshes or wave_k)
               else TILE_SUB), 128)
@@ -1745,7 +1753,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         r_, lane = ROWLANE(g * N_SUB + s)
                         es = _box_enter_row(brow, r_, lane, ox, oy, oz,
                                             ix, iy, iz, tmin, carry[0])
-                        if SUB_GATE:
+                        if sub_gate:
                             row.append(jnp.any(es))
                         eg = eg | es
                     flags.append(jnp.any(eg))
@@ -1764,7 +1772,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                                 CLUSTER)]
                         bid = (gi * SUPER + g) if want_cid else None
                         for s in range(N_SUB):
-                            if SUB_GATE:
+                            if sub_gate:
                                 fs = subflags[0][s]
                                 for k in range(1, SUPER):
                                     fs = jax.lax.select(g == k,
@@ -1911,7 +1919,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                         r_, lane = ROWLANE(g * N_SUB + s)
                         es = _box_enter_row(brow, r_, lane, ox, oy, oz,
                                             ix, iy, iz, tmin, tmax)
-                        if SUB_GATE:
+                        if sub_gate:
                             row.append(jnp.any(es & (hf < 0.5)))
                         eg = eg | es
                     flags.append(jnp.any(eg & (hf < 0.5)))
@@ -1929,7 +1937,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             blk = geom[:, pl.ds((gi * SUPER + g) * CLUSTER,
                                                 CLUSTER)]
                         for s in range(N_SUB):
-                            if SUB_GATE:
+                            if sub_gate:
                                 fs = subflags[0][s]
                                 for k in range(1, SUPER):
                                     fs = jax.lax.select(g == k,

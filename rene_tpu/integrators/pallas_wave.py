@@ -68,6 +68,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         sort_gran: int = 0,
                         init_mode: str = "",
                         sort_mode: str = "",
+                        sub_gate=None,
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -127,6 +128,14 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     sort_gran = sort_gran or int(os.environ.get("RENE_WAVE_GRAN", "1"))
     init_mode = init_mode or os.environ.get("RENE_WAVE_INIT", "xla")
     sort_mode = sort_mode or os.environ.get("RENE_WAVE_SORT", "gather")
+    if sub_gate is None:
+        # per-sub-block MT gating (pallas_path SUB_GATE) defaults ON for
+        # the wave engine ONLY: its sorted tiles enter members with few
+        # live sub-boxes, so the cond overhead pays (r4f T1 0.554 vs TB
+        # 0.582 s/spp teapot @720p); the megakernel's wide bounce beams
+        # enter most sub-boxes and the same gating LOSES there (r4f F1a
+        # dragon 0.126 vs FB 0.108).
+        sub_gate = os.environ.get("RENE_WAVE_SUB_GATE", "1") == "1"
     if sort_mode == "dma" and sort_from < 1:
         sort_mode = "gather"  # dma passes AOVs through unpermuted,
         # which is only correct under slim-sort conditions
@@ -203,13 +212,15 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             _kernels[_k] = pp._build_kernel(ps, 0, interpret, wave_k=_k,
                                             wave_spw=spw,
                                             wave_bounds=wave_bounds,
-                                            wave_dir_sub=dir_sub)
+                                            wave_dir_sub=dir_sub,
+                                            sub_gate=sub_gate)
         if init_mode == "kernel":
             _genesis = pp._build_kernel(ps, 0, interpret, wave_k=1,
                                         wave_spw=spw,
                                         wave_bounds=wave_bounds,
                                         wave_dir_sub=dir_sub,
-                                        wave_genesis=True)
+                                        wave_genesis=True,
+                                        sub_gate=sub_gate)
     finally:
         pp.SUB_TRIS = _sub0
     mesh_specs, mesh_args, scratch_shapes = pp._mesh_operands(ps)
@@ -221,7 +232,8 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             _kernels[k] = pp._build_kernel(ps, 0, interpret, wave_k=k,
                                            wave_spw=spw,
                                            wave_bounds=wave_bounds,
-                                           wave_dir_sub=dir_sub)
+                                           wave_dir_sub=dir_sub,
+                                           sub_gate=sub_gate)
         return _kernels[k]
 
     def call_kernel(k, sc, state3):
@@ -807,6 +819,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     run.sort_mode = sort_mode   # resolved (incl. env knobs): sessions
     run.init_mode = init_mode   # and tests can assert the active config
     run.sort_gran = sort_gran
+    run.sub_gate = sub_gate
     run.sort_prefix = sort_prefix
     run.kernel_step = kernel_step  # diagnostics: step one launch and
     run.n_pad = n_pad              # inspect state rows (e.g. WROW_KEY

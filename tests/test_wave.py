@@ -402,3 +402,11 @@ def test_wave_env_knob_resolution(monkeypatch):
     run = make_pallas_wave_fn(bn, cfg, interpret=True,
                               samples_per_wave=2, sort_gran=1)
     assert run.sort_gran == 1
+    assert run.sub_gate is True  # wave default: gating ON (r4f T1)
+    monkeypatch.setenv("RENE_WAVE_SUB_GATE", "0")
+    run = make_pallas_wave_fn(bn, cfg, interpret=True,
+                              samples_per_wave=2)
+    assert run.sub_gate is False
+    run = make_pallas_wave_fn(bn, cfg, interpret=True,
+                              samples_per_wave=2, sub_gate=True)
+    assert run.sub_gate is True  # explicit argument beats the env
