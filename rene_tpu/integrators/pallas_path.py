@@ -1195,7 +1195,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
 def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                   wave_k: int = 0, wave_spw: int = 0,
                   wave_bounds=None, wave_dir_sub: bool = False,
-                  wave_genesis: bool = False, sub_gate=None):
+                  wave_genesis: bool = False, sub_gate=None,
+                  pack: int = 1):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
@@ -1203,7 +1204,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     breaks the any-lane SIMT wall of the cluster march). wave_spw:
     lanes per pixel (the sobol sampler derives the pixel-global sample
     index from the lane's slot). wave_bounds: (lo3, ext3) scene bounds
-    for the WROW_KEY Morton fallback of non-cluster hits."""
+    for the WROW_KEY Morton fallback of non-cluster hits. pack > 1
+    (megakernel only): sample-in-tile packing — the tile's 1024 lanes
+    cover a (32/sqrt(pack))^2-pixel block x `pack` sample slots, so the
+    tile's camera beam is as tight as a render at sqrt(pack)x the
+    resolution (r4g proxy: dragon @720p 0.108 -> 0.083 predicted at
+    pack=16). Each slot gets decorrelated streams: the lane-id RNG key
+    and the sobol pixkey both mix in the slot index."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -3438,11 +3445,20 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         pxf = px_ref[:]
         pyf = py_ref[:]
 
+        # sample-in-tile packing: the lane's sample slot is static in
+        # the tile layout (lane j covers pixel j % ppb at slot j // ppb)
+        pid32 = (pxf + pyf * float(W)).astype(jnp.int32)
+        if pack > 1:
+            ppb = (SHAPE[0] * 128) // pack
+            slot_i = (jax.lax.broadcasted_iota(jnp.int32, SHAPE, 0) * 128
+                      + jax.lax.broadcasted_iota(jnp.int32, SHAPE, 1)
+                      ) // ppb
+            # decorrelate the interpret-mode stream per (pixel, slot)
+            pid32 = pid32 + slot_i * jnp.int32(NPIX)
         # interpret-mode RNG stream state (pass-through on TPU)
-        lane_i = pltpu.bitcast(
-            (pxf + pyf * float(W)).astype(jnp.int32), jnp.uint32) \
+        lane_i = pltpu.bitcast(pid32, jnp.uint32) \
             if not interpret else jax.lax.bitcast_convert_type(
-                (pxf + pyf * float(W)).astype(jnp.int32), jnp.uint32)
+                pid32, jnp.uint32)
         seed_u = pltpu.bitcast(
             jnp.full(SHAPE, seed_ref[0] + pid * jnp.int32(65537),
                      jnp.int32), jnp.uint32) if not interpret else \
@@ -3451,7 +3467,16 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                          jnp.int32), jnp.uint32)
         st0 = (lane_i * jnp.uint32(2654435761) ^ seed_u) | jnp.uint32(1)
         if SOBOL:
-            pixkey = sob_pixkey(pxf, pyf, seed_u)
+            # per-slot Owen scrambling key: each slot is an independent
+            # (0,2)-sequence chunk of the pixel (same model as the
+            # per-chunk seed mix in render.py's driver loop)
+            skey = seed_u
+            if pack > 1:
+                slot_u = pltpu.bitcast(slot_i, jnp.uint32) \
+                    if not interpret else jax.lax.bitcast_convert_type(
+                        slot_i, jnp.uint32)
+                skey = seed_u ^ (slot_u * jnp.uint32(0x9E3779B1))
+            pixkey = sob_pixkey(pxf, pyf, skey)
             izero0 = (pxf * 0.0).astype(jnp.int32)
             ju0, jv0 = ld2(izero0, pixkey, izero0, SLOT_CAM)
         else:
@@ -4822,9 +4847,22 @@ def _mesh_operands(ps: PallasScene):
 
 def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                          interpret: bool = False,
-                         pad_tiles_to: int = 1):
+                         pad_tiles_to: int = 1,
+                         pack: int = 0):
     """Returns run(seed: int32 scalar, num_samples static) -> dict of (N,3)
     radiance/normal/albedo + rays, or None if the scene is ineligible.
+
+    `pack` (cluster scenes only; 1, 4 or 16; 0 = env `RENE_MEGA_PACK`
+    else 1): sample-in-tile packing. A tile's 1024 lanes cover a
+    (32/sqrt(pack))^2-pixel block x pack sample slots instead of a
+    32x32-pixel block, so the tile's camera beam is sqrt(pack)x tighter
+    and the any-lane cluster cull admits far fewer boxes on big meshes
+    (r4g proxy sweep: dragon @720p 0.108 -> 0.090/0.083 predicted at
+    pack=4/16). num_samples then counts PER-LANE samples: one call
+    delivers num_samples*pack samples per pixel (exposed as
+    run.spp_mult; lane sums over slots are reduced in finish()).
+    This is the TPU stand-in for raising occupancy per RT-core dispatch
+    (reference: rene/src/main.rs:2417-2908 ray scheduling).
 
     `pad_tiles_to`: round the tile count up to a multiple (so the ray-tile
     grid divides a device mesh; see parallel.shard.make_pallas_multichip).
@@ -4845,12 +4883,20 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     tile_sub = MESH_TILE_SUB if cluster_mode else TILE_SUB
     tile = tile_sub * 128
     npix = ps.width * ps.height
+    pack = pack or int(os.environ.get("RENE_MEGA_PACK", "1"))
+    if not cluster_mode:
+        pack = 1  # immediates scenes do no box culling — nothing to win
+    if pack not in (1, 4, 16):
+        raise ValueError(f"pack must be 1, 4 or 16, got {pack}")
+    sel_idx = None
     if cluster_mode:
-        # cluster scenes: one tile = a square 32x32 pixel block, so the
-        # tile's camera-ray beam stays tight and the any-lane AABB cull
-        # skips most clusters (a 1024-pixel scan-line strip crosses far
-        # more boxes than a square block)
-        bs = 32
+        # cluster scenes: one tile = a square 32x32 pixel block (with
+        # packing: a smaller block x pack sample slots), so the tile's
+        # camera-ray beam stays tight and the any-lane AABB cull skips
+        # most clusters (a 1024-pixel scan-line strip crosses far more
+        # boxes than a square block)
+        bs = 32 // int(np.sqrt(pack))
+        ppb = bs * bs              # pixels per block (tile = ppb * pack)
         bw = (ps.width + bs - 1) // bs
         bh = (ps.height + bs - 1) // bs
         n_tiles = bw * bh
@@ -4858,15 +4904,34 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         rows = n_tiles * tile_sub
         t_idx = np.arange(n_tiles)[:, None]
         j = np.arange(tile)[None, :]
+        jp = j % ppb               # pixel-in-block (slot = j // ppb,
+        #                            rederived in-kernel from lane iota)
         # padding tiles (t_idx >= bw*bh) clamp to the last pixel rows
-        pxi = np.minimum((t_idx % bw) * bs + j % bs, ps.width - 1)
-        pyi = np.minimum(np.minimum(t_idx // bw, bh - 1) * bs + j // bs,
+        pxi = np.minimum((t_idx % bw) * bs + jp % bs, ps.width - 1)
+        pyi = np.minimum(np.minimum(t_idx // bw, bh - 1) * bs + jp // bs,
                          ps.height - 1)
         pix = (pyi * ps.width + pxi).reshape(-1)
-        # first lane owning each pixel (edge/padding blocks duplicate
-        # clamped pixels; the output gather reads one representative lane)
-        inv_idx = np.zeros(npix, np.int64)
-        inv_idx[pix[::-1]] = np.arange(pix.size - 1, -1, -1)
+        if pack == 1:
+            # first lane owning each pixel (edge/padding blocks duplicate
+            # clamped pixels; the output gather reads one representative
+            # lane)
+            inv_idx = np.zeros(npix, np.int64)
+            inv_idx[pix[::-1]] = np.arange(pix.size - 1, -1, -1)
+        else:
+            # one representative lane per (pixel, slot); finish() sums
+            # the pack slots (lane outputs are per-sample SUMS, so the
+            # slot reduction is exact)
+            inv_idx = None
+            sel_idx = np.zeros((npix, pack), np.int64)
+            jarr = np.arange(tile)
+            for s in range(pack):
+                lsel = np.where(jarr // ppb == s)[0]
+                gl = (np.arange(n_tiles)[:, None] * tile
+                      + lsel[None, :]).reshape(-1)
+                pix_s = pix.reshape(n_tiles, tile)[:, lsel].reshape(-1)
+                inv = np.zeros(npix, np.int64)
+                inv[pix_s[::-1]] = gl[::-1]
+                sel_idx[:, s] = inv
         px_host = pix.astype(np.float32).reshape(rows, 128) % ps.width
         py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
     else:
@@ -4883,8 +4948,9 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
 
     def call_tiles(seed, num_samples, px, py):
         """Traceable pallas call over a (rows_local, 128) lane block —
-        the unit a shard_map shards; returns the 10 raw lane outputs."""
-        kernel = _build_kernel(ps, num_samples, interpret)
+        the unit a shard_map shards; returns the 10 raw lane outputs.
+        num_samples counts PER-LANE samples (x pack per pixel)."""
+        kernel = _build_kernel(ps, num_samples, interpret, pack=pack)
         rows_l = px.shape[0]
         return pl.pallas_call(
             kernel,
@@ -4904,7 +4970,11 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
 
     def finish(outs):
         """Full-rows lane outputs -> per-pixel dict."""
-        if inv_idx is not None:
+        if sel_idx is not None:
+            sel2 = jnp.asarray(sel_idx)
+            def to_pix(o):
+                return o.reshape(-1)[sel2].sum(axis=-1)
+        elif inv_idx is not None:
             sel = jnp.asarray(inv_idx)
             def to_pix(o):
                 return o.reshape(-1)[sel]
@@ -4917,11 +4987,27 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         return {"radiance": rad, "normal": nrm, "albedo": alb,
                 "rays": jnp.sum(outs[9])}
 
+    # px/py live as device arrays OUTSIDE the jit: as closure constants
+    # they'd be baked into the module (2 x rows x 128 x f32 — at packed
+    # or proxy resolutions that exceeds the remote-compile body limit,
+    # r4g G6 HTTP 413) and re-shipped on every compile
+    px_dev = []
+
     @functools.partial(jax.jit, static_argnums=(1,))
+    def _run(seed, num_samples, px, py):
+        return finish(call_tiles(seed, num_samples, px, py))
+
+    def _args():
+        if not px_dev:
+            px_dev.append((jnp.asarray(px_host), jnp.asarray(py_host)))
+        return px_dev[0]
+
     def run(seed, num_samples):
-        return finish(call_tiles(seed, num_samples,
-                                 jnp.asarray(px_host),
-                                 jnp.asarray(py_host)))
+        return _run(seed, num_samples, *_args())
+
+    # warm-cache entry point (render.warm_cache): forward to the jit
+    run.lower = lambda seed, num_samples: _run.lower(
+        seed, num_samples, *_args())
 
     # samples per device call: the runtime watchdog kills executions that
     # run for minutes, and cluster-march cost scales with tiles x clusters
@@ -4931,6 +5017,9 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         eff_clusters = ps.n_clusters + sum(
             im["n_clusters"] * im["n_inst"]
             for im in (ps.inst_meshes or []))
+        # per-call device time ~ n_tiles * clusters * num_samples; with
+        # packing n_tiles grows by pack, so the per-lane hint shrinks
+        # while the DELIVERED samples per call (hint * pack) hold steady
         hint = max(1, min(100, 2_000_000
                           // max(n_tiles * eff_clusters, 1)))
         if ps.integrator == "volpath":
@@ -4939,6 +5028,7 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         run.chunk_hint = hint
     else:
         run.chunk_hint = 100
+    run.spp_mult = pack  # delivered spp per call = num_samples * pack
     run.call_tiles = call_tiles
     run.finish = finish
     run.px_host = px_host

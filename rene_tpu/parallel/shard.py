@@ -162,6 +162,7 @@ def make_pallas_multichip(buffers_np, config, mesh, mode: str = "samples",
     fn.chunk_hint = run.chunk_hint
     fn.ndev = ndev
     fn.npix = run.npix
+    fn.spp_mult = getattr(run, "spp_mult", 1)  # sample-in-tile packing
     return fn
 
 
@@ -279,8 +280,10 @@ def _render_pallas_multichip(prun, config, spp: int, seed: int, mode: str):
     accum = {k: np.zeros((n, 3), np.float32)
              for k in ("radiance", "normal", "albedo")}
     ndev = getattr(prun, "ndev", None) or prun.effective_multiplier
-    # samples mode: every device call yields chunk*ndev samples
-    per_call = ndev if mode == "samples" else 1
+    # samples mode: every device call yields chunk*ndev samples; a
+    # packed megakernel (spp_mult > 1) multiplies both modes
+    per_call = (ndev if mode == "samples" else 1) \
+        * getattr(prun, "spp_mult", 1)
     max_chunk = min(100, getattr(prun, "chunk_hint", 100))
     host_rng = np.random.default_rng(seed)
     total_rays = 0.0

@@ -301,13 +301,16 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
                      start_sample)
 
     # cluster scenes cap samples per device call (watchdog; see
-    # make_pallas_batch_fn.chunk_hint)
+    # make_pallas_batch_fn.chunk_hint). chunk_hint and run() count
+    # PER-LANE samples; a packed runner (spp_mult = pack > 1) delivers
+    # chunk * spp_mult samples per pixel per call
     max_chunk = min(LOG_EVERY, getattr(run, "chunk_hint", LOG_EVERY))
+    mult = getattr(run, "spp_mult", 1)
     host_rng = np.random.default_rng(seed)
     consumed = 0
     while consumed < start_sample:
         host_rng.integers(0, 2 ** 31, dtype=np.int32)
-        consumed += min(max_chunk, start_sample - consumed)
+        consumed += min(max_chunk * mult, start_sample - consumed)
 
     total_rays = 0.0
     t_start = time.time()
@@ -321,7 +324,9 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
                  if not checkpoint and start_sample == 0 else None)
     acc = None
     while done < spp:
-        chunk = min(max_chunk, spp - done)
+        # per-lane chunk; a packed runner may overshoot spp by < mult
+        # (the final average divides by the samples actually delivered)
+        chunk = min(max_chunk, -(-(spp - done) // mult))
         chunk_seed = int(host_rng.integers(0, 2 ** 31, dtype=np.int32))
         if dev_accum is not None:
             acc = dev_accum(chunk_seed, chunk, acc)
@@ -331,7 +336,7 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
             for k in accum:
                 accum[k] += np.asarray(out[k])
             total_rays += float(out["rays"])
-        done += chunk
+        done += chunk * mult
         dt = (time.time() - t_batch) * 1000.0
         log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
         t_batch = time.time()
@@ -347,9 +352,9 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
         total_rays += out["rays"]
 
     return {
-        "color": rays_to_image(accum["radiance"] / max(spp, 1), w, h),
-        "normal": rays_to_image(accum["normal"] / max(spp, 1), w, h),
-        "albedo": rays_to_image(accum["albedo"] / max(spp, 1), w, h),
+        "color": rays_to_image(accum["radiance"] / max(done, 1), w, h),
+        "normal": rays_to_image(accum["normal"] / max(done, 1), w, h),
+        "albedo": rays_to_image(accum["albedo"] / max(done, 1), w, h),
         "config": config,
         "total_rays": total_rays,
         "wall_time": time.time() - t_start,

@@ -116,6 +116,27 @@ def test_megakernel_cluster_lowers_for_tpu(monkeypatch):
     export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
 
 
+def test_megakernel_cluster_packed_lowers_for_tpu(monkeypatch):
+    """Sample-in-tile packing (pack=16): the in-kernel slot iota, the
+    slot-mixed lane-id/pixkey uint math, and the slot-summed finish
+    gather must all lower. Sampler sobol exercises the per-slot Owen
+    key mix."""
+    import dataclasses
+
+    from jax import export
+
+    from rene_tpu.integrators import pallas_path as pp
+    from .test_pallas_cluster import big_mesh_scene
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    scene = big_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    cfg = dataclasses.replace(cfg, sampler="sobol")
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=False, pack=16)
+    assert run is not None and run.spp_mult == 16
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
 def test_megakernel_cluster_sub_gate_lowers_for_tpu(monkeypatch):
     """SUB_GATE: per-sub-block lax.cond chains inside the member fori
     (scalar select chains over the traced member index) must lower."""

@@ -166,3 +166,37 @@ WorldEnd"""
     assert warm_cache(scene, engine="xla") >= 1
     # pallas (interpret) compile path
     assert warm_cache(scene, engine="pallas") >= 1
+
+
+def test_render_pallas_packed_chunking():
+    """A packed runner (spp_mult > 1) counts PER-LANE samples: the
+    driver loop must chunk in per-lane units, may overshoot the spp
+    target by < spp_mult, and must normalize by the samples actually
+    delivered."""
+    from types import SimpleNamespace
+
+    from rene_tpu.render import _render_pallas
+
+    w = h = 8
+    calls = []
+
+    def run(seed, chunk):
+        calls.append(chunk)
+        # per-sample radiance 1.0, summed over chunk * spp_mult samples
+        s = float(chunk * run.spp_mult)
+        return {"radiance": np.full((w * h, 3), s, np.float32),
+                "normal": np.full((w * h, 3), s, np.float32),
+                "albedo": np.full((w * h, 3), s, np.float32),
+                "rays": 1.0}
+
+    run.spp_mult = 4
+    run.chunk_hint = 3
+    config = SimpleNamespace(film=SimpleNamespace(xresolution=w,
+                                                  yresolution=h))
+    out = _render_pallas(run, config, spp=10, seed=0, checkpoint=None,
+                         resume=False, progress=None)
+    # 10 spp at mult 4 -> one call of ceil(10/4)=3 per-lane samples
+    # (12 delivered); the average must still be exactly 1.0
+    assert calls == [3]
+    np.testing.assert_allclose(out["color"], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(out["albedo"], 1.0, rtol=1e-6)
