@@ -4886,8 +4886,8 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     pack = pack or int(os.environ.get("RENE_MEGA_PACK", "1"))
     if not cluster_mode:
         pack = 1  # immediates scenes do no box culling — nothing to win
-    if pack not in (1, 4, 16):
-        raise ValueError(f"pack must be 1, 4 or 16, got {pack}")
+    if pack not in (1, 4, 16, 64):
+        raise ValueError(f"pack must be 1, 4, 16 or 64, got {pack}")
     sel_idx = None
     if cluster_mode:
         # cluster scenes: one tile = a square 32x32 pixel block (with
@@ -4918,20 +4918,16 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
             inv_idx = np.zeros(npix, np.int64)
             inv_idx[pix[::-1]] = np.arange(pix.size - 1, -1, -1)
         else:
-            # one representative lane per (pixel, slot); finish() sums
-            # the pack slots (lane outputs are per-sample SUMS, so the
-            # slot reduction is exact)
+            # a tile's pack slots share the pixel-in-block layout, so
+            # finish() sums lanes over the SLOT axis by reshape (a
+            # sequential reduce — lane outputs are per-sample SUMS, so
+            # the reduction is the film accumulation) and gathers ONE
+            # representative (tile, pixel-in-block) position per pixel
+            # (an npix gather instead of npix*pack)
             inv_idx = None
-            sel_idx = np.zeros((npix, pack), np.int64)
-            jarr = np.arange(tile)
-            for s in range(pack):
-                lsel = np.where(jarr // ppb == s)[0]
-                gl = (np.arange(n_tiles)[:, None] * tile
-                      + lsel[None, :]).reshape(-1)
-                pix_s = pix.reshape(n_tiles, tile)[:, lsel].reshape(-1)
-                inv = np.zeros(npix, np.int64)
-                inv[pix_s[::-1]] = gl[::-1]
-                sel_idx[:, s] = inv
+            flat = pix.reshape(n_tiles, tile)[:, :ppb].reshape(-1)
+            sel_idx = np.zeros(npix, np.int64)
+            sel_idx[flat[::-1]] = np.arange(flat.size - 1, -1, -1)
         px_host = pix.astype(np.float32).reshape(rows, 128) % ps.width
         py_host = (pix // ps.width).astype(np.float32).reshape(rows, 128)
     else:
@@ -4973,7 +4969,8 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         if sel_idx is not None:
             sel2 = jnp.asarray(sel_idx)
             def to_pix(o):
-                return o.reshape(-1)[sel2].sum(axis=-1)
+                return o.reshape(n_tiles, pack, -1).sum(axis=1) \
+                        .reshape(-1)[sel2]
         elif inv_idx is not None:
             sel = jnp.asarray(inv_idx)
             def to_pix(o):
