@@ -133,6 +133,9 @@ def main():
             cbn, cconfig = build_device_scene(cscene)
             crun = make_pallas_batch_fn(cbn, cconfig)
             if crun is not None:
+                # packed runners (spp_mult = pack > 1) count PER-LANE
+                # samples; the metric stays s per DELIVERED spp
+                mult = getattr(crun, "spp_mult", 1)
                 k1, k2 = 2, 6
                 # warm BOTH chunk sizes (each num_samples is its own jit)
                 np.asarray(crun(0, k1)["radiance"])
@@ -142,7 +145,7 @@ def main():
                 t1 = time.time()
                 float(crun(2, k2)["rays"])
                 t2 = time.time()
-                marginal = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+                marginal = ((t2 - t1) - (t1 - t0)) / ((k2 - k1) * mult)
                 result["extra"] = {
                     "metric": "s/spp dragon @320x180 (pallas cluster, "
                               "marginal)",

@@ -206,14 +206,17 @@ MINPJ_LANE = 127
 # where the sweep-to-work ratio may differ.
 
 
-def _sub_split(cluster: int):
+def _sub_split(cluster: int, sub_tris: int = 0):
     """(n_sub, sub) block split of a cluster width (tests shrink CLUSTER).
 
     ROW_BOX carries n_sub*6 sub-box lanes plus 6 super lanes inside the
     cluster's own `cluster` lanes, so n_sub is clamped to fit (SUB_TRIS=4
     at CLUSTER=64 would need 102 lanes and previously crashed the packer).
-    """
-    n_sub = max(1, cluster // SUB_TRIS)
+    `sub_tris` overrides the module knob (packed megakernels default to
+    16 — the r4g/r4j sweeps' winner at packed beam tightness — while 64
+    stays the unpacked default; both must see the SAME value in the
+    table packer and the kernel builder)."""
+    n_sub = max(1, cluster // (sub_tris or SUB_TRIS))
     while n_sub > 1 and n_sub * 6 + 6 > cluster:
         n_sub //= 2
     return n_sub, cluster // n_sub
@@ -1196,7 +1199,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                   wave_k: int = 0, wave_spw: int = 0,
                   wave_bounds=None, wave_dir_sub: bool = False,
                   wave_genesis: bool = False, sub_gate=None,
-                  pack: int = 1):
+                  pack: int = 1, sub_tris: int = 0):
     """num_samples: regeneration target of the megakernel (ignored in
     wave mode). wave_k > 0 builds the WAVEFRONT kernel instead: a
     k-bounce chunk over an externally sorted ray-state array (see
@@ -1574,7 +1577,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                    jnp.where(d >= 0, tiny, -tiny))
         return inv(dx), inv(dy), inv(dz)
 
-    N_SUB, SUB = _sub_split(CLUSTER)
+    N_SUB, SUB = _sub_split(CLUSTER, sub_tris)
 
     def _mt_test(blk, k, ox, oy, oz, dx, dy, dz):
         """Moller-Trumbore vs triangle slot k of the sliced cluster block;
@@ -4878,16 +4881,48 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ps = pack_scene(buffers_np, config)
+    npix = config.film.xresolution * config.film.yresolution
+    if pack == 0:
+        envp = os.environ.get("RENE_MEGA_PACK", "")
+        if envp and envp != "auto":
+            pack = int(envp)
+        elif interpret and not envp:
+            # tests/CPU: packing multiplies the interpret-mode tile
+            # count for no cull win the interpreter would notice
+            pack = 1
+        else:
+            # auto: the largest pack whose lane arrays fit the budget
+            # (12 f32 lane buffers; 1<<26 lanes ~ 3.2 GB) — @320x180
+            # and @720p that is 64, @1080p 16, @4K 4 (r4h/r4j: dragon
+            # @720p 0.108 unpacked -> 0.0791 at pack=64)
+            pack = 1
+            for p in (64, 16, 4):
+                if npix * p <= (1 << 26):
+                    pack = p
+                    break
+    if pack not in (1, 4, 16, 64):
+        raise ValueError(f"pack must be 1, 4, 16 or 64, got {pack}")
+    # packed marches prefer finer sub-blocks (ST=16 beat 32/64 at every
+    # packed proxy/real point); a non-default module SUB_TRIS (sessions
+    # set pp.SUB_TRIS directly) or RENE_SUB_TRIS wins. The table packer
+    # below and the kernel builder (call_tiles) must use the SAME split.
+    sub_tris = int(os.environ.get("RENE_SUB_TRIS", "0")) or \
+        (SUB_TRIS if SUB_TRIS != 64 else (16 if pack > 1 else 0))
+    # set/restore the module knob around the packer (same pattern the
+    # wave runner and sessions use; `global` can't be declared after
+    # the reads above)
+    _g = globals()
+    _st0 = _g["SUB_TRIS"]
+    _g["SUB_TRIS"] = sub_tris or _st0
+    try:
+        ps = pack_scene(buffers_np, config)
+    finally:
+        _g["SUB_TRIS"] = _st0
     cluster_mode = bool(ps.n_clusters or ps.inst_meshes)
     tile_sub = MESH_TILE_SUB if cluster_mode else TILE_SUB
     tile = tile_sub * 128
-    npix = ps.width * ps.height
-    pack = pack or int(os.environ.get("RENE_MEGA_PACK", "1"))
     if not cluster_mode:
         pack = 1  # immediates scenes do no box culling — nothing to win
-    if pack not in (1, 4, 16, 64):
-        raise ValueError(f"pack must be 1, 4, 16 or 64, got {pack}")
     sel_idx = None
     if cluster_mode:
         # cluster scenes: one tile = a square 32x32 pixel block (with
@@ -4946,7 +4981,8 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
         """Traceable pallas call over a (rows_local, 128) lane block —
         the unit a shard_map shards; returns the 10 raw lane outputs.
         num_samples counts PER-LANE samples (x pack per pixel)."""
-        kernel = _build_kernel(ps, num_samples, interpret, pack=pack)
+        kernel = _build_kernel(ps, num_samples, interpret, pack=pack,
+                               sub_tris=sub_tris)
         rows_l = px.shape[0]
         return pl.pallas_call(
             kernel,

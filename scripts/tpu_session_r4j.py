@@ -64,6 +64,19 @@ def main():
         guard("J3", lambda: packed("J3", "dragon/scene.pbrt",
                                    320, 180, 64, st=64,
                                    spp_a=2, spp_b=6))
+    if "J5" in todo:
+        def j5():
+            from tpu_session_r4b import fog_teapot
+            scene = fog_teapot(1280, 720)
+            old = pp.SUB_TRIS
+            pp.SUB_TRIS = 16
+            try:
+                measure_packed("J.J5 fog-teapot volpath @720p "
+                               "pack=16 SUB_TRIS=16", scene, 16,
+                               spp_a=1, spp_b=2)
+            finally:
+                pp.SUB_TRIS = old
+        guard("J5", j5)
     if "J4" in todo:
         # fog-teapot: the volpath cluster scene used by the round-2/3
         # volpath wave-vs-mega A/Bs (teapot mesh + homogeneous fog)
@@ -83,3 +96,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+# J5 appended post-J4: fog-teapot volpath @720p pack=16 — decides the
+# volpath engine auto-policy (wave @720p = 0.727; J4 @320x180: packed
+# mega 0.105 beat wave 0.122).
