@@ -491,10 +491,15 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                            spw - 1).astype(np.int32)
     real_host = (np.arange(n_pad) < n_real)
 
-    def _init_state_core(seed, want_total):
+    def _init_state_core(seed, want_total, pxf, pyf, sloti, reali,
+                         lanei, pixi):
         """Fresh wave: camera rays for every lane with a nonzero sample
         target; want_total samples split as evenly as integers allow
-        across each pixel's spw lanes."""
+        across each pixel's spw lanes. The six per-lane index/coord
+        arrays arrive as ARGUMENTS (device-resident, uploaded once): as
+        jit closure constants they are baked into the serialized module
+        and blow the remote-compile body limit at spw >= 16 @720p
+        (n_pad ~ 15M lanes; same failure class as r4g G6)."""
         key = jax.random.fold_in(jax.random.PRNGKey(0),
                                  seed.astype(jnp.uint32))
         ju, jv = jax.random.uniform(key, (2, n_pad), jnp.float32)
@@ -505,13 +510,10 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             from ..ops import sobol as _sob
             base = seed.astype(jnp.int32) * 0 + want_total // spw
             rem = want_total % spw
-            slot = jnp.asarray(slot_host)
-            scum = slot * base + jnp.minimum(slot, rem)
+            scum = sloti * base + jnp.minimum(sloti, rem)
             sidx = scum.astype(jnp.uint32) & jnp.uint32(0xFFFF)
             seed_u = seed.astype(jnp.uint32)
-            pid_u = jnp.asarray(
-                np.minimum(pix_host, npix - 1).astype(np.int64)
-                .astype(np.uint32))
+            pid_u = jnp.minimum(pixi, npix - 1).astype(jnp.uint32)
             pixkey = _sob.hash_u32(
                 pid_u ^ (seed_u * jnp.uint32(0x85EBCA6B)))
             ub, vb = _sob.ld2_bits(sidx, pixkey)
@@ -520,8 +522,6 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         from .camera import filter_jitter
         ju = filter_jitter(ju, float(ps.filter_radius))
         jv = filter_jitter(jv, float(ps.filter_radius))
-        pxf = jnp.asarray(pxf_host)
-        pyf = jnp.asarray(pyf_host)
         u = (pxf + ju) * (1.0 / max(W - 1, 1))
         v = (pyf + jv) * (1.0 / max(H - 1, 1))
         nx_ = u * 2.0 - 1.0
@@ -537,10 +537,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         dz = twz - cam_o[2]
         inv = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz,
                                          1e-20))
-        slot = jnp.asarray(slot_host)
         want_lane = jnp.where(
-            jnp.asarray(real_host),
-            want_total // spw + (slot < want_total % spw), 0) \
+            reali,
+            want_total // spw + (sloti < want_total % spw), 0) \
             .astype(jnp.float32)
         alive = (want_lane > 0).astype(jnp.float32)
         zeros = jnp.zeros((n_pad,), jnp.float32)
@@ -565,7 +564,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             zeros + 1.0, zeros + 1.0, zeros + 1.0,   # throughput
             zeros, zeros, zeros,                      # radiance
             alive, zeros,                             # alive, rays
-            jnp.asarray(lane_host),
+            lanei,
             pxf, pyf,                                 # owned pixel
             zeros, zeros,                             # sample, depth
             want_lane,                                # per-lane target
@@ -578,7 +577,9 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         ])                         # aligned DMA AOV passthrough)
         if sort_mode == "dma":
             return state, jnp.arange(NS_ALL, dtype=jnp.int32)
-        return state, jnp.asarray(pix_host)
+        # non-donated jit input -> the returned pix is a fresh buffer
+        # (the sorts donate it)
+        return state, pixi
 
     if init_mode == "kernel":
         # in-kernel genesis: the per-lane constants stream in as three
@@ -613,7 +614,25 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 return state, jnp.arange(NS_ALL, dtype=jnp.int32)
             return state, jnp.asarray(pix_host) + 0
 
-    init_state = jax.jit(_init_state_core)
+    # per-lane device constants, uploaded lazily once (xla init mode
+    # passes them as jit args — see _init_state_core's docstring)
+    _N_IC = 0 if init_mode == "kernel" else 6
+    _dev_ic = []
+
+    def _init_consts():
+        if _N_IC and not _dev_ic:
+            _dev_ic.append((jnp.asarray(pxf_host), jnp.asarray(pyf_host),
+                            jnp.asarray(slot_host),
+                            jnp.asarray(real_host),
+                            jnp.asarray(lane_host),
+                            jnp.asarray(pix_host)))
+        return _dev_ic[0] if _N_IC else ()
+
+    _jit_init = jax.jit(_init_state_core)
+
+    def init_state(seed, want_total):
+        return _jit_init(seed, want_total, *_init_consts())
+    init_state.__wrapped__ = _init_state_core
 
     # static pixel grouping for the never-permuted AOV rows (slim mode)
     aov_perm_host = np.argsort(pix_host, kind="stable").astype(np.int32)
@@ -622,7 +641,11 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     # static inverse
     inv_order_host = np.argsort(order).astype(np.int32)
 
-    def _finish_core(state, pix):
+    def _finish_core(state, pix, aperm):
+        """`aperm` (the static AOV pixel grouping, n_pad i32) is an
+        ARGUMENT for the same remote-compile-size reason as the init
+        constants; the dma branch ignores it (its inv_order is npix-
+        sized — cheap to bake)."""
         if sort_mode == "dma":
             # `pix` is the composed slice permutation: one more DMA
             # pass restores the INITIAL lane order, making the pixel
@@ -639,7 +662,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         order_d = jnp.argsort(pix)
         rows = jnp.take(state[pp.WROW_R:pp.WROW_R + 3], order_d,
                         axis=1)
-        aorder = jnp.asarray(aov_perm_host) if slim else order_d
+        aorder = aperm if slim else order_d
         arows = jnp.take(state[pp.WROW_AN:pp.WROW_AN + 6], aorder,
                          axis=1)
         # each pixel's spw lanes are consecutive after the pixel sort
@@ -649,7 +672,18 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             axis=0)
         return sums, jnp.sum(state[pp.WROW_RAYS])
 
-    finish_wave = jax.jit(_finish_core)
+    _dev_ap = []
+
+    def _aperm():
+        if not _dev_ap:
+            _dev_ap.append(jnp.asarray(aov_perm_host))
+        return _dev_ap[0]
+
+    _jit_finish = jax.jit(_finish_core)
+
+    def finish_wave(state, pix):
+        return _jit_finish(state, pix, _aperm())
+    finish_wave.__wrapped__ = _finish_core
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _accum_sums(prev_s, prev_r, s, r):
@@ -668,15 +702,19 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         P2 = P(axis, None)
 
         @jax.jit
-        def init_state(seed, want_total):
-            def per_dev(seed, want_total):
+        def _mc_init(seed, want_total, *consts):
+            def per_dev(seed, want_total, *consts):
                 idx = jax.lax.axis_index(axis).astype(jnp.int32)
                 s, p = _init_state_core(seed + idx * jnp.int32(1000003),
-                                        want_total)
+                                        want_total, *consts)
                 return s[None], p[None]
-            f = shard_map(per_dev, mesh=mesh, in_specs=(P(), P()),
+            f = shard_map(per_dev, mesh=mesh,
+                          in_specs=(P(), P()) + (P(),) * _N_IC,
                           out_specs=(P3, P2), check_vma=False)
-            return f(jnp.int32(seed), jnp.int32(want_total))
+            return f(jnp.int32(seed), jnp.int32(want_total), *consts)
+
+        def init_state(seed, want_total):  # noqa: F811
+            return _mc_init(seed, want_total, *_init_consts())
 
         @functools.partial(jax.jit, static_argnums=(2,),
                            donate_argnums=(0, 1))
@@ -704,14 +742,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
             return kernel_step
 
         @jax.jit
-        def finish_wave(state, pix):
-            def per_dev(state, pix):
-                sums, rays = _finish_core(state[0], pix[0])
+        def _mc_finish(state, pix, aperm):
+            def per_dev(state, pix, aperm):
+                sums, rays = _finish_core(state[0], pix[0], aperm)
                 return (jax.lax.psum(sums, axis),
                         jax.lax.psum(rays, axis))
-            f = shard_map(per_dev, mesh=mesh, in_specs=(P3, P2),
+            f = shard_map(per_dev, mesh=mesh, in_specs=(P3, P2, P()),
                           out_specs=(P(), P()), check_vma=False)
-            return f(state, pix)
+            return f(state, pix, aperm)
+
+        def finish_wave(state, pix):  # noqa: F811
+            return _mc_finish(state, pix, _aperm())
 
     # launch count implied by the schedule
     steps = 0
