@@ -4900,8 +4900,8 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                 if npix * p <= (1 << 26):
                     pack = p
                     break
-    if pack not in (1, 4, 16, 64):
-        raise ValueError(f"pack must be 1, 4, 16 or 64, got {pack}")
+    if pack not in (1, 4, 16, 64, 256):
+        raise ValueError(f"pack must be a power of 4 <= 256, got {pack}")
     # packed marches prefer finer sub-blocks (ST=16 beat 32/64 at every
     # packed proxy/real point); a non-default module SUB_TRIS (sessions
     # set pp.SUB_TRIS directly) or RENE_SUB_TRIS wins. The table packer

@@ -171,11 +171,12 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     # at least 2 — so the driver chunk equals spw (want=1/lane);
     # explicit samples_per_wave still composes lanes x regeneration.
     # measured @720p: spw 1/2/4/8 -> 2.66/1.45/1.25/1.02 s/spp (r3) and
-    # 8/12/16/18 -> 0.551/0.502/0.463/0.460 under the full r4 stack
-    # (r4i: the ~1.5 s/wave fixed init+finish cost amortizes over spw)
-    # — so the budget is 1<<24 lanes (@720p auto = 18; memory is
-    # 104 B/lane, ~2.1 GB of state at the budget + sort buffers)
-    spw = samples_per_wave or max(2, min(18, (1 << 24) // npix))
+    # 8/12/16/18/24 -> 0.551/0.502/0.463/0.460/0.453 under the full r4
+    # stack (r4i/r4l: the ~1.5 s/wave fixed init+finish cost amortizes
+    # over spw; the curve flattens past 16) — budget 3<<23 lanes, cap
+    # 24 (@720p auto = 24; 104 B/lane, ~2.8 GB of state at the budget
+    # + sort buffers)
+    spw = samples_per_wave or max(2, min(24, (3 << 23) // npix))
     cap = spw
     n_real = npix * spw
     n_tiles = -(-n_real // tile)
