@@ -586,19 +586,20 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
         return state, pixi
 
     if init_mode == "kernel":
-        # in-kernel genesis: the per-lane constants stream in as three
-        # tiled f32 inputs (jit closure constants, uploaded once);
-        # everything else is synthesized at VPU rate (wave_genesis in
-        # pallas_path.py). The pix side array is a device-resident
-        # constant copied on-chip (one op) — it is donated to the
-        # sorts, so each wave needs a fresh buffer.
+        # in-kernel genesis: the per-lane coordinates stream in as
+        # three tiled f32 inputs (device-resident args — as closure
+        # constants they hit the remote-compile body limit at large
+        # spw, like the xla-mode arrays above); everything else is
+        # synthesized at VPU rate (wave_genesis in pallas_path.py).
+        # The pix side array is donated to the sorts, so each wave
+        # needs a fresh buffer.
         _px2 = pxf_host.reshape(n_tiles * tile_sub, 128)
         _py2 = pyf_host.reshape(n_tiles * tile_sub, 128)
         _ln2 = lane_host.reshape(n_tiles * tile_sub, 128)
         _const_spec = pl.BlockSpec((tile_sub, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
 
-        def _genesis_call(sc):
+        def _genesis_call(sc, px2, py2, ln2):
             return pl.pallas_call(
                 _genesis, grid=(n_tiles,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -607,36 +608,47 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                 out_shape=jax.ShapeDtypeStruct(
                     (NR, n_tiles * tile_sub, 128), jnp.float32),
                 interpret=interpret,
-            )(sc, _px2, _py2, _ln2)
+            )(sc, px2, py2, ln2)
 
-        def _init_state_core(seed, want_total):  # noqa: F811
+        def _init_state_core(seed, want_total, px2, py2,  # noqa: F811
+                             ln2, pixi):
             wt = want_total.astype(jnp.int32)
             sc = jnp.stack([seed.astype(jnp.int32), jnp.int32(-1),
                             jnp.int32(0), wt // spw, wt % spw])
-            state = _genesis_call(sc).reshape(NR, n_pad)
+            state = _genesis_call(sc, px2, py2, ln2).reshape(NR, n_pad)
             if sort_mode == "dma":
                 return state, jnp.arange(NS_ALL, dtype=jnp.int32)
-            return state, jnp.asarray(pix_host) + 0
+            # non-donated jit input -> fresh buffer for the sorts
+            return state, pixi
 
-    # per-lane device constants, uploaded lazily once (xla init mode
-    # passes them as jit args — see _init_state_core's docstring)
-    _N_IC = 0 if init_mode == "kernel" else 6
+    # per-lane device constants, uploaded lazily once and passed as
+    # jit ARGS (see _init_state_core's docstring)
+    _N_IC = 4 if init_mode == "kernel" else 6
     _dev_ic = []
 
     def _init_consts():
-        if _N_IC and not _dev_ic:
-            _dev_ic.append((jnp.asarray(pxf_host), jnp.asarray(pyf_host),
-                            jnp.asarray(slot_host),
-                            jnp.asarray(real_host),
-                            jnp.asarray(lane_host),
-                            jnp.asarray(pix_host)))
-        return _dev_ic[0] if _N_IC else ()
+        if not _dev_ic:
+            if init_mode == "kernel":
+                _dev_ic.append((jnp.asarray(_px2), jnp.asarray(_py2),
+                                jnp.asarray(_ln2),
+                                jnp.asarray(pix_host)))
+            else:
+                _dev_ic.append((jnp.asarray(pxf_host),
+                                jnp.asarray(pyf_host),
+                                jnp.asarray(slot_host),
+                                jnp.asarray(real_host),
+                                jnp.asarray(lane_host),
+                                jnp.asarray(pix_host)))
+        return _dev_ic[0]
 
     _jit_init = jax.jit(_init_state_core)
 
     def init_state(seed, want_total):
         return _jit_init(seed, want_total, *_init_consts())
-    init_state.__wrapped__ = _init_state_core
+    # 2-arg adapter for the Mosaic lowering export test (the tiny test
+    # scene can afford baked constants)
+    init_state.__wrapped__ = lambda seed, want_total: \
+        _init_state_core(seed, want_total, *_init_consts())
 
     # static pixel grouping for the never-permuted AOV rows (slim mode)
     aov_perm_host = np.argsort(pix_host, kind="stable").astype(np.int32)
