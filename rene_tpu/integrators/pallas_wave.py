@@ -51,6 +51,23 @@ def wave_supported(buffers_np, config: RenderConfig) -> bool:
             and pp.pallas_eligible(buffers_np, config))
 
 
+def auto_spw(npix: int, interpret: bool = False,
+             spp_hint: int = 0) -> int:
+    """Auto samples-per-wave (lanes per pixel): the 3<<23 lane budget
+    (104 B/lane, ~2.8 GB of state + sort buffers), capped at 96 — the
+    measured knee of the small-film amortization curve (r4p/r4p2
+    @320x180: spw 24/48/96/192/384 -> 0.043/0.037/0.035/0.033/0.032
+    s/spp teapot, 0.056/0.046/0.042/0.041 fog volpath; @720p the
+    BUDGET binds: 8/12/16/18/24 -> 0.551/0.502/0.463/0.460/0.453,
+    r4i/r4l). Interpret mode (CPU tests) keeps the old cap 24 so tiny
+    test films don't pay 4x the lane count. `spp_hint` (the render's
+    requested spp) clamps the result so a low-spp render never pays a
+    wave bigger than the job (the runner delivers whole waves)."""
+    cap = 24 if interpret else 96
+    hint = max(2, spp_hint) if spp_hint > 0 else cap
+    return max(2, min(cap, (3 << 23) // npix, hint))
+
+
 def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         interpret: bool = False,
                         k_bounces: int = 0,
@@ -68,7 +85,7 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
                         sort_gran: int = 0,
                         init_mode: str = "",
                         sort_mode: str = "",
-                        sub_gate=None,
+                        sub_gate=None, spp_hint: int = 0,
                         mesh=None, axis: str = "spp"):
     """Build the wavefront runner; returns run(seed, num_samples) with the
     same contract as make_pallas_batch_fn (radiance/normal/albedo sums
@@ -122,7 +139,10 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     "" reads RENE_WAVE_SORT.
 
     num_samples per call is capped at run.chunk_hint (= samples carried
-    by one wave); the render driver already chunks to that."""
+    by one wave); the render driver already chunks to that. `spp_hint`
+    (the render's requested spp) clamps the AUTO spw so a low-spp
+    render never allocates/pays a wave bigger than the job; an explicit
+    samples_per_wave bypasses it."""
     if not wave_supported(buffers_np, config):
         return None
     sort_gran = sort_gran or int(os.environ.get("RENE_WAVE_GRAN", "1"))
@@ -173,10 +193,17 @@ def make_pallas_wave_fn(buffers_np, config: RenderConfig,
     # measured @720p: spw 1/2/4/8 -> 2.66/1.45/1.25/1.02 s/spp (r3) and
     # 8/12/16/18/24 -> 0.551/0.502/0.463/0.460/0.453 under the full r4
     # stack (r4i/r4l: the ~1.5 s/wave fixed init+finish cost amortizes
-    # over spw; the curve flattens past 16) — budget 3<<23 lanes, cap
-    # 24 (@720p auto = 24; 104 B/lane, ~2.8 GB of state at the budget
-    # + sort buffers)
-    spw = samples_per_wave or max(2, min(24, (3 << 23) // npix))
+    # over spw; the curve flattens past 16) — budget 3<<23 lanes
+    # (104 B/lane, ~2.8 GB of state at the budget + sort buffers).
+    # Small films keep amortizing far past the old cap 24 (r4p/r4p2
+    # @320x180: spw 24/48/96/192/384 -> 0.043/0.037/0.035/0.033/0.032
+    # s/spp teapot, 0.056/0.046/0.042/0.041 fog volpath — the knee is
+    # ~96), so the cap is 96 on hardware; interpret-mode (CPU tests)
+    # keeps 24 so tiny test films don't pay 4x the lane count. The
+    # render driver passes the requested spp as `spp_hint` so a
+    # low-spp render never pays a full oversized wave (the runner
+    # delivers whole waves; overshoot < spw).
+    spw = samples_per_wave or auto_spw(npix, interpret, spp_hint)
     cap = spw
     n_real = npix * spw
     n_tiles = -(-n_real // tile)

@@ -195,7 +195,7 @@ def render_multichip(scene, spp: int, seed: int = 0, mesh=None,
         from ..integrators.pallas_wave import make_pallas_wave_fn
         on_tpu = jax.devices()[0].platform == "tpu"
         wrun = make_pallas_wave_fn(buffers_np, config, mesh=mesh,
-                                   interpret=not on_tpu)
+                                   interpret=not on_tpu, spp_hint=spp)
         if wrun is None:
             raise ValueError("scene not eligible for the wave engine")
         return _render_pallas_multichip(wrun, config, spp, seed,

@@ -158,7 +158,8 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
                                 and _wave_default(buffers_np, config)):
             from .integrators.pallas_wave import make_pallas_wave_fn
             pallas_run = make_pallas_wave_fn(buffers_np, config,
-                                             interpret=not on_tpu)
+                                             interpret=not on_tpu,
+                                             spp_hint=spp)
             engine_name = "pallas wavefront"
             if pallas_run is None and engine == "wave":
                 raise ValueError("scene not eligible for the wave engine")

@@ -410,3 +410,16 @@ def test_wave_env_knob_resolution(monkeypatch):
     run = make_pallas_wave_fn(bn, cfg, interpret=True,
                               samples_per_wave=2, sub_gate=True)
     assert run.sub_gate is True  # explicit argument beats the env
+
+
+def test_auto_spw_policy():
+    """Auto spw: cap-96 knee on hardware, lane budget on big films,
+    cap-24 under interpret, spp_hint clamp (r4p/r4p2 sweeps)."""
+    from rene_tpu.integrators.pallas_wave import auto_spw
+    assert auto_spw(320 * 180) == 96
+    assert auto_spw(1280 * 720) == (3 << 23) // (1280 * 720)
+    assert auto_spw(1920 * 1080) == (3 << 23) // (1920 * 1080)
+    assert auto_spw(320 * 180, interpret=True) == 24
+    assert auto_spw(320 * 180, spp_hint=8) == 8
+    assert auto_spw(320 * 180, spp_hint=1) == 2
+    assert auto_spw(320 * 180, spp_hint=4096) == 96
