@@ -187,7 +187,11 @@ IDX_LANE = 126  # free in every _box_layout: row0 sub-boxes end at 125
 # the oct layout so multi-million-tri HBM-streamed meshes keep fitting
 # (they fall back to the single camera-ordered section): 16 MB covers
 # n_super <= 2048 at g_rows=2 (~2M tris at CLUSTER=128).
-OCT_TABLE_MAX_BYTES = 16 << 20
+# ceiling for the 8-section octant-ordered box table. Must leave scoped
+# VMEM headroom for the kernel's other scratch: 16<<20 admitted a
+# 16.76 MB table (1.047M tris, ST=16) that passed this gate by 16 KB
+# and then OOM'd Mosaic's 16 MB scoped-vmem limit by 152 KB (r4q2 A2).
+OCT_TABLE_MAX_BYTES = 14 << 20
 OCT_BREAK = False       # closest-hit early-break (opt-in, see below)
 OCT_BREAK_ANY = False   # any-hit (shadow) early-break (opt-in)
 OCT_BREAK_VMEM = False  # apply the breaks to VMEM-resident tables too
@@ -4848,6 +4852,51 @@ def _mesh_operands(ps: PallasScene):
     return specs, args, scratch
 
 
+def packed_sub_tris(ntri: int) -> int:
+    """Packed megakernels default to SUB_TRIS=16 (the r4g/r4j sweep
+    winner at packed beam tightness), but the finer split doubles the
+    octant box table (4 rows/super-group at n_sub=8 vs 2 at n_sub=4):
+    past ~900 super-groups the 8-section table alone exceeds the
+    scoped-VMEM budget (r4q2 A2: 1.047M tris at ST=16 -> a 16.76 MB
+    table, Mosaic OOM at the 16 MB limit). Fall back to 32 there —
+    8.4 MB keeps octant-ordered marching, which is worth more than the
+    finer split on meshes that large."""
+    n_clusters = -(-max(ntri, 1) // CLUSTER)
+    n_super = -(-n_clusters // SUPER)
+    g_rows, _ = _box_layout(CLUSTER // 16)
+    if 8 * n_super * g_rows * 128 * 4 <= OCT_TABLE_MAX_BYTES:
+        return 16
+    return 32
+
+
+def auto_pack(npix: int, ntri: int, max_depth: int = 5,
+              volpath: bool = False) -> int:
+    """Auto sample-in-tile pack: the largest pack in (64, 16, 4) whose
+    lane count fits the memory budget (1<<26 lanes; 12 f32 lane
+    buffers ~ 3.2 GB) AND whose single packed call stays under the
+    runtime watchdog (~1 min kills the TPU worker). A packed call
+    delivers `pack` spp in ONE kernel launch — it cannot be chunked
+    below that — so the pack choice is the only watchdog control.
+
+    Per-call cost model: units = npix*pack * ntri * maxdepth, x4 for
+    the HBM-streamed march (DMA per entered group), x4 for volpath
+    (tr marching re-traces per NEE sample); cap 1.7e14 units (~40 s
+    worst-case). Conservatively calibrated on every measured point:
+    dragon 51k tris md17 @720p pack=64 = 5 s/call (r4h, kept);
+    teapot 126k md64 @720p pack=16 = 19.3 s (r4h H4, kept; 64 would
+    blow the cap); 262k-tri HBM sphere md5 @720p pack=16 = 17.6 s and
+    523k pack=16 = 23.9 s (r4q Q1/Q2, kept) while 262k @720p pack=64
+    CRASHED the worker (r4q Q3 — the bug this cap fixes); fog-teapot
+    volpath @320x180 pack=64 = ~7 s (r4i, kept)."""
+    md = min(max(max_depth, 1), 64)
+    mult = (4 if ntri >= HBM_MIN_TRIS else 1) * (4 if volpath else 1)
+    for p in (64, 16, 4):
+        units = npix * p * max(ntri, 1) * md * mult
+        if npix * p <= (1 << 26) and units <= 1.7e14:
+            return p
+    return 1
+
+
 def make_pallas_batch_fn(buffers_np, config: RenderConfig,
                          interpret: bool = False,
                          pad_tiles_to: int = 1,
@@ -4891,23 +4940,26 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
             # count for no cull win the interpreter would notice
             pack = 1
         else:
-            # auto: the largest pack whose lane arrays fit the budget
-            # (12 f32 lane buffers; 1<<26 lanes ~ 3.2 GB) — @320x180
-            # and @720p that is 64, @1080p 16, @4K 4 (r4h/r4j: dragon
-            # @720p 0.108 unpacked -> 0.0791 at pack=64)
-            pack = 1
-            for p in (64, 16, 4):
-                if npix * p <= (1 << 26):
-                    pack = p
-                    break
+            # auto: lane budget AND per-call watchdog model (see
+            # auto_pack — r4h/r4j: dragon @720p 0.108 unpacked ->
+            # 0.0791 at pack=64; r4q Q3: 262k tris @720p pack=64
+            # crashed the worker, capped to 16 now)
+            if config.integrator == "volpath":
+                from .volpath import max_depth_for as _mdf
+            else:
+                from .path import max_depth_for as _mdf
+            pack = auto_pack(npix, config.num_triangles, _mdf(config),
+                             config.integrator == "volpath")
     if pack not in (1, 4, 16, 64, 256):
         raise ValueError(f"pack must be a power of 4 <= 256, got {pack}")
     # packed marches prefer finer sub-blocks (ST=16 beat 32/64 at every
-    # packed proxy/real point); a non-default module SUB_TRIS (sessions
+    # packed proxy/real point — except where its box table blows VMEM,
+    # see packed_sub_tris); a non-default module SUB_TRIS (sessions
     # set pp.SUB_TRIS directly) or RENE_SUB_TRIS wins. The table packer
     # below and the kernel builder (call_tiles) must use the SAME split.
     sub_tris = int(os.environ.get("RENE_SUB_TRIS", "0")) or \
-        (SUB_TRIS if SUB_TRIS != 64 else (16 if pack > 1 else 0))
+        (SUB_TRIS if SUB_TRIS != 64 else
+         (packed_sub_tris(config.num_triangles) if pack > 1 else 0))
     # set/restore the module knob around the packer (same pattern the
     # wave runner and sessions use; `global` can't be declared after
     # the reads above)

@@ -659,3 +659,34 @@ WorldEnd"""
     err_s = np.abs(sob_img - ref).mean()
     err_i = np.abs(ind_img - ref).mean()
     assert err_s < err_i * 0.85, (err_s, err_i)
+
+
+def test_auto_pack_policy():
+    """auto_pack keeps every measured-safe config and caps the r4q Q3
+    worker-crash class (see the auto_pack docstring calibration)."""
+    from rene_tpu.integrators.pallas_path import auto_pack
+    P720, P180 = 1280 * 720, 320 * 180
+    assert auto_pack(P720, 51200, 17) == 64            # dragon (r4h)
+    assert auto_pack(P720, 126000, 64) == 16           # teapot (r4h H4)
+    assert auto_pack(P720, 261630, 5) == 16            # r4q Q3 crash -> 16
+    assert auto_pack(P720, 523450, 5) == 16            # r4q Q2
+    assert auto_pack(P720, 1047550, 5) == 4
+    assert auto_pack(P180, 261630, 5) == 64            # r4k small films
+    assert auto_pack(P180, 1047550, 5) == 64
+    assert auto_pack(P180, 4 << 20, 5) == 16           # 4M-tri ceiling
+    assert auto_pack(P180, 126000, 64, volpath=True) == 64  # fog (r4i)
+    assert auto_pack(3840 * 2160, 51200, 17) == 4      # 4K lane budget
+
+
+def test_packed_sub_tris_vmem_gate():
+    """packed ST default stays 16 up to ~900 super-groups, falls to 32
+    where the 8-section octant table would blow scoped VMEM (r4q2 A2:
+    1.047M tris at ST=16 OOM'd Mosaic's 16 MB limit)."""
+    from rene_tpu.integrators.pallas_path import (
+        OCT_TABLE_MAX_BYTES, packed_sub_tris)
+    assert packed_sub_tris(51200) == 16        # dragon
+    assert packed_sub_tris(523450) == 16       # r4k K3 (measured OK)
+    assert packed_sub_tris(1047550) == 32      # r4q2 A2 OOM class
+    assert packed_sub_tris(4 << 20) == 32
+    # the gate itself must leave scoped-VMEM headroom for scratch
+    assert OCT_TABLE_MAX_BYTES <= 14 << 20
