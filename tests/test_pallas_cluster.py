@@ -295,6 +295,29 @@ def test_volpath_cluster_matches_xla(monkeypatch):
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
 
 
+@pytest.mark.slow
+def test_volpath_hbm_matches_xla(monkeypatch):
+    """Interpret-mode volpath through the HBM streaming march (medium
+    interfaces carried by the DMA'd cluster groups) statistically
+    matches the XLA volpath integrator — the deep-volumetric-big-mesh
+    combination the auto policy routes on real scenes."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    scene = fog_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    ps = pp.pack_scene(bn, cfg)
+    assert ps.mesh_hbm and ps.integrator == "volpath"
+    run = pp.make_pallas_batch_fn(bn, cfg, interpret=True)
+    spp = 12
+    out = run(5, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=9, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.15)
+
+
 def textured_mesh_scene(tmp_path=None, image=False):
     """Big mesh whose matte Kd is a checker (or imagemap) — per-hit uv
     must come from the cluster table's uv rows."""

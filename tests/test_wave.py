@@ -162,6 +162,29 @@ def test_wave_key_modes_hbm(monkeypatch):
 
 
 @pytest.mark.slow
+def test_wave_volpath_hbm_matches_xla(monkeypatch):
+    """Wave volpath over HBM-streamed geometry (wave_bounce_vol +
+    DMA'd while-march + medium rows through the slim sort) matches the
+    XLA volpath integrator — the r4s/r4t auto-policy class."""
+    monkeypatch.setattr(pp, "CLUSTER", 16)
+    monkeypatch.setattr(pp, "HBM_MIN_TRIS", 64)
+    from .test_pallas_cluster import fog_mesh_scene
+    scene = fog_mesh_scene()
+    bn, cfg = build_device_scene(scene)
+    assert wave_supported(bn, cfg)
+    run = make_pallas_wave_fn(bn, cfg, interpret=True, k_bounces=2,
+                              samples_per_wave=8)
+    spp = 8
+    out = run(3, spp)
+    mean = out["radiance"].mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=5, engine="xla")
+    np.testing.assert_allclose(mean, xla["color"].mean(axis=(0, 1)),
+                               rtol=0.15)
+
+
+@pytest.mark.slow
 def test_wave_matches_xla_cluster(monkeypatch):
     """Cluster-march wave (redistribution between bounces) matches XLA."""
     monkeypatch.setattr(pp, "CLUSTER", 16)
