@@ -1226,6 +1226,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     # snapshot the gating knob at BUILD time: kernels trace lazily (the
     # wave runner builds its kernels under set/restore of module knobs)
     sub_gate = SUB_GATE if sub_gate is None else sub_gate
+    # Debug-only cost ablations for on-chip profiling (tpu_session_r4u):
+    # "nee" drops the emitter-MIS block, "dbltris" runs the brute
+    # triangle unroll twice on an imperceptibly perturbed ray (defeats
+    # CSE) so the unroll's marginal cost is directly measurable. Never
+    # set in production; renders are wrong/redundant under ablation.
+    ABLATE = frozenset(
+        x for x in os.environ.get("RENE_MEGA_ABLATE", "").split(",") if x)
     SHAPE = ((MESH_TILE_SUB
               if (ps.n_clusters or ps.inst_meshes or wave_k)
               else TILE_SUB), 128)
@@ -3503,6 +3510,16 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
             t, attr = trace_closest(c["ox"], c["oy"], c["oz"],
                                     c["dx"], c["dy"], c["dz"], TMIN, mref)
+            if "dbltris" in ABLATE:
+                # debug profiling only: a second closest-hit trace on an
+                # imperceptibly perturbed ray (distinct expressions, so
+                # neither CSE nor DCE can elide it), folded in so the
+                # timing delta vs base = one full trace_closest.
+                t2, a2 = trace_closest(c["ox"], c["oy"], c["oz"],
+                                       c["dx"] + 1e-12, c["dy"] + 1e-12,
+                                       c["dz"] + 1e-12, TMIN, mref)
+                t = jnp.minimum(t, t2)
+                attr = {k: jnp.minimum(attr[k], a2[k]) for k in attr}
             hit = t < BIG
             miss = active & ~hit
             attr, bg = apply_images(iref, c, attr, hit, miss)
@@ -3579,7 +3596,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             swx, swy, swz = to_world(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                      swx, swy, swz)
 
-            if E > 0 or HAS_ENV:
+            if (E > 0 or HAS_ENV) and "nee" not in ABLATE:
                 if SOBOL:
                     ue1, ue2 = ld2(c["sample"], pixkey, depth,
                                    SLOT_NEE1)
