@@ -3557,8 +3557,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             lox_, loy_, loz_ = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
                                         wox, woy, woz)
 
-            # NEE for distant lights
-            for lt in ps.lights:
+            # NEE for distant lights ("dist" ablation gate: debug-only
+            # cost partition, tpu_session_r4u2 — dragon's only light is
+            # distant, so the emitter-MIS "nee" gate is inert there)
+            for lt in (ps.lights if "dist" not in ABLATE else []):
                 ldx, ldy, ldz = lt["dir"]
                 shadowed = trace_any(hx, hy, hz,
                                      jnp.full(SHAPE, ldx),
