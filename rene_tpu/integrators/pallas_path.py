@@ -294,6 +294,12 @@ class PallasScene:
     # sublane-tile multiple) x 128 lanes — see device.py ENV_* buffers
     env_tab: Optional[np.ndarray] = None
     bg_matrix_inv: Optional[np.ndarray] = None
+    # parallelogram-fused immediate quads (_fuse_parallelograms): each
+    # replaces TWO flat non-emissive coplanar tris with one plane test +
+    # two dual-basis dots — the brute unroll is the measured 67-81%
+    # kernel floor (VALIDATION.md r4u/r4u2), so architectural quad
+    # geometry is re-fused at pack time
+    quads: List[dict] = dataclasses.field(default_factory=list)
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -975,6 +981,152 @@ def _pack_inst_mesh(buffers_np, blas_id, inst_ids, mesh_mats, needs_uv):
             "oct": oct}
 
 
+_TRI_GEOM_KEYS = frozenset((
+    "m0", "e0", "m1", "e1", "m2", "e2", "pn", "pk", "n0", "n1", "n2",
+    "area", "gn_unit", "v0", "v1", "v2", "uv0", "uv1", "uv2"))
+
+
+def _freeze(v):
+    """Hashable deep-freeze of a record value (dicts/lists -> tuples)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _fuse_parallelograms(tris):
+    """Fuse non-emissive triangle pairs forming a FLAT parallelogram
+    (equal vertex normals, affine UVs) into quad records: one plane
+    test + two dual-basis dots replaces two full Plücker triangle
+    tests AND their barycentric/normal-interp/attribute selects. The
+    reference never needs this (RT cores make per-triangle tests free,
+    rene-shader/src/lib.rs:886-939); on the VPU the statically unrolled
+    test IS the measured 67-81% kernel floor (VALIDATION.md r4u/r4u2),
+    and pbrt architectural geometry (cornell walls/boxes, veach plates)
+    is parallelogram quads split in two at export. Emissive tris are
+    never fused (the emitter set, its solid-angle pdfs and
+    trace_emit_pdf stay per-triangle). Returns (remaining_tris, quads);
+    radiometrically exact (same geometry, normals, UVs).
+    """
+    from collections import defaultdict
+    out, groups, order = [], defaultdict(list), []
+    for rec in tris:
+        if rec["emissive"]:
+            out.append(rec)
+            continue
+        key = tuple(sorted((k, _freeze(v)) for k, v in rec.items()
+                           if k not in _TRI_GEOM_KEYS))
+        if key not in groups:
+            order.append(key)
+        groups[key].append(rec)
+    quads = []
+
+    def vert_uv_n(rec):
+        vs = (rec["v0"], rec["v1"], rec["v2"])
+        uvs = (rec["uv0"], rec["uv1"], rec["uv2"])
+        ns = (rec["n0"], rec["n1"], rec["n2"])
+        return vs, uvs, ns
+
+    for key in order:
+        group = groups[key]
+        used = [False] * len(group)
+        edges = defaultdict(list)  # sorted (vkey, vkey) -> [tri index]
+        for gi, rec in enumerate(group):
+            vs, _, _ = vert_uv_n(rec)
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                edges[(min(vs[a], vs[b]), max(vs[a], vs[b]))].append(gi)
+        for gi, ra in enumerate(group):
+            if used[gi]:
+                continue
+            vsa, uva, nsa = vert_uv_n(ra)
+            done = False
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                if done:
+                    break
+                ekey = (min(vsa[a], vsa[b]), max(vsa[a], vsa[b]))
+                for gj in edges[ekey]:
+                    if gj == gi or used[gj]:
+                        continue
+                    rb = group[gj]
+                    vsb, uvb, nsb = vert_uv_n(rb)
+                    shared = {vsa[a], vsa[b]}
+                    oth_b = [k for k in range(3) if vsb[k] not in shared]
+                    if len(oth_b) != 1:
+                        continue  # degenerate / duplicated vertex
+                    p = np.asarray(vsa[a])
+                    q = np.asarray(vsa[b])
+                    r = np.asarray(vsa[3 - a - b])
+                    s = np.asarray(vsb[oth_b[0]])
+                    scale = max(1e-20, float(np.abs(
+                        np.stack([p, q, r, s])).max()))
+                    eps = 1e-5 * scale
+                    # parallelogram: diagonals share a midpoint (this
+                    # also implies coplanarity: s = p+q-r lies in the
+                    # p,q,r plane)
+                    if np.abs(r + s - (p + q)).max() > eps:
+                        continue
+                    # flat shading: all 6 vertex normals equal
+                    nall = np.asarray(nsa + nsb, np.float64)
+                    nscale = max(1e-20,
+                                 float(np.abs(nall).max()))
+                    if (np.abs(nall - nall[0]).max()
+                            > 1e-5 * nscale):
+                        continue
+                    # UV continuity on the shared edge + affine UVs
+                    # over the quad (uv_s = uv_p + uv_q - uv_r)
+                    uv_of_b = {vsb[k]: np.asarray(uvb[k])
+                               for k in range(3)}
+                    uv_p = np.asarray(uva[a])
+                    uv_q = np.asarray(uva[b])
+                    uv_r = np.asarray(uva[3 - a - b])
+                    uv_s = uv_of_b[vsb[oth_b[0]]]
+                    uvscale = max(1.0, float(np.abs(np.stack(
+                        [uv_p, uv_q, uv_r, uv_s])).max()))
+                    ueps = 1e-5 * uvscale
+                    if (np.abs(uv_of_b[vsa[a]] - uv_p).max() > ueps
+                            or np.abs(uv_of_b[vsa[b]] - uv_q).max()
+                            > ueps
+                            or np.abs(uv_r + uv_s
+                                      - (uv_p + uv_q)).max() > ueps):
+                        continue
+                    # quad parameterization x = r + u*(p-r) + v*(q-r),
+                    # (u,v) in [0,1]^2 covers corners r,p,s,q; dual
+                    # vectors du,dv give u = (x-r).du, v = (x-r).dv
+                    e1 = p - r
+                    e2 = q - r
+                    n_pl = np.cross(e1, e2)
+                    area = float(np.linalg.norm(n_pl))
+                    if area < 1e-20:
+                        continue
+                    du = np.cross(e2, n_pl)
+                    du = du / np.dot(e1, du)  # denom = |n_pl|^2 > 0
+                    dv = np.cross(n_pl, e1)
+                    dv = dv / np.dot(e2, dv)
+                    quad = {k: v for k, v in ra.items()
+                            if k not in _TRI_GEOM_KEYS}
+                    quad.update({
+                        "qa": tuple(r), "du": tuple(du),
+                        "dv": tuple(dv),
+                        "pn": tuple(n_pl),
+                        "pk": float(np.dot(n_pl, r)),
+                        "n": tuple(np.asarray(nsa[0], np.float64)),
+                        "uva": tuple(uv_r),
+                        "duv1": tuple(uv_p - uv_r),
+                        "duv2": tuple(uv_q - uv_r),
+                        "area": area,
+                        "gn_unit": tuple(n_pl / area),
+                    })
+                    quads.append(quad)
+                    used[gi] = used[gj] = True
+                    done = True
+                    break
+        out.extend(rec for gi, rec in enumerate(group) if not used[gi])
+    return out, quads
+
+
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     ntri = config.num_triangles
     mesh_hbm = False
@@ -1035,6 +1187,10 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         }
         rec.update(mat)
         tris.append(rec)
+
+    quads = []
+    if os.environ.get("RENE_QUAD_FUSE", "1") != "0":
+        tris, quads = _fuse_parallelograms(tris)
 
     spheres = []
     for s in range(config.num_spheres):
@@ -1133,6 +1289,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             rec["tex"] = rec.get("texs", {}).get("kd", ("solid",))
         for rec in tris:
             resolve(rec)
+        for rec in quads:
+            resolve(rec)
         for rec in spheres:
             resolve(rec)
         for rec in (mesh_mats or []):
@@ -1172,7 +1330,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         env_tab[ENV_GW + ENV_GH, :] = 1.0
         env_tab[ENV_GW + ENV_GH, :ENV_GH] = buffers_np["env_mcdf"]
     return PallasScene(
-        tris=tris, spheres=spheres, emit_objects=emit_objects,
+        tris=tris, quads=quads, spheres=spheres,
+        emit_objects=emit_objects,
         lights=lights,
         background=background,
         img_table=img_table, img_rows=img_rows, bg_img=bg_img,
@@ -1314,7 +1473,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
         return x * inv, y * inv, z * inv
 
-    _all_recs = ps.tris + ps.spheres + (ps.mesh_mats or [])
+    _all_recs = ps.tris + ps.quads + ps.spheres + (ps.mesh_mats or [])
     MATSET = {r["mat_type"] for r in _all_recs}
     HAS_UBER = T.MAT_UBER in MATSET
     HAS_IMG = ps.img_table is not None
@@ -2178,6 +2337,54 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             for key, val in vals.items():
                 attr[key] = jnp.where(ok, val, attr[key])
 
+        # parallelogram-fused quads (_fuse_parallelograms): one plane
+        # test + two dual-basis dots covers TWO flat triangles — no
+        # Plücker sides, no barycentric division, no normal interp
+        # (normals are constant by the fusion's flatness condition)
+        for rec in ps.quads:
+            dn = dot3(dx, dy, dz, *rec["pn"])
+            t = (rec["pk"] - dot3(ox, oy, oz, *rec["pn"])) \
+                / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
+            hx = ox + t * dx - rec["qa"][0]
+            hy = oy + t * dy - rec["qa"][1]
+            hz = oz + t * dz - rec["qa"][2]
+            uq = dot3(hx, hy, hz, *rec["du"])
+            vq = dot3(hx, hy, hz, *rec["dv"])
+            ok = ((jnp.abs(dn) > 1e-12) & (t >= tmin) & (t < t_best)
+                  & (uq >= 0.0) & (uq <= 1.0)
+                  & (vq >= 0.0) & (vq <= 1.0))
+            t_best = jnp.where(ok, t, t_best)
+            if rec.get("texs") or HAS_IMG_MATS:
+                uu = (rec["uva"][0] + uq * rec["duv1"][0]
+                      + vq * rec["duv2"][0])
+                vv = (rec["uva"][1] + uq * rec["duv1"][1]
+                      + vq * rec["duv2"][1])
+            else:
+                uu = vv = None
+            vals = {"nx": rec["n"][0], "ny": rec["n"][1],
+                    "nz": rec["n"][2],
+                    "alr": 0.0, "alg": 0.0, "alb": 0.0,  # never emissive
+                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                    "abb": rec["albedo"][2],
+                    "etar": rec["eta"][0], "etag": rec["eta"][1],
+                    "etab": rec["eta"][2],
+                    "kr": rec["k"][0], "kg": rec["k"][1],
+                    "kb": rec["k"][2],
+                    "ax": rec["alpha"][0], "ay": rec["alpha"][1],
+                    "ir": rec["ir"], "mat": float(rec["mat_type"])}
+            if VOL:
+                vals["imed"] = float(rec["imed"])
+                vals["emed"] = float(rec["emed"])
+            if HAS_UBER:
+                vals.update(opr=rec["op"][0], opg=rec["op"][1],
+                            opb=rec["op"][2], krr=rec["kr2"][0],
+                            krg=rec["kr2"][1], krb=rec["kr2"][2],
+                            ktr=rec["kt2"][0], ktg=rec["kt2"][1],
+                            ktb=rec["kt2"][2])
+            vals = _apply_rec_texs(rec, uu, vv, vals)
+            for key, val in vals.items():
+                attr[key] = jnp.where(ok, val, attr[key])
+
         for rec in ps.spheres:
             m = rec["w2o"]
             lox = m[0][0] * ox + m[0][1] * oy + m[0][2] * oz + m[0][3]
@@ -2359,6 +2566,18 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
             hit = hit | (side & (jnp.abs(dn) > 1e-12) & (t >= tmin)
                          & (t <= tmax))
+        for rec in ps.quads:
+            dn = dot3(dx, dy, dz, *rec["pn"])
+            t = (rec["pk"] - dot3(ox, oy, oz, *rec["pn"])) \
+                / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
+            hx = ox + t * dx - rec["qa"][0]
+            hy = oy + t * dy - rec["qa"][1]
+            hz = oz + t * dz - rec["qa"][2]
+            uq = dot3(hx, hy, hz, *rec["du"])
+            vq = dot3(hx, hy, hz, *rec["dv"])
+            hit = hit | ((jnp.abs(dn) > 1e-12) & (t >= tmin)
+                         & (t <= tmax) & (uq >= 0.0) & (uq <= 1.0)
+                         & (vq >= 0.0) & (vq <= 1.0))
         for rec in ps.spheres:
             m = rec["w2o"]
             lox = m[0][0] * ox + m[0][1] * oy + m[0][2] * oz + m[0][3]

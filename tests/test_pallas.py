@@ -145,7 +145,9 @@ def test_pack_scene_records(sample_scenes):
     scene = load_scene(str(sample_scenes / "cornell-box/scene.pbrt"))
     bn, config = build_device_scene(scene)
     ps = pack_scene(bn, config)
-    assert len(ps.tris) == config.num_triangles
+    # parallelogram fusion folds flat non-emissive tri pairs into quads
+    assert len(ps.tris) + 2 * len(ps.quads) == config.num_triangles
+    assert ps.quads, "cornell walls/boxes should fuse into quads"
     emissive = [t for t in ps.tris if t["emissive"]]
     assert len(emissive) == 2
     np.testing.assert_allclose(emissive[0]["emit"], [17, 12, 4])
@@ -690,3 +692,83 @@ def test_packed_sub_tris_vmem_gate():
     assert packed_sub_tris(4 << 20) == 32
     # the gate itself must leave scoped-VMEM headroom for scratch
     assert OCT_TABLE_MAX_BYTES <= 14 << 20
+
+
+def _mk_tri(v0, v1, v2, uv0=(0, 0), uv1=(1, 0), uv2=(1, 1),
+            n=(0.0, 0.0, 1.0), emissive=False, albedo=(0.5, 0.5, 0.5)):
+    """Minimal immediate-tri record for _fuse_parallelograms (the
+    fusion reads only emissive/v*/uv*/n* plus the non-geometry keys)."""
+    v0, v1, v2 = (tuple(float(x) for x in v) for v in (v0, v1, v2))
+    return {"v0": v0, "v1": v1, "v2": v2,
+            "uv0": tuple(map(float, uv0)), "uv1": tuple(map(float, uv1)),
+            "uv2": tuple(map(float, uv2)),
+            "n0": n, "n1": n, "n2": n,
+            "emissive": emissive, "albedo": albedo, "mat_type": 1}
+
+
+def test_parallelogram_fusion_math():
+    from rene_tpu.integrators.pallas_path import _fuse_parallelograms
+    # unit square split along the (0,0)-(1,1) diagonal
+    a = _mk_tri((0, 0, 0), (1, 0, 0), (1, 1, 0))
+    b = _mk_tri((0, 0, 0), (1, 1, 0), (0, 1, 0), uv1=(1, 1), uv2=(0, 1))
+    tris, quads = _fuse_parallelograms([a, b])
+    assert not tris and len(quads) == 1
+    q = quads[0]
+    # dual-basis mapping: u,v of the 4 corners hit {0,1}^2 exactly, and
+    # the affine uv matches the per-vertex assignments
+    qa = np.asarray(q["qa"])
+    for corner, uvw in (((0, 0, 0), None), ((1, 0, 0), None),
+                        ((1, 1, 0), None), ((0, 1, 0), None)):
+        rel = np.asarray(corner, float) - qa
+        u = float(np.dot(rel, q["du"]))
+        v = float(np.dot(rel, q["dv"]))
+        assert min(abs(u), abs(u - 1)) < 1e-12
+        assert min(abs(v), abs(v - 1)) < 1e-12
+        uv = np.asarray(q["uva"]) + u * np.asarray(q["duv1"]) \
+            + v * np.asarray(q["duv2"])
+        assert np.allclose(uv, corner[:2], atol=1e-12)
+    assert np.allclose(q["area"], 1.0)
+    assert np.allclose(np.abs(q["gn_unit"]), (0, 0, 1))
+
+    # non-parallelogram pair must NOT fuse
+    c = _mk_tri((0, 0, 0), (1, 1, 0), (0, 2, 0))
+    tris, quads = _fuse_parallelograms([a, c])
+    assert len(tris) == 2 and not quads
+    # emissive pairs must NOT fuse (emitter set stays per-tri)
+    ae = dict(a, emissive=True)
+    be = dict(b, emissive=True)
+    tris, quads = _fuse_parallelograms([ae, be])
+    assert len(tris) == 2 and not quads
+    # differing materials must NOT fuse
+    b2 = dict(b, albedo=(0.9, 0.5, 0.5))
+    tris, quads = _fuse_parallelograms([a, b2])
+    assert len(tris) == 2 and not quads
+    # non-flat (bent vertex normals) must NOT fuse
+    b3 = dict(b, n2=(0.0, 1.0, 0.0))
+    tris, quads = _fuse_parallelograms([a, b3])
+    assert len(tris) == 2 and not quads
+
+
+@pytest.mark.slow
+def test_quad_fusion_render_parity(sample_scenes):
+    """Fused-quad cornell render is ulp-equal to the per-tri unroll
+    (same geometry/normals/uvs; only the intersection algebra differs)."""
+    import os
+    scene = load_scene(str(sample_scenes / "cornell-box/scene.pbrt"))
+    scene.film.xresolution = 32
+    scene.film.yresolution = 32
+    scene.max_depth_hint = 6
+    bn, config = build_device_scene(scene)
+    outs = {}
+    try:
+        for fuse in ("1", "0"):
+            os.environ["RENE_QUAD_FUSE"] = fuse
+            run = make_pallas_batch_fn(bn, config, interpret=True)
+            out = run(3, 24)
+            outs[fuse] = {k: np.asarray(out[k])
+                          for k in ("radiance", "normal", "albedo")}
+    finally:
+        os.environ.pop("RENE_QUAD_FUSE", None)
+    for k in ("radiance", "normal", "albedo"):
+        a, b = outs["1"][k], outs["0"][k]
+        assert np.abs(a - b).max() < 1e-3, k
