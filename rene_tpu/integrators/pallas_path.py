@@ -1127,6 +1127,89 @@ def _fuse_parallelograms(tris):
     return out, quads
 
 
+def _attr_signature(rec):
+    """Stable constant-attribute signature used to sort quad records so
+    same-valued runs share a prefix (maximizes _LazyAttr skips)."""
+    return repr((rec.get("mat_type"), rec.get("albedo"), rec.get("eta"),
+                 rec.get("k"), rec.get("alpha"), rec.get("ir"),
+                 rec.get("imed"), rec.get("emed"),
+                 sorted(rec.get("texs", {}).items()),
+                 rec.get("n"), rec.get("fscale")))
+
+
+class _LazyAttr:
+    """Invariant-select elision for the brute-unroll shading attributes.
+
+    The unrolled primitive loops accumulate per-hit shading attributes
+    as `attr[k] = where(ok, val, attr[k])` chains — ~18 selects per
+    record per trace, roughly HALF the measured unroll cost
+    (VALIDATION.md r4u: cornell is 67% brute-unroll). But in real
+    scenes most vals are per-record Python constants shared across
+    records (one material family dominates a scene), so most selects
+    are provably no-ops at kernel-build time. This accumulator keeps a
+    key symbolic while every write agrees on one scalar:
+
+      state[k] = ('const', c)      no op emitted yet; every write == c
+                 ('arr', a, base)  materialized; miss lanes hold `base`
+
+    The first diverging write materializes `where(ok, val, splat(base))`
+    with base = the key's first-written constant; finalize() then
+    restores exact miss semantics (miss lanes = the engine defaults the
+    eager chain would have left) with at most ONE select per diverged
+    key, so elision is bit-identical to the eager chain. The reference
+    needs none of this: its closest-hit shader reads attributes through
+    a per-hit pointer (rene-shader/src/lib.rs:886-939); on the VPU the
+    select chain IS the attribute fetch. RENE_ATTR_ELIDE=0 restores the
+    eager per-record chain (A/B + fallback).
+    """
+
+    def __init__(self, defaults, zero, eager=False):
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.defaults = {k: float(d) for k, d in defaults.items()}
+        self.zero = zero  # data-derived zeros (Mosaic splat landmine)
+        self.state = {}
+        for k, d in self.defaults.items():
+            if eager:
+                self.state[k] = ("arr", zero + d, d)
+            else:
+                self.state[k] = ("const", d)
+
+    def _scalar(self, v):
+        return isinstance(v, (int, float, np.floating))
+
+    def update(self, ok, vals):
+        jnp = self._jnp
+        for key, val in vals.items():
+            st = self.state[key]
+            if st[0] == "const":
+                c = st[1]
+                if self._scalar(val) and float(val) == c:
+                    continue  # provably a no-op select
+                self.state[key] = ("arr",
+                                   jnp.where(ok, val, self.zero + c), c)
+            else:
+                self.state[key] = ("arr", jnp.where(ok, val, st[1]),
+                                   st[2])
+
+    def finalize(self, hit):
+        """Materialize every key; `hit` masks lanes some record won so
+        miss lanes get back the engine defaults (exact eager parity)."""
+        jnp = self._jnp
+        attr = {}
+        for key, st in self.state.items():
+            d = self.defaults[key]
+            if st[0] == "const":
+                c = st[1]
+                attr[key] = (self.zero + d if c == d
+                             else jnp.where(hit, c, d) + self.zero)
+            else:
+                arr, base = st[1], st[2]
+                attr[key] = (arr if base == d
+                             else jnp.where(hit, arr, self.zero + d))
+        return attr
+
+
 def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     ntri = config.num_triangles
     mesh_hbm = False
@@ -1191,6 +1274,10 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     quads = []
     if os.environ.get("RENE_QUAD_FUSE", "1") != "0":
         tris, quads = _fuse_parallelograms(tris)
+        # group same-constant runs so _LazyAttr's prefix skips cover the
+        # longest run of each attribute value (quads are never emissive,
+        # so their relative order only affects degenerate exact-t ties)
+        quads.sort(key=_attr_signature)
 
     spheres = []
     for s in range(config.num_spheres):
@@ -1392,6 +1479,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     # set in production; renders are wrong/redundant under ablation.
     ABLATE = frozenset(
         x for x in os.environ.get("RENE_MEGA_ABLATE", "").split(",") if x)
+    # invariant attribute-select elision in the brute unroll (_LazyAttr;
+    # =0 restores the eager per-record select chains for A/B)
+    ATTR_ELIDE = os.environ.get("RENE_ATTR_ELIDE", "1") != "0"
     SHAPE = ((MESH_TILE_SUB
               if (ps.n_clusters or ps.inst_meshes or wave_k)
               else TILE_SUB), 128)
@@ -2261,30 +2351,80 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
         t_best = jnp.full(SHAPE, BIG)
-        # select-accumulated shading attributes
-        attr = {k: jnp.zeros(SHAPE) for k in
-                ("nx", "ny", "nz", "alr", "alg", "alb", "abr", "abg", "abb",
-                 "etar", "etag", "etab", "kr", "kg", "kb", "ax", "ay", "ir")}
-        attr["mat"] = jnp.zeros(SHAPE)
+        # select-accumulated shading attributes (invariant selects are
+        # elided at build time — _LazyAttr docstring; defaults here are
+        # what the eager chain leaves on miss lanes)
+        defaults = {k: 0.0 for k in
+                    ("nx", "ny", "nz", "alr", "alg", "alb",
+                     "abr", "abg", "abb", "etar", "etag", "etab",
+                     "kr", "kg", "kb", "ax", "ay", "ir", "mat")}
         if VOL:
-            attr["imed"] = jnp.zeros(SHAPE)
-            attr["emed"] = jnp.zeros(SHAPE)
+            defaults["imed"] = 0.0
+            defaults["emed"] = 0.0
         if HAS_UBER:
             for k in ("opr", "opg", "opb", "krr", "krg", "krb",
                       "ktr", "ktg", "ktb"):
-                attr[k] = jnp.zeros(SHAPE)
+                defaults[k] = 0.0
         if HAS_IMG_MATS:
-            attr["u"] = jnp.zeros(SHAPE)
-            attr["v"] = jnp.zeros(SHAPE)
+            defaults["u"] = 0.0
+            defaults["v"] = 0.0
             for c in ACTIVE_IMG_CLASSES:
-                attr[f"ib_{c}"] = jnp.full(SHAPE, -1.0)
-                attr[f"iw_{c}"] = jnp.zeros(SHAPE)
-                attr[f"ih_{c}"] = jnp.zeros(SHAPE)
+                defaults[f"ib_{c}"] = -1.0
+                defaults[f"iw_{c}"] = 0.0
+                defaults[f"ih_{c}"] = 0.0
             if HAS_RRM:
-                attr["rrm"] = jnp.zeros(SHAPE)
+                defaults["rrm"] = 0.0
         if HAS_MSCALE:
             for key in ("msr", "msg", "msb"):
-                attr[key] = jnp.ones(SHAPE)
+                defaults[key] = 1.0
+        la = _LazyAttr(defaults, ox * 0.0, eager=not ATTR_ELIDE)
+
+        # quads run FIRST: they are never emissive, so their 0-valued
+        # emission writes stay symbolic instead of re-selecting 0 after
+        # an emissive tri materializes alr/alg/alb (order between prim
+        # kinds only moves degenerate exact-t ties)
+        for rec in ps.quads:
+            dn = dot3(dx, dy, dz, *rec["pn"])
+            t = (rec["pk"] - dot3(ox, oy, oz, *rec["pn"])) \
+                / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
+            hx = ox + t * dx - rec["qa"][0]
+            hy = oy + t * dy - rec["qa"][1]
+            hz = oz + t * dz - rec["qa"][2]
+            uq = dot3(hx, hy, hz, *rec["du"])
+            vq = dot3(hx, hy, hz, *rec["dv"])
+            ok = ((jnp.abs(dn) > 1e-12) & (t >= tmin) & (t < t_best)
+                  & (uq >= 0.0) & (uq <= 1.0)
+                  & (vq >= 0.0) & (vq <= 1.0))
+            t_best = jnp.where(ok, t, t_best)
+            if rec.get("texs") or HAS_IMG_MATS:
+                uu = (rec["uva"][0] + uq * rec["duv1"][0]
+                      + vq * rec["duv2"][0])
+                vv = (rec["uva"][1] + uq * rec["duv1"][1]
+                      + vq * rec["duv2"][1])
+            else:
+                uu = vv = None
+            vals = {"nx": rec["n"][0], "ny": rec["n"][1],
+                    "nz": rec["n"][2],
+                    "alr": 0.0, "alg": 0.0, "alb": 0.0,  # never emissive
+                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                    "abb": rec["albedo"][2],
+                    "etar": rec["eta"][0], "etag": rec["eta"][1],
+                    "etab": rec["eta"][2],
+                    "kr": rec["k"][0], "kg": rec["k"][1],
+                    "kb": rec["k"][2],
+                    "ax": rec["alpha"][0], "ay": rec["alpha"][1],
+                    "ir": rec["ir"], "mat": float(rec["mat_type"])}
+            if VOL:
+                vals["imed"] = float(rec["imed"])
+                vals["emed"] = float(rec["emed"])
+            if HAS_UBER:
+                vals.update(opr=rec["op"][0], opg=rec["op"][1],
+                            opb=rec["op"][2], krr=rec["kr2"][0],
+                            krg=rec["kr2"][1], krb=rec["kr2"][2],
+                            ktr=rec["kt2"][0], ktg=rec["kt2"][1],
+                            ktb=rec["kt2"][2])
+            vals = _apply_rec_texs(rec, uu, vv, vals)
+            la.update(ok, vals)
 
         for rec in ps.tris:
             s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
@@ -2334,56 +2474,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                             ktb=rec["kt2"][2])
             vals = _apply_rec_texs(rec, uu, vv, vals)
-            for key, val in vals.items():
-                attr[key] = jnp.where(ok, val, attr[key])
-
-        # parallelogram-fused quads (_fuse_parallelograms): one plane
-        # test + two dual-basis dots covers TWO flat triangles — no
-        # Plücker sides, no barycentric division, no normal interp
-        # (normals are constant by the fusion's flatness condition)
-        for rec in ps.quads:
-            dn = dot3(dx, dy, dz, *rec["pn"])
-            t = (rec["pk"] - dot3(ox, oy, oz, *rec["pn"])) \
-                / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
-            hx = ox + t * dx - rec["qa"][0]
-            hy = oy + t * dy - rec["qa"][1]
-            hz = oz + t * dz - rec["qa"][2]
-            uq = dot3(hx, hy, hz, *rec["du"])
-            vq = dot3(hx, hy, hz, *rec["dv"])
-            ok = ((jnp.abs(dn) > 1e-12) & (t >= tmin) & (t < t_best)
-                  & (uq >= 0.0) & (uq <= 1.0)
-                  & (vq >= 0.0) & (vq <= 1.0))
-            t_best = jnp.where(ok, t, t_best)
-            if rec.get("texs") or HAS_IMG_MATS:
-                uu = (rec["uva"][0] + uq * rec["duv1"][0]
-                      + vq * rec["duv2"][0])
-                vv = (rec["uva"][1] + uq * rec["duv1"][1]
-                      + vq * rec["duv2"][1])
-            else:
-                uu = vv = None
-            vals = {"nx": rec["n"][0], "ny": rec["n"][1],
-                    "nz": rec["n"][2],
-                    "alr": 0.0, "alg": 0.0, "alb": 0.0,  # never emissive
-                    "abr": rec["albedo"][0], "abg": rec["albedo"][1],
-                    "abb": rec["albedo"][2],
-                    "etar": rec["eta"][0], "etag": rec["eta"][1],
-                    "etab": rec["eta"][2],
-                    "kr": rec["k"][0], "kg": rec["k"][1],
-                    "kb": rec["k"][2],
-                    "ax": rec["alpha"][0], "ay": rec["alpha"][1],
-                    "ir": rec["ir"], "mat": float(rec["mat_type"])}
-            if VOL:
-                vals["imed"] = float(rec["imed"])
-                vals["emed"] = float(rec["emed"])
-            if HAS_UBER:
-                vals.update(opr=rec["op"][0], opg=rec["op"][1],
-                            opb=rec["op"][2], krr=rec["kr2"][0],
-                            krg=rec["kr2"][1], krb=rec["kr2"][2],
-                            ktr=rec["kt2"][0], ktg=rec["kt2"][1],
-                            ktb=rec["kt2"][2])
-            vals = _apply_rec_texs(rec, uu, vv, vals)
-            for key, val in vals.items():
-                attr[key] = jnp.where(ok, val, attr[key])
+            la.update(ok, vals)
 
         for rec in ps.spheres:
             m = rec["w2o"]
@@ -2440,8 +2531,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             ktr=rec["kt2"][0], ktg=rec["kt2"][1],
                             ktb=rec["kt2"][2])
             vals = _apply_rec_texs(rec, uu, vv, vals)
-            for key, val in vals.items():
-                attr[key] = jnp.where(ok, val, attr[key])
+            la.update(ok, vals)
+
+        # materialize: miss lanes get the engine defaults back, so the
+        # elided chain is bit-identical to the eager one (lanes a mesh
+        # later wins are overwritten below exactly as before)
+        attr = la.finalize(t_best < BIG)
 
         cid = (ox * 0.0).astype(jnp.int32) - 1 if want_cid else None
         if NC or NINST:

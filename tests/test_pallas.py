@@ -772,3 +772,31 @@ def test_quad_fusion_render_parity(sample_scenes):
     for k in ("radiance", "normal", "albedo"):
         a, b = outs["1"][k], outs["0"][k]
         assert np.abs(a - b).max() < 1e-3, k
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scene_rel", ["cornell-box/scene.pbrt",
+                                       "sphere.pbrt"])
+def test_attr_elide_render_parity(sample_scenes, scene_rel):
+    """Invariant attribute-select elision (_LazyAttr, RENE_ATTR_ELIDE)
+    is BIT-identical to the eager per-record select chain: hit lanes
+    select the same constants, finalize() restores the engine defaults
+    on miss lanes. Covers quads+tris (cornell) and spheres."""
+    import os
+    scene = load_scene(str(sample_scenes / scene_rel))
+    scene.film.xresolution = 32
+    scene.film.yresolution = 32
+    scene.max_depth_hint = 5
+    bn, config = build_device_scene(scene)
+    outs = {}
+    try:
+        for el in ("1", "0"):
+            os.environ["RENE_ATTR_ELIDE"] = el
+            run = make_pallas_batch_fn(bn, config, interpret=True)
+            out = run(3, 16)
+            outs[el] = {k: np.asarray(out[k])
+                        for k in ("radiance", "normal", "albedo")}
+    finally:
+        os.environ.pop("RENE_ATTR_ELIDE", None)
+    for k in ("radiance", "normal", "albedo"):
+        assert np.abs(outs["1"][k] - outs["0"][k]).max() == 0.0, k
