@@ -1159,8 +1159,10 @@ class _LazyAttr:
     key, so elision is bit-identical to the eager chain. The reference
     needs none of this: its closest-hit shader reads attributes through
     a per-hit pointer (rene-shader/src/lib.rs:886-939); on the VPU the
-    select chain IS the attribute fetch. RENE_ATTR_ELIDE=0 restores the
-    eager per-record chain (A/B + fallback).
+    select chain IS the attribute fetch. RENE_ATTR_ELIDE=1 opts in —
+    measured perf-NEUTRAL on-chip (r4w; Mosaic already folds the
+    invariant chains), kept for its smaller kernel bodies and as the
+    documented probe of the select-chain hypothesis.
     """
 
     def __init__(self, defaults, zero, eager=False):
@@ -1274,10 +1276,13 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     quads = []
     if os.environ.get("RENE_QUAD_FUSE", "1") != "0":
         tris, quads = _fuse_parallelograms(tris)
-        # group same-constant runs so _LazyAttr's prefix skips cover the
-        # longest run of each attribute value (quads are never emissive,
-        # so their relative order only affects degenerate exact-t ties)
-        quads.sort(key=_attr_signature)
+        if os.environ.get("RENE_ATTR_ELIDE", "0") == "1":
+            # group same-constant runs so _LazyAttr's prefix skips cover
+            # the longest run of each attribute value (quads are never
+            # emissive, so order only moves degenerate exact-t ties);
+            # gated with the elision knob to keep default kernel cache
+            # keys byte-stable
+            quads.sort(key=_attr_signature)
 
     spheres = []
     for s in range(config.num_spheres):
@@ -1480,8 +1485,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     ABLATE = frozenset(
         x for x in os.environ.get("RENE_MEGA_ABLATE", "").split(",") if x)
     # invariant attribute-select elision in the brute unroll (_LazyAttr;
-    # =0 restores the eager per-record select chains for A/B)
-    ATTR_ELIDE = os.environ.get("RENE_ATTR_ELIDE", "1") != "0"
+    # =1 opts in). MEASURED NEUTRAL on-chip (r4w: cornell 2010 vs 2009
+    # Mrays/s, veach 982 vs 985 — Mosaic already folds the invariant
+    # select chains / the unroll is latency-bound), so the default
+    # stays eager to keep kernel cache keys byte-stable.
+    ATTR_ELIDE = os.environ.get("RENE_ATTR_ELIDE", "0") == "1"
     SHAPE = ((MESH_TILE_SUB
               if (ps.n_clusters or ps.inst_meshes or wave_k)
               else TILE_SUB), 128)
