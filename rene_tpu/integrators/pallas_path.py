@@ -300,6 +300,10 @@ class PallasScene:
     # kernel floor (VALIDATION.md r4u/r4u2), so architectural quad
     # geometry is re-fused at pack time
     quads: List[dict] = dataclasses.field(default_factory=list)
+    # invariant attribute-select elision (_LazyAttr). Read from
+    # RENE_ATTR_ELIDE exactly ONCE (at pack time) and threaded here so
+    # pack-time quad sorting and build-time elision can never disagree
+    attr_elide: bool = False
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -1147,16 +1151,14 @@ class _LazyAttr:
     scenes most vals are per-record Python constants shared across
     records (one material family dominates a scene), so most selects
     are provably no-ops at kernel-build time. This accumulator keeps a
-    key symbolic while every write agrees on one scalar:
+    key symbolic while every write equals the engine DEFAULT:
 
-      state[k] = ('const', c)      no op emitted yet; every write == c
-                 ('arr', a, base)  materialized; miss lanes hold `base`
+      state[k] = ('const',)   no op emitted yet; every write == default
+                 ('arr', a)   materialized; miss lanes hold the default
 
-    The first diverging write materializes `where(ok, val, splat(base))`
-    with base = the key's first-written constant; finalize() then
-    restores exact miss semantics (miss lanes = the engine defaults the
-    eager chain would have left) with at most ONE select per diverged
-    key, so elision is bit-identical to the eager chain. The reference
+    The first non-default write materializes `where(ok, val,
+    splat(default))`; miss lanes therefore already hold exactly what the
+    eager chain would have left, so elision is bit-identical. The reference
     needs none of this: its closest-hit shader reads attributes through
     a per-hit pointer (rene-shader/src/lib.rs:886-939); on the VPU the
     select chain IS the attribute fetch. RENE_ATTR_ELIDE=1 opts in —
@@ -1173,9 +1175,9 @@ class _LazyAttr:
         self.state = {}
         for k, d in self.defaults.items():
             if eager:
-                self.state[k] = ("arr", zero + d, d)
+                self.state[k] = ("arr", zero + d)
             else:
-                self.state[k] = ("const", d)
+                self.state[k] = ("const",)
 
     def _scalar(self, v):
         return isinstance(v, (int, float, np.floating))
@@ -1185,30 +1187,25 @@ class _LazyAttr:
         for key, val in vals.items():
             st = self.state[key]
             if st[0] == "const":
-                c = st[1]
-                if self._scalar(val) and float(val) == c:
+                d = self.defaults[key]
+                if self._scalar(val) and float(val) == d:
                     continue  # provably a no-op select
                 self.state[key] = ("arr",
-                                   jnp.where(ok, val, self.zero + c), c)
+                                   jnp.where(ok, val, self.zero + d))
             else:
-                self.state[key] = ("arr", jnp.where(ok, val, st[1]),
-                                   st[2])
+                self.state[key] = ("arr", jnp.where(ok, val, st[1]))
 
     def finalize(self, hit):
-        """Materialize every key; `hit` masks lanes some record won so
-        miss lanes get back the engine defaults (exact eager parity)."""
-        jnp = self._jnp
+        """Materialize every key. Miss lanes already hold the engine
+        defaults (the const→arr transition splats them), so this is a
+        pure lookup — exact eager parity, no extra selects."""
+        del hit  # kept for signature stability with earlier designs
         attr = {}
         for key, st in self.state.items():
-            d = self.defaults[key]
             if st[0] == "const":
-                c = st[1]
-                attr[key] = (self.zero + d if c == d
-                             else jnp.where(hit, c, d) + self.zero)
+                attr[key] = self.zero + self.defaults[key]
             else:
-                arr, base = st[1], st[2]
-                attr[key] = (arr if base == d
-                             else jnp.where(hit, arr, self.zero + d))
+                attr[key] = st[1]
         return attr
 
 
@@ -1274,9 +1271,10 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         tris.append(rec)
 
     quads = []
+    attr_elide = os.environ.get("RENE_ATTR_ELIDE", "0") == "1"
     if os.environ.get("RENE_QUAD_FUSE", "1") != "0":
         tris, quads = _fuse_parallelograms(tris)
-        if os.environ.get("RENE_ATTR_ELIDE", "0") == "1":
+        if attr_elide:
             # group same-constant runs so _LazyAttr's prefix skips cover
             # the longest run of each attribute value (quads are never
             # emissive, so order only moves degenerate exact-t ties);
@@ -1443,7 +1441,8 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         mesh_hbm=mesh_hbm, mesh_box=mesh_box, mesh_root=mesh_root,
         mesh_oct=mesh_oct,
         inst_meshes=inst_meshes or None,
-        integrator=config.integrator, media=media)
+        integrator=config.integrator, media=media,
+        attr_elide=attr_elide)
 
 
 # ---------------------------------------------------------------------------
@@ -1485,11 +1484,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     ABLATE = frozenset(
         x for x in os.environ.get("RENE_MEGA_ABLATE", "").split(",") if x)
     # invariant attribute-select elision in the brute unroll (_LazyAttr;
-    # =1 opts in). MEASURED NEUTRAL on-chip (r4w: cornell 2010 vs 2009
-    # Mrays/s, veach 982 vs 985 — Mosaic already folds the invariant
-    # select chains / the unroll is latency-bound), so the default
-    # stays eager to keep kernel cache keys byte-stable.
-    ATTR_ELIDE = os.environ.get("RENE_ATTR_ELIDE", "0") == "1"
+    # RENE_ATTR_ELIDE=1 opts in, read ONCE at pack time and threaded via
+    # ps.attr_elide so pack and build can never disagree). MEASURED
+    # NEUTRAL on-chip (r4w: cornell 2010 vs 2009 Mrays/s, veach 982 vs
+    # 985 — Mosaic already folds the invariant select chains / the
+    # unroll is latency-bound), so the default stays eager to keep
+    # kernel cache keys byte-stable.
+    ATTR_ELIDE = ps.attr_elide
     SHAPE = ((MESH_TILE_SUB
               if (ps.n_clusters or ps.inst_meshes or wave_k)
               else TILE_SUB), 128)

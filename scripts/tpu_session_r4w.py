@@ -33,11 +33,15 @@ from tpu_session_r4v import veach_abs  # noqa: E402
 
 
 def with_elide(el, fn):
+    prev = os.environ.get("RENE_ATTR_ELIDE")
     os.environ["RENE_ATTR_ELIDE"] = el
     try:
         fn()
     finally:
-        os.environ.pop("RENE_ATTR_ELIDE", None)
+        if prev is None:
+            os.environ.pop("RENE_ATTR_ELIDE", None)
+        else:
+            os.environ["RENE_ATTR_ELIDE"] = prev
 
 
 def main():
