@@ -1848,12 +1848,62 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
     N_SUB, SUB = _sub_split(CLUSTER, sub_tris)
 
-    def _mt_test(blk, k, ox, oy, oz, dx, dy, dz):
-        """Moller-Trumbore vs triangle slot k of the sliced cluster block;
-        returns (t, u, v, ok_geom) — caller applies its own t bounds."""
+    # RENE_MESH_TEST=moment swaps the march's per-triangle test for the
+    # moment form (below). Build-time knob, default classic MT.
+    MESH_MOMENT = os.environ.get("RENE_MESH_TEST", "mt") == "moment"
+
+    def _mt_test(blk, k, ox, oy, oz, dx, dy, dz, wx=None, wy=None, wz=None):
+        """Per-triangle test vs slot k of the sliced cluster block;
+        returns (t, u, v, ok_geom) — caller applies its own t bounds.
+
+        Classic Moller-Trumbore is a SERIAL chain on the VPU: p=d×e2 →
+        det → invd, t0 → u, q=t0×e1 → v → t (each step needs the last).
+        The MOMENT form (MESH_MOMENT) rewrites the same determinants via
+        the ray moment w = o×d (computed once per march call) and
+        per-triangle derived constants
+
+            ngn = e2×e1   ngk = v0·ngn   m_u = v0×e2   m_v = e1×v0
+
+        so that det = d·ngn, u_num = w·e2 + d·m_u, v_num = d·m_v − w·e1,
+        t_num = ngk − o·ngn are four INDEPENDENT short dot chains —
+        fewer vector ops (~46 vs ~54) and far more ILP for the in-order
+        VPU pipeline. The derived constants are computed here from the
+        same 9 table scalars as classic MT — pure SCALAR-core work
+        (broadcast reads; ~32 scalar ops/tri) that overlaps the VPU,
+        with no table-row or HBM-DMA growth. Algebraically identical
+        (scalar triple-product identities); floating-point results
+        differ at cancellation level, which the interpret parity suite
+        bounds. The reference needs neither: RT cores do this in
+        silicon (rene-shader/src/lib.rs:194-207)."""
         v0x, v0y, v0z = blk[ROW_V0, k], blk[ROW_V0 + 1, k], blk[ROW_V0 + 2, k]
         e1x, e1y, e1z = blk[ROW_E1, k], blk[ROW_E1 + 1, k], blk[ROW_E1 + 2, k]
         e2x, e2y, e2z = blk[ROW_E2, k], blk[ROW_E2 + 1, k], blk[ROW_E2 + 2, k]
+        if MESH_MOMENT and wx is not None:
+            # scalar-core derived constants (per-tri, broadcast scalars)
+            ngnx = e2y * e1z - e2z * e1y
+            ngny = e2z * e1x - e2x * e1z
+            ngnz = e2x * e1y - e2y * e1x
+            ngk = v0x * ngnx + v0y * ngny + v0z * ngnz
+            mux = v0y * e2z - v0z * e2y
+            muy = v0z * e2x - v0x * e2z
+            muz = v0x * e2y - v0y * e2x
+            mvx = e1y * v0z - e1z * v0y
+            mvy = e1z * v0x - e1x * v0z
+            mvz = e1x * v0y - e1y * v0x
+            # vector part: four independent dot chains
+            det = dx * ngnx + dy * ngny + dz * ngnz
+            u_num = (wx * e2x + wy * e2y + wz * e2z
+                     + dx * mux + dy * muy + dz * muz)
+            v_num = (dx * mvx + dy * mvy + dz * mvz
+                     - (wx * e1x + wy * e1y + wz * e1z))
+            t_num = ngk - (ox * ngnx + oy * ngny + oz * ngnz)
+            invd = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+            u = u_num * invd
+            v = v_num * invd
+            t = t_num * invd
+            ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0))
+            return t, u, v, ok
         px_ = dy * e2z - dz * e2y
         py_ = dz * e2x - dx * e2z
         pz_ = dx * e2y - dy * e2x
@@ -1896,7 +1946,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
 
     def _sub_closest(blk, s, ox, oy, oz, dx, dy, dz, tmin, carry,
-                     bid=None):
+                     bid=None, w3=None):
         """Unrolled MT closest-hit over sub-block s of a loaded cluster
         block; carry = (t_best, nx, ny, nz, matid[, u, v][, cid]).
         `bid` (traced int32 scalar cluster id, present iff the carry
@@ -1913,8 +1963,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         else:
             t_b, nx, ny, nz, mid = carry
         t_in = t_b
+        wx, wy, wz = w3 if w3 is not None else (None, None, None)
         for k in range(s * SUB, (s + 1) * SUB):
-            t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
+            t, u, v, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz,
+                                    wx, wy, wz)
             ok = okg & (t >= tmin) & (t < t_b)
             t_b = jnp.where(ok, t, t_b)
             nx = jnp.where(ok, blk[ROW_N0, k] + u * blk[ROW_D1, k]
@@ -1939,12 +1991,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             out = out + (cid,)
         return out
 
-    def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf):
+    def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf,
+                 w3=None):
         """Unrolled MT any-hit over sub-block s; hf is a 0/1 float mask."""
         if _PROFILE_SKIP_MT:
             return hf
+        wx, wy, wz = w3 if w3 is not None else (None, None, None)
         for k in range(s * SUB, (s + 1) * SUB):
-            t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz)
+            t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz,
+                                    wx, wy, wz)
             hf = jnp.where(okg & (t >= tmin) & (t <= tmax), 1.0, hf)
         return hf
 
@@ -1977,6 +2032,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if nsup is None:
             nsup = NSUP
         ix, iy, iz = _inv_dir(dx, dy, dz)
+        # ray moment w = o x d, once per march call (moment-form test)
+        w3 = ((oy * dz - oz * dy, oz * dx - ox * dz,
+               ox * dy - oy * dx) if MESH_MOMENT else None)
         base = _oct_base(dx, dy, dz, nsup) if oct else None
 
         def sup_step(si, carry):
@@ -2016,7 +2074,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                 jnp.any(enter_s),
                                 functools.partial(_sub_closest, blk, s, ox,
                                                   oy, oz, dx, dy, dz, tmin,
-                                                  bid=bid),
+                                                  bid=bid, w3=w3),
                                 lambda c_: c_, carry)
                     return carry
                 # member fori: one MT unroll in the program instead of
@@ -2060,12 +2118,12 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                     fs,
                                     functools.partial(_sub_closest, blk, s,
                                                       ox, oy, oz, dx, dy, dz,
-                                                      tmin, bid=bid),
+                                                      tmin, bid=bid, w3=w3),
                                     lambda c_: c_, carry)
                             else:
                                 carry = _sub_closest(blk, s, ox, oy, oz,
                                                      dx, dy, dz, tmin, carry,
-                                                     bid=bid)
+                                                     bid=bid, w3=w3)
                         return carry
 
                     return jax.lax.cond(flag, hit_blk, lambda c_: c_, carry)
@@ -2151,6 +2209,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         if nsup is None:
             nsup = NSUP
         ix, iy, iz = _inv_dir(dx, dy, dz)
+        # ray moment w = o x d, once per march call (moment-form test)
+        w3 = ((oy * dz - oz * dy, oz * dx - ox * dz,
+               ox * dy - oy * dx) if MESH_MOMENT else None)
         base = _oct_base(dx, dy, dz, nsup) if oct else None
 
         def sup_step(si, hf):
@@ -2186,7 +2247,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                 jnp.any(enter_s & (hf < 0.5)),
                                 functools.partial(_sub_any, blk, s, ox, oy,
                                                   oz, dx, dy, dz, tmin,
-                                                  tmax),
+                                                  tmax, w3=w3),
                                 lambda h: h, hf)
                     return hf
                 flags = []
@@ -2225,11 +2286,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                     fs,
                                     functools.partial(_sub_any, blk, s, ox,
                                                       oy, oz, dx, dy, dz,
-                                                      tmin, tmax),
+                                                      tmin, tmax, w3=w3),
                                     lambda h: h, hf)
                             else:
                                 hf = _sub_any(blk, s, ox, oy, oz, dx, dy, dz,
-                                              tmin, tmax, hf)
+                                              tmin, tmax, hf, w3=w3)
                         return hf
 
                     return jax.lax.cond(flag, hit_blk, lambda h: h, hf)
@@ -3695,10 +3756,18 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             attr = dict(attr)
             for cls in ACTIVE_IMG_CLASSES:
                 sel_img = (attr[f"ib_{cls}"] >= 0.0) & hit
-                iv = fetch_image(iref, attr["u"], attr["v"],
-                                 attr[f"iw_{cls}"], attr[f"ih_{cls}"],
-                                 attr[f"ib_{cls}"], sel_img,
-                                 *CLS_PRANGE[cls])
+                if "atlas" in ABLATE:
+                    # cost-partition gate (RENE_MEGA_ABLATE=atlas): keep
+                    # the attr application but replace the paged VMEM
+                    # fetch with a flat 0.5 — isolates the atlas-fetch
+                    # share of texture-heavy scenes. Renders are wrong.
+                    flat = attr["u"] * 0.0 + 0.5
+                    iv = (flat, flat, flat)
+                else:
+                    iv = fetch_image(iref, attr["u"], attr["v"],
+                                     attr[f"iw_{cls}"], attr[f"ih_{cls}"],
+                                     attr[f"ib_{cls}"], sel_img,
+                                     *CLS_PRANGE[cls])
                 if cls == "kd":
                     rows = ("abr", "abg", "abb")
                 elif cls == "ks":
@@ -3739,11 +3808,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                    + bm[2, 2] * c["dz"])
             bu_, bv_ = sphere_uv_of(bdx, bdy, bdz)
             base, bw_, bh_ = BG_IMG
-            bg = fetch_image(iref, bu_, bv_,
-                             jnp.full(SHAPE, float(bw_)),
-                             jnp.full(SHAPE, float(bh_)),
-                             jnp.full(SHAPE, float(base)), miss,
-                             BG_PMIN, BG_PMAX)
+            if "atlas" in ABLATE:
+                flat = c["dx"] * 0.0 + 0.5
+                bg = (flat, flat, flat)
+            else:
+                bg = fetch_image(iref, bu_, bv_,
+                                 jnp.full(SHAPE, float(bw_)),
+                                 jnp.full(SHAPE, float(bh_)),
+                                 jnp.full(SHAPE, float(base)), miss,
+                                 BG_PMIN, BG_PMAX)
             return attr, (bg[0] * ps.background[0],
                           bg[1] * ps.background[1],
                           bg[2] * ps.background[2])
