@@ -184,7 +184,8 @@ def main(argv=None) -> int:
         out = render(scene, spp=spp, seed=args.seed,
                      tile_rays=args.tile_rays,
                      checkpoint=args.checkpoint, resume=args.resume,
-                     use_bvh=use_bvh, engine=args.engine)
+                     use_bvh=use_bvh, engine=args.engine,
+                     want_var=args.denoiser != "none")
 
     color = out["color"]
     if args.denoiser != "none":
@@ -195,7 +196,8 @@ def main(argv=None) -> int:
             unet = UNetDenoiser.load(args.unet_weights)
         t = time.time()
         color = denoise(color, out["normal"], out["albedo"],
-                        method=args.denoiser, unet=unet)
+                        method=args.denoiser, unet=unet,
+                        varmean=out.get("varmean"))
         log.info("denoise (%s) in %.2fs", args.denoiser, time.time() - t)
 
     from .utils.film import save_png, to_aov8, to_aov_normal8, to_rgb8

@@ -304,6 +304,10 @@ class PallasScene:
     # RENE_ATTR_ELIDE exactly ONCE (at pack time) and threaded here so
     # pack-time quad sorting and build-time elision can never disagree
     attr_elide: bool = False
+    # img_table layout: True = RGB9E5 u32-packed (rows,128), False =
+    # 3-channel-planar (3*rows,128). Decided at pack time (RENE_IMG_PACK)
+    # and threaded here so pack and build can never disagree.
+    img_packed: bool = False
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -1343,6 +1347,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
     used_imgs = _kernel_images(buffers_np, config)
     img_table = None
     img_rows = 0
+    img_packed = False
     bases = {}
     if used_imgs:
         rows = 0
@@ -1351,7 +1356,15 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             rows += _image_rows(buffers_np, ii)
         rows = ((rows + IMG_PAGE - 1) // IMG_PAGE) * IMG_PAGE
         img_rows = rows
-        img_table = np.zeros((3 * rows, 128), np.float32)
+        # RGB9E5-packed (rows,128) atlas by default: one u32 per texel
+        # (bitcast-stored as f32) -> ONE gather per bilinear corner per
+        # page instead of three. device.py already quantized the texels
+        # onto the RGB9E5 grid, so this encode is lossless and the
+        # in-kernel decode reproduces the XLA engine's floats exactly.
+        # RENE_IMG_PACK=0 restores the 3-channel-planar layout (A/B).
+        img_packed = os.environ.get("RENE_IMG_PACK", "1") != "0"
+        img_table = np.zeros(((rows if img_packed else 3 * rows), 128),
+                             np.float32)
         atlas = buffers_np["img_atlas"]
         for ii in used_imgs:
             w = int(buffers_np["img_width"][ii])
@@ -1362,9 +1375,14 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             pad = np.zeros((nr * 128, 3), np.float32)
             pad[:n] = atlas[off:off + n, :3]
             b = bases[ii]
-            for ch in range(3):
-                img_table[ch * rows + b: ch * rows + b + nr, :] = \
-                    pad[:, ch].reshape(nr, 128)
+            if img_packed:
+                from ..ops.rgb9e5 import encode
+                img_table[b:b + nr, :] = \
+                    encode(pad).view(np.float32).reshape(nr, 128)
+            else:
+                for ch in range(3):
+                    img_table[ch * rows + b: ch * rows + b + nr, :] = \
+                        pad[:, ch].reshape(nr, 128)
 
         def resolve(rec):
             """Image descriptors -> atlas (base_row, w, h) across every
@@ -1425,6 +1443,7 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         lights=lights,
         background=background,
         img_table=img_table, img_rows=img_rows, bg_img=bg_img,
+        img_packed=(img_table is not None and img_packed),
         bg_matrix=np.asarray(buffers_np["background_matrix"],
                              np.float64),
         env_tab=env_tab,
@@ -1605,6 +1624,40 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         BG_PMAX = -(-(BG_IMG[0] + (BG_IMG[1] * BG_IMG[2] + 127) // 128)
                     // IMG_PAGE)
 
+    IMG_PACKED = getattr(ps, "img_packed", False)
+
+    def _f2u(x):
+        if interpret:
+            return jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return pltpu.bitcast(x, jnp.uint32)
+
+    def _u2f(x):
+        if interpret:
+            return jax.lax.bitcast_convert_type(x, jnp.float32)
+        return pltpu.bitcast(x, jnp.float32)
+
+    def _rgb9e5_dec(vf):
+        """f32-bitcast RGB9E5 u32 -> exact (r, g, b) f32 (ops/rgb9e5).
+        Mantissas via the 1.0-bias bitcast (no int->float casts on
+        Mosaic), the shared power-of-two scale via exponent-bit
+        construction — every step exact, so the kernel sees the same
+        floats the XLA engine reads from the quantized atlas."""
+        u = _f2u(vf)
+        nine = jnp.uint32(9)
+        m511 = jnp.uint32(511)
+        one = jnp.uint32(0x3F800000)
+
+        def man(m):  # m in [0,511]: bitcast(1.0|m) - 1.0 == m * 2^-23
+            return _u2f(m | one) - 1.0
+
+        r = man(u & m511)
+        g = man((u >> nine) & m511)
+        b = man((u >> jnp.uint32(18)) & m511)
+        e5 = (u >> jnp.uint32(27)) & jnp.uint32(31)
+        # scale = 2^(e-24) * 2^23 = 2^(e-1): float bits (e+126)<<23
+        sc = _u2f((e5 + jnp.uint32(126)) << jnp.uint32(23))
+        return r * sc, g * sc, b * sc
+
     def fetch_image(iref, u, v, wf, hf, base_row, active,
                     pmin=0, pmax=None):
         """Bilinear REPEAT fetch (texture.rs:124 / ops/texture.py
@@ -1640,7 +1693,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             rows.append(jnp.where(active, r, -1.0).astype(jnp.int32))
             lanes.append((flat - r * 128.0).astype(jnp.int32))
         zero = u * 0.0
-        vals = tuple([zero] * 12)
+        vals = tuple([zero] * (4 if IMG_PACKED else 12))
 
         # traced sweep bounds from the lanes that actually fetch
         big_i = jnp.int32(1 << 30)
@@ -1661,6 +1714,23 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
             def do(vals):
                 out = list(vals)
+                if IMG_PACKED:
+                    # one u32-packed plane: ONE gather+select chain per
+                    # bilinear corner serves all three channels (the
+                    # r5a partition's 92% fetch share is mostly here)
+                    blk = iref[pl.ds(lo, IMG_PAGE), :]
+                    rowp = [jnp.broadcast_to(blk[k:k + 1, :], SHAPE)
+                            for k in range(IMG_PAGE)]
+                    for j in range(4):
+                        inp = (rows[j] >= lo) & (rows[j] < lo + IMG_PAGE)
+                        g = jnp.take_along_axis(rowp[0], lanes[j],
+                                                axis=1)
+                        for k in range(1, IMG_PAGE):
+                            gk = jnp.take_along_axis(rowp[k], lanes[j],
+                                                     axis=1)
+                            g = jnp.where(rows[j] == lo + k, gk, g)
+                        out[j] = jnp.where(inp, g, out[j])
+                    return tuple(out)
                 blks = [iref[pl.ds(lo + ch * IMG_ROWS, IMG_PAGE), :]
                         for ch in range(3)]
                 rowk = [[jnp.broadcast_to(blks[ch][k:k + 1, :], SHAPE)
@@ -1692,6 +1762,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
         vals = jax.lax.fori_loop(plo, phi, page_body, vals)
         out = []
+        if IMG_PACKED:
+            dec = [_rgb9e5_dec(vals[j]) for j in range(4)]
+            for ch in range(3):
+                c00, c10, c01, c11 = (dec[0][ch], dec[1][ch],
+                                      dec[2][ch], dec[3][ch])
+                top = c00 * (1.0 - fx) + c10 * fx
+                bot = c01 * (1.0 - fx) + c11 * fx
+                out.append(top * (1.0 - fy) + bot * fy)
+            return out
         for ch in range(3):
             c00, c10, c01, c11 = (vals[ch], vals[3 + ch], vals[6 + ch],
                                   vals[9 + ch])

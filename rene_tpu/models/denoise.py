@@ -237,11 +237,44 @@ class UNetDenoiser:
 
 
 def denoise(color, normal, albedo, method: str = "atrous",
-            unet: Optional[UNetDenoiser] = None):
+            unet: Optional[UNetDenoiser] = None, varmean=None):
+    """varmean: per-pixel variance of the color mean (render want_var).
+    When given, the output is the convergence-aware blend — a converged
+    render passes through unchanged, so denoising can never regress a
+    high-spp image (the round-4 quality sweep found cnn LOSING to raw
+    on 3 of 5 converged goldens; the reference's denoisers are optional
+    post-passes, rene/src/main.rs:1625-1647 — ours must never hurt)."""
     if method in ("none", None):
         return color
     if method == "atrous":
-        return atrous_denoise(color, normal, albedo)
-    if method == "cnn":
-        return (unet or UNetDenoiser())(color, normal, albedo)
-    raise ValueError(f"unknown denoiser {method}")
+        den = atrous_denoise(color, normal, albedo)
+    elif method == "cnn":
+        den = (unet or UNetDenoiser())(color, normal, albedo)
+    else:
+        raise ValueError(f"unknown denoiser {method}")
+    if varmean is None:
+        return den
+    return convergence_blend(color, den, varmean)
+
+
+def convergence_blend(raw, den, varmean, knee: float = 0.03):
+    """Per-pixel Wiener-style shrink of the denoised image toward the
+    raw estimate: w = v / (v + (knee*signal)^2), where v is the
+    variance of the raw MEAN and signal is local luma. Noisy pixels
+    (relative std >> knee) take the denoiser; converged pixels keep the
+    unbiased raw value. The weight map is box-smoothed so speckled
+    variance estimates don't punch holes in smooth denoised regions."""
+    import numpy as np
+    raw = np.asarray(raw, np.float32)
+    den = np.asarray(den, np.float32)
+    lum = np.asarray(varmean, np.float32) @ np.float32([0.299, 0.587,
+                                                        0.114])
+    sig = raw @ np.float32([0.299, 0.587, 0.114])
+    floor = np.float32(max(np.mean(sig) * 0.05, 1e-6))
+    w = lum / (lum + (knee * np.maximum(sig, floor)) ** 2)
+    w = np.nan_to_num(w, nan=1.0, posinf=1.0)  # inf var (1 chunk) -> 1
+    for _ in range(2):  # 3x3 box smoothing, edge-replicated
+        p = np.pad(w, 1, mode="edge")
+        w = sum(p[1 + dy:p.shape[0] - 1 + dy, 1 + dx:p.shape[1] - 1 + dx]
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+    return raw + w[..., None] * (den - raw)

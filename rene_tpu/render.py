@@ -134,9 +134,14 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
            resume: bool = False,
            progress: Optional[Callable[[int, int, float], None]] = None,
            use_bvh: Optional[bool] = None,
-           engine: str = "auto"):
+           engine: str = "auto",
+           want_var: bool = False):
     """Render a scene; returns dict of (H,W,3) float32 arrays:
-    color (averaged), normal, albedo.
+    color (averaged), normal, albedo. want_var additionally returns
+    "varmean" — the per-pixel variance of the color MEAN estimated from
+    the spread of per-chunk means (no extra device work; used by the
+    denoiser's convergence-aware blend so denoising can never degrade a
+    converged render).
 
     engine: "auto" uses the Pallas megakernel on TPU for eligible scenes,
     "pallas" forces it (errors if ineligible), "xla" forces the wavefront
@@ -184,7 +189,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
         try:
             return _render_pallas(pallas_run, config, spp, seed,
                                   checkpoint, resume, progress,
-                                  fingerprint)
+                                  fingerprint, want_var=want_var)
         except Exception:
             if engine != "auto" or engine_name != "pallas wavefront":
                 raise
@@ -200,7 +205,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
                 raise
             return _render_pallas(pallas_run, config, spp, seed,
                                   checkpoint, resume, progress,
-                                  fingerprint)
+                                  fingerprint, want_var=want_var)
 
     from .ops.accel import make_accel
     force = {None: None, True: "bvh", False: None}[use_bvh]
@@ -222,6 +227,8 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
 
     run, max_chunk = _batch_fn(config, accel=accel)
     max_chunk = min(max_chunk, xla_max_chunk)
+    if want_var:  # >=2 chunks so the chunk-mean spread is measurable
+        max_chunk = max(1, min(max_chunk, spp // 2))
 
     accum = {
         "radiance": np.zeros((n, 3), np.float32),
@@ -244,6 +251,8 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
         consumed += min(max_chunk, start_sample - consumed)
 
     tiles = [(s, min(s + tile_rays, n)) for s in range(0, n, tile_rays)]
+    sq_sum = np.zeros((n, 3), np.float32) if want_var else None
+    n_chunks = 0
     total_rays = 0.0
     t_batch = time.time()
     t_start = time.time()
@@ -257,8 +266,12 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
                       jnp.uint32(chunk_seed), chunk)
             for k in accum:
                 accum[k][lo:hi] += np.asarray(out[k])
+            if sq_sum is not None:
+                xm = np.asarray(out["radiance"]) / chunk
+                sq_sum[lo:hi] += chunk * xm * xm
             total_rays += float(out["rays"])
         done += chunk
+        n_chunks += 1
         dt = (time.time() - t_batch) * 1000.0
         log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
         t_batch = time.time()
@@ -271,7 +284,7 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
     color = accum["radiance"] / max(spp, 1)
     normal = accum["normal"] / max(spp, 1)
     albedo = accum["albedo"] / max(spp, 1)
-    return {
+    result = {
         "color": rays_to_image(color, w, h),
         "normal": rays_to_image(normal, w, h),
         "albedo": rays_to_image(albedo, w, h),
@@ -279,10 +292,29 @@ def render(scene: FlatScene, spp: int = DEFAULT_SPP,
         "total_rays": total_rays,
         "wall_time": time.time() - t_start,
     }
+    if sq_sum is not None:
+        result["varmean"] = rays_to_image(
+            _var_of_mean(accum["radiance"], sq_sum, spp, n_chunks), w, h)
+    return result
+
+
+def _var_of_mean(sum_x, sq_sum, n_total, n_chunks):
+    """Per-pixel variance of the color mean from per-chunk means.
+
+    sum_x = sum of per-sample radiance, sq_sum = sum over chunks of
+    n_i * mean_i^2. Unequal-chunk weighted spread, divided once more by
+    n_total: Var[mean] ~= (sq_sum - n*mean^2) / ((k-1) * n). One chunk
+    -> no estimate (returns +inf so the blend keeps the denoiser)."""
+    n_total = max(n_total, 1)
+    mean = sum_x / n_total
+    if n_chunks < 2:
+        return np.full_like(sum_x, np.inf)
+    spread = np.maximum(sq_sum - n_total * mean * mean, 0.0)
+    return spread / ((n_chunks - 1) * n_total)
 
 
 def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
-                   fingerprint=""):
+                   fingerprint="", want_var=False):
     """Driver loop for the pallas full-frame megakernel."""
     w = config.film.xresolution
     h = config.film.yresolution
@@ -307,6 +339,8 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
     # chunk * spp_mult samples per pixel per call
     max_chunk = min(LOG_EVERY, getattr(run, "chunk_hint", LOG_EVERY))
     mult = getattr(run, "spp_mult", 1)
+    if want_var:  # >=2 chunks so the chunk-mean spread is measurable
+        max_chunk = max(1, min(max_chunk, spp // (2 * mult)))
     host_rng = np.random.default_rng(seed)
     consumed = 0
     while consumed < start_sample:
@@ -322,8 +356,11 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
     # tunnel at 720p); checkpointing needs host sums every chunk, so it
     # keeps the per-chunk path
     dev_accum = (getattr(run, "run_dev", None)
-                 if not checkpoint and start_sample == 0 else None)
+                 if not checkpoint and start_sample == 0
+                 and not want_var else None)
     acc = None
+    sq_sum = np.zeros((n, 3), np.float32) if want_var else None
+    n_chunks = 0
     while done < spp:
         # per-lane chunk; a packed runner may overshoot spp by < mult
         # (the final average divides by the samples actually delivered)
@@ -336,8 +373,12 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
             out = run(chunk_seed, chunk)
             for k in accum:
                 accum[k] += np.asarray(out[k])
+            if sq_sum is not None:
+                xm = np.asarray(out["radiance"]) / (chunk * mult)
+                sq_sum += (chunk * mult) * xm * xm
             total_rays += float(out["rays"])
         done += chunk * mult
+        n_chunks += 1
         dt = (time.time() - t_batch) * 1000.0
         log.info("Samples: %d/%d (%.0f ms)", done, spp, dt)
         t_batch = time.time()
@@ -352,7 +393,7 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
             accum[k] += out[k]
         total_rays += out["rays"]
 
-    return {
+    result = {
         "color": rays_to_image(accum["radiance"] / max(done, 1), w, h),
         "normal": rays_to_image(accum["normal"] / max(done, 1), w, h),
         "albedo": rays_to_image(accum["albedo"] / max(done, 1), w, h),
@@ -360,3 +401,8 @@ def _render_pallas(run, config, spp, seed, checkpoint, resume, progress,
         "total_rays": total_rays,
         "wall_time": time.time() - t_start,
     }
+    if sq_sum is not None:
+        result["varmean"] = rays_to_image(
+            _var_of_mean(accum["radiance"], sq_sum, done, n_chunks),
+            w, h)
+    return result

@@ -254,7 +254,15 @@ def build_device_scene(scene: FlatScene):
     if not flat:
         offsets, widths, heights = [0], [1], [1]
         flat = [np.zeros((1, 4), np.float32)]
-    buffers["img_atlas"] = np.concatenate(flat, axis=0).astype(np.float32)
+    atlas = np.concatenate(flat, axis=0).astype(np.float32)
+    # Quantize texel RGB onto the RGB9E5 grid ONCE for both engines:
+    # the kernel fetches a u32-packed atlas (one gather per bilinear
+    # corner instead of three — see ops/rgb9e5.py) and decodes to
+    # exactly these floats, so pallas/XLA parity stays bit-exact.
+    if atlas.size:
+        from ..ops.rgb9e5 import quantize
+        atlas[:, :3] = quantize(atlas[:, :3])
+    buffers["img_atlas"] = atlas
     buffers["img_offset"] = np.asarray(offsets, np.int32)
     buffers["img_width"] = np.asarray(widths, np.int32)
     buffers["img_height"] = np.asarray(heights, np.int32)
