@@ -50,6 +50,26 @@ from ..scene.device import RenderConfig
 MAX_TRIS = 512
 MAX_SPHERES = 64       # unrolled per-sphere tests; baked immediates
 MAX_LIGHTS = 16        # unrolled distant-light NEE loops
+# Sphere TABLE: scenes beyond MAX_SPHERES keep their non-emissive
+# uniform-scale solid-material spheres in a VMEM table of 128-sphere
+# Morton-ordered blocks (8 rows: cx cy cz r matid imed emed box) marched
+# like a mini cluster table — one AABB slab test gates each block's
+# unrolled 128 analytic tests. The reference needs no cap at all: one
+# shared unit-sphere BLAS serves any instance count
+# (rene/src/main.rs:2437-2590); this is the TPU equivalent, and it
+# lifts the 250x XLA-fallback cliff a 100-sphere scene used to hit.
+# Emissive / textured / non-uniformly-scaled spheres stay immediates
+# (their sampling, uv and W2O^T-normal paths need per-sphere data).
+SPH_BLOCK = 128
+SPH_ROWS = 8
+SPH_ROW_BOX = 7        # block AABB at lanes 0..5 of this row
+SPH_TABLE_MAX = 1 << 15
+# Distant-light TABLE: scenes past MAX_LIGHTS keep every distant light
+# in a VMEM table (one light per ROW: dir xyz + color rgb at lanes
+# 0..5) folded by a fori_loop with dynamic row slices — the same
+# probed-legal pattern the instance tables use. The reference has no
+# light cap either (lights are a storage buffer, main.rs:2965-3299).
+LIGHT_TABLE_MAX = 1024
 TILE_SUB = 64          # ray tile = (TILE_SUB, 128) lanes
 TILE = TILE_SUB * 128
 MESH_TILE_SUB = 8      # smaller tiles for cluster scenes: tighter ray beams
@@ -308,6 +328,17 @@ class PallasScene:
     # 3-channel-planar (3*rows,128). Decided at pack time (RENE_IMG_PACK)
     # and threaded here so pack and build can never disagree.
     img_packed: bool = False
+    # sphere table (module constants SPH_*): (SPH_ROWS, n_blocks*128)
+    # f32 + per-slot material records, for scenes past MAX_SPHERES
+    sph_table: Optional[np.ndarray] = None
+    sph_mats: Optional[List[dict]] = None
+    n_sph_blocks: int = 0
+    # distant-light table for scenes past MAX_LIGHTS (one light/row)
+    light_table: Optional[np.ndarray] = None
+    # checker background: (uscale, vscale, rgb_even, rgb_odd) evaluated
+    # inline in the miss shader from the same bg_matrix spherical uv the
+    # imagemap background uses (lifts the bg in {solid, imagemap} cap)
+    bg_checker: Optional[tuple] = None
 
 
 def _emissive_tri_mask(buffers_np) -> np.ndarray:
@@ -421,8 +452,9 @@ def _kernel_images(buffers_np, config: RenderConfig):
     every used material slot that resolves to an image descriptor."""
     used = set()
     bg_tex = int(buffers_np["background_texture"])
-    if int(buffers_np["tex_type"][bg_tex]) == T.TEX_IMAGEMAP:
-        used.add(int(buffers_np["tex_u0"][bg_tex, 0]))
+    bg_desc = _tex_kernel_desc(buffers_np, bg_tex)
+    if bg_desc is not None and bg_desc[0] == "image":
+        used.add(bg_desc[1])
     for m in set(buffers_np["inst_material"].tolist()):
         descs = _mat_slot_descs(buffers_np, int(m))
         for desc in (descs or {}).values():
@@ -470,15 +502,31 @@ def pallas_eligible(buffers_np, config: RenderConfig) -> bool:
     if config.integrator not in ("path", "volpath"):
         return False
     if config.num_spheres > MAX_SPHERES:
-        return False
-    if config.num_lights > MAX_LIGHTS:
+        # sphere-table split (see _pack_sphere_table): non-emissive
+        # uniform-scale solid-material spheres go to the VMEM table,
+        # the rest must fit the immediate budget
+        n_imm = n_tbl = 0
+        for s in range(config.num_spheres):
+            inst = int(buffers_np["sph_inst"][s])
+            al = int(buffers_np["inst_area_light"][inst])
+            emissive = int(buffers_np["area_type"][al]) != T.AREA_NULL
+            ok, _, _ = _sph_uniform(buffers_np["sph_o2w"][s])
+            if (ok and not emissive and _mat_solid_only(
+                    buffers_np, int(buffers_np["inst_material"][inst]))):
+                n_tbl += 1
+            else:
+                n_imm += 1
+        if n_imm > MAX_SPHERES or n_tbl > SPH_TABLE_MAX:
+            return False
+    if config.num_lights > LIGHT_TABLE_MAX:
         return False
     # miss shader (lib.rs:120-139) = texture(background_matrix*dir) *
-    # background_color: a solid texture folds into a constant, an imagemap
-    # is fetched from the VMEM atlas; anything else falls back to XLA
+    # background_color: a solid texture folds into a constant, an
+    # imagemap is fetched from the VMEM atlas, a checker (solid subs)
+    # evaluates inline from the miss uv, a scale folds; only
+    # non-representable descriptors fall back to XLA
     bg_tex = int(buffers_np["background_texture"])
-    if int(buffers_np["tex_type"][bg_tex]) not in (T.TEX_SOLID,
-                                                   T.TEX_IMAGEMAP):
+    if _tex_kernel_desc(buffers_np, bg_tex) is None:
         return False
     # VMEM budget for the image atlas (coexists with the cluster table;
     # HBM-streamed meshes leave VMEM free for the full budget). The cap
@@ -1135,6 +1183,70 @@ def _fuse_parallelograms(tris):
     return out, quads
 
 
+def _sph_uniform(o2w):
+    """(ok, center, radius) when the sphere transform is rigid +
+    uniform scale — the cases the table's center/radius test covers;
+    anything else (true ellipsoids) stays an immediate."""
+    m = np.asarray(o2w, np.float64)
+    a = m[:3, :3]
+    g = a.T @ a
+    s2 = float(np.trace(g)) / 3.0
+    if s2 <= 0 or not np.allclose(g, np.eye(3) * s2, rtol=1e-4,
+                                  atol=1e-6 * max(s2, 1e-12)):
+        return False, None, 0.0
+    return True, m[:3, 3].copy(), float(np.sqrt(s2))
+
+
+def _pack_sphere_table(spheres):
+    """Split a >MAX_SPHERES sphere list into (immediates, table, mats,
+    n_blocks): non-emissive uniform-scale solid-material spheres into
+    Morton-ordered 128-slot blocks (layout: module SPH_* constants),
+    everything else staying an immediate record. Returns table=None if
+    the split cannot satisfy the immediate budget."""
+    tbl, imm = [], []
+    for rec in spheres:
+        ok, c, r = _sph_uniform(rec["o2w"])
+        if ok and not rec["emissive"] and not rec.get("texs"):
+            tbl.append((c, r, rec))
+        else:
+            imm.append(rec)
+    if not tbl or len(imm) > MAX_SPHERES or len(tbl) > SPH_TABLE_MAX:
+        return spheres, None, None, 0
+    matkeys = ("albedo", "eta", "k", "alpha", "ir", "mat_type",
+               "op", "kr2", "kt2", "imed", "emed", "rrm", "fscale")
+    slot_of, mats, mids = {}, [], []
+    for _, _, rec in tbl:
+        key = _freeze(tuple(rec.get(k) for k in matkeys))
+        if key not in slot_of:
+            slot_of[key] = len(mats)
+            mats.append(rec)
+        mids.append(slot_of[key])
+    cs = np.array([c for c, _, _ in tbl], np.float64)
+    rs = np.array([r for _, r, _ in tbl], np.float64)
+    lo = cs.min(0)
+    ext = np.maximum(cs.max(0) - lo, 1e-9)
+    q = np.clip(((cs - lo) / ext * 1023.0).astype(np.int64), 0, 1023)
+    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]),
+                       kind="stable")
+    cs, rs = cs[order], rs[order]
+    mids = np.asarray(mids, np.float64)[order]
+    n = len(tbl)
+    nb = (n + SPH_BLOCK - 1) // SPH_BLOCK
+    table = np.zeros((SPH_ROWS, nb * SPH_BLOCK), np.float32)
+    table[3, :] = -1.0  # padding slots: r <= 0 never passes the test
+    for ch in range(3):
+        table[ch, :n] = cs[:, ch]
+    table[3, :n] = rs
+    table[4, :n] = mids
+    for b in range(nb):
+        s0, s1 = b * SPH_BLOCK, min((b + 1) * SPH_BLOCK, n)
+        table[SPH_ROW_BOX, b * SPH_BLOCK:b * SPH_BLOCK + 3] = \
+            (cs[s0:s1] - rs[s0:s1, None]).min(0)
+        table[SPH_ROW_BOX, b * SPH_BLOCK + 3:b * SPH_BLOCK + 6] = \
+            (cs[s0:s1] + rs[s0:s1, None]).max(0)
+    return imm, table, mats, nb
+
+
 def _attr_signature(rec):
     """Stable constant-attribute signature used to sort quad records so
     same-valued runs share a prefix (maximizes _LazyAttr skips)."""
@@ -1302,6 +1414,11 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         rec.update(mat)
         spheres.append(rec)
 
+    sph_table, sph_mats, n_sph_blocks = None, None, 0
+    if len(spheres) > MAX_SPHERES:
+        spheres, sph_table, sph_mats, n_sph_blocks = \
+            _pack_sphere_table(spheres)
+
     emit_objects = []
     for e in range(config.num_emit_objects):
         kind = int(buffers_np["eo_kind"][e])
@@ -1324,6 +1441,13 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
             "dir": tuple(float(x) for x in buffers_np["light_dir"][li]),
             "color": tuple(float(x) for x in buffers_np["light_color"][li]),
         })
+    light_table = None
+    if len(lights) > MAX_LIGHTS:
+        lrows = ((len(lights) + 7) // 8) * 8
+        light_table = np.zeros((lrows, 128), np.float32)
+        for li, lt in enumerate(lights):
+            light_table[li, 0:3] = lt["dir"]
+            light_table[li, 3:6] = lt["color"]
 
     if config.integrator == "volpath":
         from .volpath import max_depth_for
@@ -1404,21 +1528,26 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         for rec in (mesh_mats or []):
             resolve(rec)
 
-    # miss radiance = texture(background) * background_color; a solid
-    # texture folds into the constant, an imagemap is fetched per miss
+    # miss radiance = texture(background) * background_color; solids
+    # (and scale-of-solids) fold into the constant, an imagemap (or
+    # scale-of-imagemap, base folded) is fetched per miss, a checker
+    # with solid subs evaluates inline from the miss uv
     bg_tex = int(buffers_np["background_texture"])
     bg_img = None
-    if int(buffers_np["tex_type"][bg_tex]) == T.TEX_IMAGEMAP:
-        ii = int(buffers_np["tex_u0"][bg_tex, 0])
+    bg_checker = None
+    bg_desc = _tex_kernel_desc(buffers_np, bg_tex)
+    bg_color = tuple(float(x) for x in buffers_np["background_color"])
+    if bg_desc is not None and bg_desc[0] == "image":
+        ii, base = bg_desc[1], bg_desc[2]
         bg_img = (bases[ii], int(buffers_np["img_width"][ii]),
                   int(buffers_np["img_height"][ii]))
-        background = tuple(float(x)
-                           for x in buffers_np["background_color"])
+        background = tuple(bg_color[i] * base[i] for i in range(3))
+    elif bg_desc is not None and bg_desc[0] == "checker":
+        bg_checker = bg_desc[1:]
+        background = bg_color
     else:
-        bg_rgb = buffers_np["tex_v0"][bg_tex, :3].astype(np.float64)
-        background = tuple(
-            float(bg_rgb[i] * buffers_np["background_color"][i])
-            for i in range(3))
+        rgb = bg_desc[1] if bg_desc is not None else (0.0, 0.0, 0.0)
+        background = tuple(float(rgb[i] * bg_color[i]) for i in range(3))
 
     # infinite-light importance sampling table (config.env_nee): rows
     # [0, GW) the TRANSPOSED conditional CDFs (row j = entry j of every
@@ -1461,7 +1590,10 @@ def pack_scene(buffers_np, config: RenderConfig) -> PallasScene:
         mesh_oct=mesh_oct,
         inst_meshes=inst_meshes or None,
         integrator=config.integrator, media=media,
-        attr_elide=attr_elide)
+        attr_elide=attr_elide,
+        sph_table=sph_table, sph_mats=sph_mats,
+        n_sph_blocks=n_sph_blocks, light_table=light_table,
+        bg_checker=bg_checker)
 
 
 # ---------------------------------------------------------------------------
@@ -2428,6 +2560,119 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             lambda h_: march(h_, tf, enter_root),
                             lambda h_: h_, hf0)
 
+    # ---- sphere table march (module SPH_* constants; non-emissive
+    # uniform-scale spheres in Morton-ordered 128-slot blocks). World
+    # rays only (d unit by construction everywhere trace_* is called),
+    # so the quadratic's a == 1. The reference serves any sphere count
+    # from one shared unit-sphere BLAS (main.rs:2437-2590); this is the
+    # TPU equivalent: per block ONE slab test, then 128 unrolled
+    # analytic tests with scalar-broadcast center/radius/matid.
+    N_SPH = ps.n_sph_blocks
+    _sref_hold = []  # set by the kernel entry (megakernel + wave)
+
+    def _sph_blk_enter(blk, ox, oy, oz, ix, iy, iz, tmin, tfar):
+        t0x = (blk[SPH_ROW_BOX, 0] - ox) * ix
+        t1x = (blk[SPH_ROW_BOX, 3] - ox) * ix
+        t0y = (blk[SPH_ROW_BOX, 1] - oy) * iy
+        t1y = (blk[SPH_ROW_BOX, 4] - oy) * iy
+        t0z = (blk[SPH_ROW_BOX, 2] - oz) * iz
+        t1z = (blk[SPH_ROW_BOX, 5] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return jnp.maximum(tn, tmin) <= jnp.minimum(tf, tfar)
+
+    def _sph_test(blk, k, ox, oy, oz, dx, dy, dz, tmin):
+        """(t, ok, invr, cx, cy, cz) for sphere slot k (BIG on miss)."""
+        cx, cy, cz, rr = blk[0, k], blk[1, k], blk[2, k], blk[3, k]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        hb = ocx * dx + ocy * dy + ocz * dz
+        c2 = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+        disc = hb * hb - c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r0 = -hb - sq
+        r1 = -hb + sq
+        t = jnp.where(r0 >= tmin, r0, jnp.where(r1 >= tmin, r1, BIG))
+        ok = (disc >= 0.0) & (rr > 0.0)
+        return t, ok, 1.0 / jnp.where(rr > 0.0, rr, 1.0), cx, cy, cz
+
+    def sphere_closest(sref, ox, oy, oz, dx, dy, dz, tmin, carry):
+        """carry = (t_best, nx, ny, nz, matid); matid -1 = no table hit.
+        Normal = (hit - center)/r (uniform scale: W2O^T folds away)."""
+        ix, iy, iz = _inv_dir(dx, dy, dz)
+
+        def blk_body(b, carry):
+            blk = sref[:, pl.ds(b * SPH_BLOCK, SPH_BLOCK)]
+            enter = _sph_blk_enter(blk, ox, oy, oz, ix, iy, iz, tmin,
+                                   carry[0])
+
+            def do(carry):
+                t_b, nx, ny, nz, mid = carry
+                for k in range(SPH_BLOCK):
+                    t, okg, invr, cx, cy, cz = _sph_test(
+                        blk, k, ox, oy, oz, dx, dy, dz, tmin)
+                    ok = okg & (t < t_b)
+                    t_b = jnp.where(ok, t, t_b)
+                    nx = jnp.where(ok, (ox + t * dx - cx) * invr, nx)
+                    ny = jnp.where(ok, (oy + t * dy - cy) * invr, ny)
+                    nz = jnp.where(ok, (oz + t * dz - cz) * invr, nz)
+                    mid = jnp.where(ok, blk[4, k], mid)
+                return t_b, nx, ny, nz, mid
+
+            return jax.lax.cond(jnp.any(enter), do, lambda c_: c_, carry)
+
+        return jax.lax.fori_loop(0, N_SPH, blk_body, carry)
+
+    def sphere_any(sref, ox, oy, oz, dx, dy, dz, tmin, tmax, hf):
+        """Any-hit over the sphere table; hf is a 0/1 float mask."""
+        ix, iy, iz = _inv_dir(dx, dy, dz)
+
+        def blk_body(b, hf):
+            blk = sref[:, pl.ds(b * SPH_BLOCK, SPH_BLOCK)]
+            enter = _sph_blk_enter(blk, ox, oy, oz, ix, iy, iz, tmin,
+                                   tmax)
+
+            def do(hf):
+                for k in range(SPH_BLOCK):
+                    t, okg, _, _, _, _ = _sph_test(
+                        blk, k, ox, oy, oz, dx, dy, dz, tmin)
+                    hf = jnp.where(okg & (t <= tmax), 1.0, hf)
+                return hf
+
+            return jax.lax.cond(jnp.any(enter & (hf < 0.5)), do,
+                                lambda h: h, hf)
+
+        return jax.lax.fori_loop(0, N_SPH, blk_body, hf)
+
+    # ---- distant-light fold: unrolled constants up to MAX_LIGHTS,
+    # VMEM light-table fori beyond (one light per row; dynamic row
+    # slices with static in-slice reads — the instance-table pattern)
+    NLIGHTS = len(ps.lights)
+    LIGHT_TABLE = ps.light_table is not None
+    _lref_hold = []  # set by the kernel entry (megakernel + wave)
+
+    def fold_lights(carry, body):
+        """carry -> body(carry, (ldx, ldy, ldz, lcr, lcg, lcb)) over
+        every distant light. Scalars are python constants in the
+        unrolled path (byte-stable with earlier builds) or traced row
+        reads in table mode."""
+        if not LIGHT_TABLE:
+            for lt in ps.lights:
+                carry = body(carry, lt["dir"] + lt["color"])
+            return carry
+        lref = _lref_hold[0]
+
+        def lbody(li, carry):
+            row = lref[pl.ds(li, 1), :]
+            return body(carry, tuple(row[0, k] for k in range(6)))
+
+        return jax.lax.fori_loop(0, NLIGHTS, lbody, carry)
+
     def _apply_rec_texs(rec, uu, vv, vals):
         """Per-hit texture-slot values of a record: checkers evaluate
         inline from uv; image slots publish (base,w,h) descriptor rows
@@ -2789,6 +3034,44 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 for key, val in vals.items():
                     attr[key] = jnp.where(sel, val, attr[key])
 
+        if N_SPH:
+            zero = ox * 0.0
+            ts, snx, sny, snz, smid = sphere_closest(
+                _sref_hold[0], ox, oy, oz, dx, dy, dz, tmin,
+                (t_best, zero, zero, zero, zero - 1.0))
+            win = ts < t_best
+            t_best = jnp.where(win, ts, t_best)
+            attr["nx"] = jnp.where(win, snx, attr["nx"])
+            attr["ny"] = jnp.where(win, sny, attr["ny"])
+            attr["nz"] = jnp.where(win, snz, attr["nz"])
+            for key in ("alr", "alg", "alb"):  # table spheres: never emissive
+                attr[key] = jnp.where(win, 0.0, attr[key])
+            for mi, rec in enumerate(ps.sph_mats):
+                sel = win & (smid == float(mi))
+                vals = {"abr": rec["albedo"][0], "abg": rec["albedo"][1],
+                        "abb": rec["albedo"][2],
+                        "etar": rec["eta"][0], "etag": rec["eta"][1],
+                        "etab": rec["eta"][2],
+                        "kr": rec["k"][0], "kg": rec["k"][1],
+                        "kb": rec["k"][2],
+                        "ax": rec["alpha"][0], "ay": rec["alpha"][1],
+                        "ir": rec["ir"], "mat": float(rec["mat_type"])}
+                if VOL:
+                    vals["imed"] = float(rec["imed"])
+                    vals["emed"] = float(rec["emed"])
+                if HAS_UBER:
+                    vals.update(opr=rec["op"][0], opg=rec["op"][1],
+                                opb=rec["op"][2], krr=rec["kr2"][0],
+                                krg=rec["kr2"][1], krb=rec["kr2"][2],
+                                ktr=rec["kt2"][0], ktg=rec["kt2"][1],
+                                ktb=rec["kt2"][2])
+                # table spheres are solid-material by construction
+                vals = _apply_rec_texs(rec, None, None, vals)
+                for key, val in vals.items():
+                    attr[key] = jnp.where(sel, val, attr[key])
+            if want_cid:
+                cid = jnp.where(win, cid * 0 - 1, cid)
+
         if want_cid:
             return t_best, attr, cid
         return t_best, attr
@@ -2868,6 +3151,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                     oct=im.get("oct", False))
 
                 hf = jax.lax.fori_loop(0, im["n_inst"], any_body, hf)
+            hit = hf > 0.5
+        if N_SPH:
+            hf = jnp.where(hit, ox * 0.0 + 1.0, ox * 0.0)
+            hf = sphere_any(_sref_hold[0], ox, oy, oz, dx, dy, dz,
+                            tmin, tmax, hf)
             hit = hf > 0.5
         return hit
 
@@ -3899,6 +4187,25 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             return attr, (bg[0] * ps.background[0],
                           bg[1] * ps.background[1],
                           bg[2] * ps.background[2])
+        if ps.bg_checker is not None:
+            # checker background evaluated inline from the miss uv —
+            # exact (no bake-resolution error), ~10 VPU ops
+            bm = ps.bg_matrix
+            bdx = (bm[0, 0] * c["dx"] + bm[0, 1] * c["dy"]
+                   + bm[0, 2] * c["dz"])
+            bdy = (bm[1, 0] * c["dx"] + bm[1, 1] * c["dy"]
+                   + bm[1, 2] * c["dz"])
+            bdz = (bm[2, 0] * c["dx"] + bm[2, 1] * c["dy"]
+                   + bm[2, 2] * c["dz"])
+            bu_, bv_ = sphere_uv_of(bdx, bdy, bdz)
+            us_, vs_, ev_, od_ = ps.bg_checker
+            xs = bu_ * us_
+            ys = bv_ * vs_
+            even = ((xs - 2.0 * jnp.floor(0.5 * xs) < 1.0)
+                    == (ys - 2.0 * jnp.floor(0.5 * ys) < 1.0))
+            return attr, tuple(
+                jnp.where(even, ev_[ch], od_[ch]) * ps.background[ch]
+                for ch in range(3))
         return attr, ps.background
 
     def kernel(seed_ref, *refs):
@@ -3925,6 +4232,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             eref, refs = refs[0], refs[1:]
         else:
             eref = None
+        if N_SPH:
+            _sref_hold.clear()
+            _sref_hold.append(refs[0])
+            refs = refs[1:]
+        if LIGHT_TABLE:
+            _lref_hold.clear()
+            _lref_hold.append(refs[0])
+            refs = refs[1:]
         (px_ref, py_ref, rad_r, rad_g, rad_b,
          an_x, an_y, an_z, aa_r, aa_g, aa_b, rays_out) = refs
         pid = pl.program_id(0)
@@ -4035,27 +4350,30 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             # NEE for distant lights ("dist" ablation gate: debug-only
             # cost partition, tpu_session_r4u2 — dragon's only light is
             # distant, so the emitter-MIS "nee" gate is inert there)
-            for lt in (ps.lights if "dist" not in ABLATE else []):
-                ldx, ldy, ldz = lt["dir"]
-                shadowed = trace_any(hx, hy, hz,
-                                     jnp.full(SHAPE, ldx),
-                                     jnp.full(SHAPE, ldy),
-                                     jnp.full(SHAPE, ldz), TMIN, 1e5, mref)
+            def _dist_body(carry, lt6, hx=hx, hy=hy, hz=hz, ux=ux,
+                           uy=uy, uz=uz, vx=vx, vy=vy, vz=vz, nx=nx,
+                           ny=ny, nz=nz, attr=attr, lox_=lox_,
+                           loy_=loy_, loz_=loz_, alive=alive, cr=cr,
+                           cg=cg, cb=cb, mref=mref):
+                rr_, rg_, rb_ = carry
+                ldx, ldy, ldz, lcr, lcg, lcb = lt6
+                zf = hx * 0.0
+                bdx, bdy, bdz = zf + ldx, zf + ldy, zf + ldz
+                shadowed = trace_any(hx, hy, hz, bdx, bdy, bdz,
+                                     TMIN, 1e5, mref)
                 lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
-                                         nx, ny, nz,
-                                         jnp.full(SHAPE, ldx),
-                                         jnp.full(SHAPE, ldy),
-                                         jnp.full(SHAPE, ldz))
+                                         nx, ny, nz, bdx, bdy, bdz)
                 fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
                                                 lwx, lwy, lwz)
                 cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
                 okl = alive & ~shadowed
-                rr_ = rr_ + jnp.where(okl, cr * fe_r * cosl * lt["color"][0],
-                                      0.0)
-                rg_ = rg_ + jnp.where(okl, cg * fe_g * cosl * lt["color"][1],
-                                      0.0)
-                rb_ = rb_ + jnp.where(okl, cb * fe_b * cosl * lt["color"][2],
-                                      0.0)
+                rr_ = rr_ + jnp.where(okl, cr * fe_r * cosl * lcr, 0.0)
+                rg_ = rg_ + jnp.where(okl, cg * fe_g * cosl * lcg, 0.0)
+                rb_ = rb_ + jnp.where(okl, cb * fe_b * cosl * lcb, 0.0)
+                return rr_, rg_, rb_
+
+            if "dist" not in ABLATE:
+                rr_, rg_, rb_ = fold_lights((rr_, rg_, rb_), _dist_body)
 
             # scatter
             st = c["st"]
@@ -4236,22 +4554,25 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             mpz = c["oz"] + t_med * c["dz"]
 
             # ======== medium interaction ========
-            for lt in ps.lights:
-                ldx, ldy, ldz = lt["dir"]
-                trv = tr_march(mpx, mpy, mpz,
-                               jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
-                               jnp.full(SHAPE, ldz), med, False, mref)
+            def _med_dist(carry, lt6, mpx=mpx, mpy=mpy, mpz=mpz,
+                          wox=wox, woy=woy, woz=woz, med=med,
+                          sampled=sampled, cr=cr, cg=cg, cb=cb, mref=mref):
+                rr_, rg_, rb_ = carry
+                ldx, ldy, ldz, lcr, lcg, lcb = lt6
+                zf = mpx * 0.0
+                trv = tr_march(mpx, mpy, mpz, zf + ldx, zf + ldy,
+                               zf + ldz, med, False, mref)
                 cosw = wox * ldx + woy * ldy + woz * ldz
                 phase = med_phase(med, cosw)
-                rr_ = rr_ + jnp.where(sampled,
-                                      cr * trv[0] * phase * lt["color"][0],
+                rr_ = rr_ + jnp.where(sampled, cr * trv[0] * phase * lcr,
                                       0.0)
-                rg_ = rg_ + jnp.where(sampled,
-                                      cg * trv[1] * phase * lt["color"][1],
+                rg_ = rg_ + jnp.where(sampled, cg * trv[1] * phase * lcg,
                                       0.0)
-                rb_ = rb_ + jnp.where(sampled,
-                                      cb * trv[2] * phase * lt["color"][2],
+                rb_ = rb_ + jnp.where(sampled, cb * trv[2] * phase * lcb,
                                       0.0)
+                return rr_, rg_, rb_
+
+            rr_, rg_, rb_ = fold_lights((rr_, rg_, rb_), _med_dist)
             m_dx, m_dy, m_dz, st = med_sample_p(med, wox, woy, woz, st)
             if E > 0:
                 ue1, st = uniform(st)
@@ -4295,24 +4616,32 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
 
             # surface NEE with transmittance (occlusion by a non-None
             # surface ends the march with tr contribution 0)
-            for lt in ps.lights:
-                ldx, ldy, ldz = lt["dir"]
-                trv = tr_march(hx, hy, hz,
-                               jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
-                               jnp.full(SHAPE, ldz), med, False, mref)
-                lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
-                                         jnp.full(SHAPE, ldx),
-                                         jnp.full(SHAPE, ldy),
-                                         jnp.full(SHAPE, ldz))
+            def _surf_dist(carry, lt6, hx=hx, hy=hy, hz=hz, ux=ux,
+                           uy=uy, uz=uz, vx=vx, vy=vy, vz=vz, nx=nx,
+                           ny=ny, nz=nz, attr=attr, lox_=lox_,
+                           loy_=loy_, loz_=loz_, med=med,
+                           surf_scatter=surf_scatter, cr=cr, cg=cg,
+                           cb=cb, mref=mref):
+                rr_, rg_, rb_ = carry
+                ldx, ldy, ldz, lcr, lcg, lcb = lt6
+                zf = hx * 0.0
+                bdx, bdy, bdz = zf + ldx, zf + ldy, zf + ldz
+                trv = tr_march(hx, hy, hz, bdx, bdy, bdz, med, False,
+                               mref)
+                lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
+                                         nx, ny, nz, bdx, bdy, bdz)
                 fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
                                                 lwx, lwy, lwz)
                 cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
                 rr_ = rr_ + jnp.where(surf_scatter, cr * trv[0] * fe_r
-                                      * cosl * lt["color"][0], 0.0)
+                                      * cosl * lcr, 0.0)
                 rg_ = rg_ + jnp.where(surf_scatter, cg * trv[1] * fe_g
-                                      * cosl * lt["color"][1], 0.0)
+                                      * cosl * lcg, 0.0)
                 rb_ = rb_ + jnp.where(surf_scatter, cb * trv[2] * fe_b
-                                      * cosl * lt["color"][2], 0.0)
+                                      * cosl * lcb, 0.0)
+                return rr_, rg_, rb_
+
+            rr_, rg_, rb_ = fold_lights((rr_, rg_, rb_), _surf_dist)
 
             # scatter with emitter MIS (same estimator as the path body)
             if SOBOL:
@@ -4709,27 +5038,28 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                     wox, woy, woz)
 
         # NEE for distant lights
-        for lt in ps.lights:
-            ldx, ldy, ldz = lt["dir"]
-            shadowed = trace_any(hx, hy, hz,
-                                 jnp.full(SHAPE, ldx),
-                                 jnp.full(SHAPE, ldy),
-                                 jnp.full(SHAPE, ldz), TMIN, 1e5, mref)
+        def _dist_body(carry, lt6, hx=hx, hy=hy, hz=hz, ux=ux, uy=uy,
+                       uz=uz, vx=vx, vy=vy, vz=vz, nx=nx, ny=ny, nz=nz,
+                       attr=attr, lox_=lox_, loy_=loy_, loz_=loz_,
+                       alive=alive, cr=cr, cg=cg, cb=cb, mref=mref):
+            rr_, rg_, rb_ = carry
+            ldx, ldy, ldz, lcr, lcg, lcb = lt6
+            zf = hx * 0.0
+            bdx, bdy, bdz = zf + ldx, zf + ldy, zf + ldz
+            shadowed = trace_any(hx, hy, hz, bdx, bdy, bdz,
+                                 TMIN, 1e5, mref)
             lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
-                                     nx, ny, nz,
-                                     jnp.full(SHAPE, ldx),
-                                     jnp.full(SHAPE, ldy),
-                                     jnp.full(SHAPE, ldz))
+                                     nx, ny, nz, bdx, bdy, bdz)
             fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
                                             lwx, lwy, lwz)
             cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
             okl = alive & ~shadowed
-            rr_ = rr_ + jnp.where(okl, cr * fe_r * cosl * lt["color"][0],
-                                  0.0)
-            rg_ = rg_ + jnp.where(okl, cg * fe_g * cosl * lt["color"][1],
-                                  0.0)
-            rb_ = rb_ + jnp.where(okl, cb * fe_b * cosl * lt["color"][2],
-                                  0.0)
+            rr_ = rr_ + jnp.where(okl, cr * fe_r * cosl * lcr, 0.0)
+            rg_ = rg_ + jnp.where(okl, cg * fe_g * cosl * lcg, 0.0)
+            rb_ = rb_ + jnp.where(okl, cb * fe_b * cosl * lcb, 0.0)
+            return rr_, rg_, rb_
+
+        rr_, rg_, rb_ = fold_lights((rr_, rg_, rb_), _dist_body)
 
         # scatter (with emitter MIS, identical estimator to body())
         st = c["st"]
@@ -4929,22 +5259,25 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         mpz = c["oz"] + t_med * c["dz"]
 
         # ======== medium interaction ========
-        for lt in ps.lights:
-            ldx, ldy, ldz = lt["dir"]
-            trv = tr_march(mpx, mpy, mpz,
-                           jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
-                           jnp.full(SHAPE, ldz), med, False, mref)
+        def _med_dist(carry, lt6, mpx=mpx, mpy=mpy, mpz=mpz,
+                      wox=wox, woy=woy, woz=woz, med=med,
+                      sampled=sampled, cr=cr, cg=cg, cb=cb, mref=mref):
+            rr_, rg_, rb_ = carry
+            ldx, ldy, ldz, lcr, lcg, lcb = lt6
+            zf = mpx * 0.0
+            trv = tr_march(mpx, mpy, mpz, zf + ldx, zf + ldy,
+                           zf + ldz, med, False, mref)
             cosw = wox * ldx + woy * ldy + woz * ldz
             phase = med_phase(med, cosw)
-            rr_ = rr_ + jnp.where(sampled,
-                                  cr * trv[0] * phase * lt["color"][0],
+            rr_ = rr_ + jnp.where(sampled, cr * trv[0] * phase * lcr,
                                   0.0)
-            rg_ = rg_ + jnp.where(sampled,
-                                  cg * trv[1] * phase * lt["color"][1],
+            rg_ = rg_ + jnp.where(sampled, cg * trv[1] * phase * lcg,
                                   0.0)
-            rb_ = rb_ + jnp.where(sampled,
-                                  cb * trv[2] * phase * lt["color"][2],
+            rb_ = rb_ + jnp.where(sampled, cb * trv[2] * phase * lcb,
                                   0.0)
+            return rr_, rg_, rb_
+
+        rr_, rg_, rb_ = fold_lights((rr_, rg_, rb_), _med_dist)
         m_dx, m_dy, m_dz, st = med_sample_p(med, wox, woy, woz, st)
         if E > 0:
             ue1, st = uniform(st)
@@ -4986,24 +5319,30 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         surf_scatter = surf & ~mat_none
 
         # surface NEE with transmittance
-        for lt in ps.lights:
-            ldx, ldy, ldz = lt["dir"]
-            trv = tr_march(hx, hy, hz,
-                           jnp.full(SHAPE, ldx), jnp.full(SHAPE, ldy),
-                           jnp.full(SHAPE, ldz), med, False, mref)
-            lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz, nx, ny, nz,
-                                     jnp.full(SHAPE, ldx),
-                                     jnp.full(SHAPE, ldy),
-                                     jnp.full(SHAPE, ldz))
+        def _surf_dist(carry, lt6, hx=hx, hy=hy, hz=hz, ux=ux, uy=uy,
+                       uz=uz, vx=vx, vy=vy, vz=vz, nx=nx, ny=ny, nz=nz,
+                       attr=attr, lox_=lox_, loy_=loy_, loz_=loz_,
+                       med=med, surf_scatter=surf_scatter, cr=cr,
+                       cg=cg, cb=cb, mref=mref):
+            rr_, rg_, rb_ = carry
+            ldx, ldy, ldz, lcr, lcg, lcb = lt6
+            zf = hx * 0.0
+            bdx, bdy, bdz = zf + ldx, zf + ldy, zf + ldz
+            trv = tr_march(hx, hy, hz, bdx, bdy, bdz, med, False, mref)
+            lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
+                                     nx, ny, nz, bdx, bdy, bdz)
             fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
                                             lwx, lwy, lwz)
             cosl = jnp.abs(ldx * nx + ldy * ny + ldz * nz)
             rr_ = rr_ + jnp.where(surf_scatter, cr * trv[0] * fe_r
-                                  * cosl * lt["color"][0], 0.0)
+                                  * cosl * lcr, 0.0)
             rg_ = rg_ + jnp.where(surf_scatter, cg * trv[1] * fe_g
-                                  * cosl * lt["color"][1], 0.0)
+                                  * cosl * lcg, 0.0)
             rb_ = rb_ + jnp.where(surf_scatter, cb * trv[2] * fe_b
-                                  * cosl * lt["color"][2], 0.0)
+                                  * cosl * lcb, 0.0)
+            return rr_, rg_, rb_
+
+        rr_, rg_, rb_ = fold_lights((rr_, rg_, rb_), _surf_dist)
 
         # scatter with emitter MIS (same estimator as wave_bounce)
         if SOBOL:
@@ -5188,6 +5527,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             eref, refs = refs[0], refs[1:]
         else:
             eref = None
+        if N_SPH:
+            _sref_hold.clear()
+            _sref_hold.append(refs[0])
+            refs = refs[1:]
+        if LIGHT_TABLE:
+            _lref_hold.clear()
+            _lref_hold.append(refs[0])
+            refs = refs[1:]
         sin, sout = refs
         pid = pl.program_id(0)
         dep0 = sc_ref[1]
@@ -5343,6 +5690,14 @@ def _mesh_operands(ps: PallasScene):
         specs.append(pl.BlockSpec(ps.env_tab.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM))
         args.append(jnp.asarray(ps.env_tab))
+    if ps.n_sph_blocks:
+        specs.append(pl.BlockSpec(ps.sph_table.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(ps.sph_table))
+    if ps.light_table is not None:
+        specs.append(pl.BlockSpec(ps.light_table.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(ps.light_table))
     return specs, args, scratch
 
 

@@ -284,7 +284,19 @@ class FlatScene:
                 if isinstance(payload, InfiniteLight):
                     self.background_color = np.asarray(payload.color,
                                                        dtype=np.float32)
-                    if payload.image_map is not None:
+                    if payload.texture is not None:
+                        # frontend extension: any named texture as the
+                        # background (engine supports all 4 variants)
+                        if payload.texture not in state.textures:
+                            raise SceneError(
+                                f"infinite light texture "
+                                f"{payload.texture!r} not defined")
+                        self.background_texture = \
+                            state.textures[payload.texture]
+                        self.background_matrix = np.linalg.inv(
+                            state.current_matrix.astype(np.float64)).astype(
+                                np.float32)
+                    elif payload.image_map is not None:
                         img_idx = len(self.images)
                         self.images.append(payload.image_map)
                         tex_idx = self._push_texture(

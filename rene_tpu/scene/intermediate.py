@@ -118,6 +118,11 @@ class HomogeneousMedium:
 class InfiniteLight:
     color: np.ndarray
     image_map: Optional[Image]
+    # frontend extension: "texture L" ["name"] references a named
+    # texture (checker/scale/imagemap) as the background — the engine
+    # supports every texture variant (reference miss shader
+    # rene-shader/src/lib.rs:120-139); plain pbrt only offers mapname
+    texture: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -556,8 +561,14 @@ def _world_object_to_ir(obj: Object, base_dir: str) -> Optional[IRWorld]:
     ot = obj.object_type
     if ot == "LightSource":
         if obj.t == "infinite":
-            color = decode_light_rgb(
-                get_rgb(obj, "L", base_dir, np.ones(3, dtype=np.float32)))
+            tex_name = None
+            lv = get_texture_or_color(obj, "L", base_dir,
+                                      np.ones(3, dtype=np.float32))
+            if isinstance(lv, str):
+                tex_name = lv
+                color = np.ones(3, dtype=np.float32)
+            else:
+                color = decode_light_rgb(lv)
             image_map = None
             mapname = get_str(obj, "mapname")
             if mapname is not None:
@@ -567,7 +578,7 @@ def _world_object_to_ir(obj: Object, base_dir: str) -> Optional[IRWorld]:
                 else:
                     log.warning("infinite light mapname %s missing; "
                                 "using constant color", path)
-            return ("light", InfiniteLight(color, image_map))
+            return ("light", InfiniteLight(color, image_map, tex_name))
         if obj.t == "distant":
             return ("light", DistantLight(
                 get_point(obj, "from", np.zeros(3, dtype=np.float32)),

@@ -251,3 +251,34 @@ WorldEnd
     assert run is not None
     i32 = jax.ShapeDtypeStruct((), jnp.int32)
     export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_sphere_table_lowers_for_tpu():
+    """Sphere-table march (round 5): dynamic 128-lane block slices,
+    per-block slab gates and the 128-slot analytic unroll must lower."""
+    from jax import export
+
+    from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+    from .test_sphere_table import _many_sphere_scene
+    scene = _many_sphere_scene(150)
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)
+
+
+def test_megakernel_light_table_lowers_for_tpu():
+    """Distant-light table fold (round 5): dynamic row slices with
+    static in-slice reads inside a fori over lights, feeding trace_any
+    + bsdf_eval, must lower."""
+    from jax import export
+
+    from rene_tpu.integrators.pallas_path import make_pallas_batch_fn
+    from .test_light_table import _many_light_scene
+    scene = _many_light_scene(24)
+    bn, cfg = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, cfg, interpret=False)
+    assert run is not None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    export.export(jax.jit(lambda s: run(s, 2)), platforms=["tpu"])(i32)

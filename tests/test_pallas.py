@@ -800,3 +800,35 @@ def test_attr_elide_render_parity(sample_scenes, scene_rel):
         os.environ.pop("RENE_ATTR_ELIDE", None)
     for k in ("radiance", "normal", "albedo"):
         assert np.abs(outs["1"][k] - outs["0"][k]).max() == 0.0, k
+
+
+def test_checker_background_eligible_and_matches():
+    """A checker infinite light (solid subs) is pallas-eligible (round
+    5 — was an XLA-fallback cliff) and the inline miss-uv checker
+    matches the XLA miss shader."""
+    src = """
+LookAt 0 -5 0  0 0 0  0 0 1
+Camera "perspective" "float fov" 70
+Film "image" "integer xresolution" [20] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" 4
+WorldBegin
+Texture "sky" "spectrum" "checkerboard" "float uscale" [8]
+  "float vscale" [4] "rgb tex1" [0.9 0.7 0.2] "rgb tex2" [0.1 0.2 0.5]
+LightSource "infinite" "texture L" ["sky"]
+Material "matte" "rgb Kd" [.5 .4 .3]
+Shape "sphere" "float radius" 1
+WorldEnd"""
+    scene = create_scene(parse_pbrt(src), "/tmp")
+    bn, config = build_device_scene(scene)
+    assert pallas_eligible(bn, config)
+    ps = pack_scene(bn, config)
+    assert ps.bg_checker is not None
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    spp = 12
+    out = run(4, spp)
+    pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
+
+    from rene_tpu.render import render
+    xla = render(scene, spp=24, seed=2, engine="xla")
+    xla_mean = xla["color"].mean(axis=(0, 1))
+    np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
