@@ -126,6 +126,23 @@ def main(argv=None) -> int:
         if ov_file is None:
             log.warning("--tungsten-compat: no shipped calibration for "
                         "this scene (docs/overrides/); rendering as-is")
+        elif args.denoiser == "none":
+            # calibration files may declare themselves denoiser-only
+            # (e.g. the teapot env probe LOWERS raw SSIM, 0.8882 vs
+            # 0.9252 plain — VALIDATION.md r4): never let compat
+            # regress a raw render
+            import json as _json
+            try:
+                with open(ov_file) as f:
+                    _ov = _json.load(f)
+            except Exception:
+                _ov = {}
+            if _ov.get("requires_denoiser"):
+                log.info("--tungsten-compat: %s is calibrated for "
+                         "denoised output only; skipping for this raw "
+                         "render (pass --denoiser atrous/cnn to apply)",
+                         os.path.basename(ov_file))
+                ov_file = None
     if ov_file:
         from .scene.overrides import apply_overrides
         apply_overrides(scene, ov_file)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import math
 import os
 from typing import List, Optional
@@ -46,6 +47,8 @@ import numpy as np
 
 from ..scene import types as T
 from ..scene.device import RenderConfig
+
+log = logging.getLogger("rene_tpu.pallas")
 
 MAX_TRIS = 512
 MAX_SPHERES = 64       # unrolled per-sphere tests; baked immediates
@@ -5718,6 +5721,17 @@ def packed_sub_tris(ntri: int) -> int:
     return 32
 
 
+def floor_call_secs(npix: int, ntri: int, max_depth: int = 5,
+                    volpath: bool = False) -> float:
+    """Modeled seconds of ONE minimum-size kernel call (pack=1,
+    chunk=1) — the irreducible runtime-watchdog exposure. auto_pack's
+    units model at pack=1 over the measured worst-case unit rate
+    (~4.2e12 units/s, calibrated on the r4h/r4q points)."""
+    mult = (4 if ntri >= HBM_MIN_TRIS else 1) * (4 if volpath else 1)
+    return (npix * max(ntri, 1) * min(max(max_depth, 1), 64) * mult
+            / 4.2e12)
+
+
 def auto_pack(npix: int, ntri: int, max_depth: int = 5,
               volpath: bool = False) -> int:
     """Auto sample-in-tile pack: the largest pack in (64, 16, 4) whose
@@ -5960,6 +5974,24 @@ def make_pallas_batch_fn(buffers_np, config: RenderConfig,
             # tr/tr_emit marching re-traces the mesh per NEE sample
             hint = max(1, hint // 4)
         run.chunk_hint = hint
+        # irreducible-floor watchdog check: at pack=1 & chunk=1 a call
+        # still costs ~npix*ntri*md units; past the auto_pack cost
+        # model's margin NO knob can shrink it further — warn instead
+        # of crashing the worker silently (auto-envelope test asserts
+        # every auto pack>1 choice stays inside the margin and pins
+        # floor_call_secs directly)
+        floor_s = floor_call_secs(npix, config.num_triangles,
+                                  ps.max_depth,
+                                  ps.integrator == "volpath")
+        if pack == 1 and floor_s > 40.0:
+            log.warning(
+                "scene shape (%d px, %d tris, depth %d%s) models "
+                "~%.0f s/call at the minimum chunk — the runtime "
+                "watchdog (~60 s) may kill the worker; consider a "
+                "smaller film or lower maxdepth",
+                npix, config.num_triangles, ps.max_depth,
+                ", volpath" if ps.integrator == "volpath" else "",
+                floor_s)
     else:
         run.chunk_hint = 100
     run.spp_mult = pack  # delivered spp per call = num_samples * pack

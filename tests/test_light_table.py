@@ -50,7 +50,8 @@ AttributeEnd
     return create_scene(parse_pbrt("".join(parts)), ".")
 
 
-@pytest.mark.parametrize("n", [24, 64])
+@pytest.mark.parametrize("n", [
+    24, pytest.param(64, marks=pytest.mark.slow)])
 def test_many_lights_eligible_and_matches(n):
     scene = _many_light_scene(n)
     bn, config = build_device_scene(scene)

@@ -387,3 +387,20 @@ def test_teapot_tungsten_compat_ships_envmap(sample_scenes):
     # world-to-light rotation: world up must map to the latlong pole
     up = np.asarray(scene.background_matrix)[:3, :3] @ np.array([0, 1, 0.0])
     np.testing.assert_allclose(up, [0, 0, 1], atol=1e-6)
+
+
+def test_teapot_probe_override_is_denoiser_gated():
+    """The teapot env-probe calibration declares requires_denoiser, so
+    the CLI skips it for raw renders (compat must never lower raw SSIM
+    — VALIDATION.md r4: compat raw 0.8882 < plain 0.9252)."""
+    import json
+    from rene_tpu.scene.overrides import find_tungsten_overrides
+    p = find_tungsten_overrides("sample_scenes/teapot/scene.pbrt")
+    assert p is not None and "teapot" in p
+    with open(p) as f:
+        ov = json.load(f)
+    assert ov.get("requires_denoiser") is True
+    # veach's calibration is material-level and valid for raw renders
+    v = find_tungsten_overrides("sample_scenes/veach-mis/scene.pbrt")
+    with open(v) as f:
+        assert not json.load(f).get("requires_denoiser")

@@ -77,18 +77,23 @@ def test_many_spheres_eligible_and_packed():
 
 
 def test_many_spheres_interpret_matches_xla():
-    scene = _many_sphere_scene(150)
+    # interpret mode pays BOTH branches of every block cond, so keep
+    # the scene at one table block (100 spheres) and few samples; the
+    # image-mean comparison averages 432 pixels, which bounds the
+    # estimator noise well under the 10% tolerance
+    scene = _many_sphere_scene(100)
+    scene.max_depth_hint = 4
     bn, config = build_device_scene(scene)
     run = make_pallas_batch_fn(bn, config, interpret=True)
     assert run is not None
-    spp = 12
+    spp = 4
     out = run(7, spp)
     img = np.asarray(out["radiance"])
     assert np.isfinite(img).all()
     pallas_mean = img.mean(axis=0) / spp
 
     from rene_tpu.render import render
-    xla = render(scene, spp=24, seed=3, engine="xla")
+    xla = render(scene, spp=8, seed=3, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
 
@@ -96,15 +101,17 @@ def test_many_spheres_interpret_matches_xla():
 @pytest.mark.slow
 def test_thousand_spheres_interpret_matches_xla():
     scene = _many_sphere_scene(1000, fov=70)
+    scene.max_depth_hint = 3
     bn, config = build_device_scene(scene)
     assert pallas_eligible(bn, config)
     run = make_pallas_batch_fn(bn, config, interpret=True)
-    out = run(9, 8)
+    spp = 2
+    out = run(9, spp)
     img = np.asarray(out["radiance"])
     assert np.isfinite(img).all()
-    pallas_mean = img.mean(axis=0) / 8
+    pallas_mean = img.mean(axis=0) / spp
 
     from rene_tpu.render import render
-    xla = render(scene, spp=16, seed=5, engine="xla")
+    xla = render(scene, spp=6, seed=5, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
