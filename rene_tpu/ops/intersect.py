@@ -120,9 +120,14 @@ def intersect_spheres_v3(buffers, config, org: V3, direction: V3, tmin,
     n = org.x.shape[0]
     best_t = jnp.full((n,), BIG_T)
     best_id = jnp.zeros((n,), jnp.int32)
-    w2o = buffers["sph_w2o"]
-    for s in range(config.num_spheres):
-        m = w2o[s]
+    w2o = buffers["sph_w2o"][:config.num_spheres]
+
+    # lax.scan over spheres: ONE traced body regardless of sphere count
+    # (the old unrolled python loop compiled a ~30*S-op graph per tile
+    # variant — minutes of XLA CPU compile past ~100 spheres). The
+    # sequential min-update order matches the unroll bit-exactly.
+    def body(carry, m):
+        best_t, best_id, s = carry
         o = v3.affine_point(m, org)
         d = v3.affine_vector(m, direction)
         a = d.dot(d)
@@ -138,8 +143,11 @@ def intersect_spheres_v3(buffers, config, org: V3, direction: V3, tmin,
         r1ok = ok & (root1 >= tmin) & (root1 <= tmax)
         t = jnp.where(r0ok, root0, jnp.where(r1ok, root1, BIG_T))
         closer = t < best_t
-        best_t = jnp.where(closer, t, best_t)
-        best_id = jnp.where(closer, s, best_id)
+        return (jnp.where(closer, t, best_t),
+                jnp.where(closer, s, best_id), s + 1), None
+
+    (best_t, best_id, _), _ = jax.lax.scan(
+        body, (best_t, best_id, jnp.int32(0)), w2o)
     return best_t, best_id
 
 
