@@ -1726,7 +1726,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
         return x * inv, y * inv, z * inv
 
-    _all_recs = ps.tris + ps.quads + ps.spheres + (ps.mesh_mats or [])
+    _all_recs = (ps.tris + ps.quads + ps.spheres
+                 + (ps.mesh_mats or []) + (ps.sph_mats or []))
     MATSET = {r["mat_type"] for r in _all_recs}
     HAS_UBER = T.MAT_UBER in MATSET
     HAS_IMG = ps.img_table is not None
@@ -2066,7 +2067,8 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     # moment form (below). Build-time knob, default classic MT.
     MESH_MOMENT = os.environ.get("RENE_MESH_TEST", "mt") == "moment"
 
-    def _mt_test(blk, k, ox, oy, oz, dx, dy, dz, wx=None, wy=None, wz=None):
+    def _mt_test(blk, k, ox, oy, oz, dx, dy, dz, wx=None, wy=None,
+                 wz=None, d3s=None):
         """Per-triangle test vs slot k of the sliced cluster block;
         returns (t, u, v, ok_geom) — caller applies its own t bounds.
 
@@ -2092,6 +2094,31 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         v0x, v0y, v0z = blk[ROW_V0, k], blk[ROW_V0 + 1, k], blk[ROW_V0 + 2, k]
         e1x, e1y, e1z = blk[ROW_E1, k], blk[ROW_E1 + 1, k], blk[ROW_E1 + 2, k]
         e2x, e2y, e2z = blk[ROW_E2, k], blk[ROW_E2 + 1, k], blk[ROW_E2 + 2, k]
+        if d3s is not None:
+            # CONSTANT-DIRECTION specialization (distant-light shadow
+            # rays: every lane shares one direction). p = d x e2, det
+            # and invd collapse to SCALAR-core ops (python consts in
+            # the unrolled-lights path, SREG math in table mode) — the
+            # per-tri vector work drops ~42% (r5f A/B). Same algebra
+            # and rounding class as classic MT.
+            sdx, sdy, sdz = d3s
+            px_ = sdy * e2z - sdz * e2y
+            py_ = sdz * e2x - sdx * e2z
+            pz_ = sdx * e2y - sdy * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            invd = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px_ + ty * py_ + tz * pz_) * invd
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (sdx * qx + sdy * qy + sdz * qz) * invd
+            t = (e2x * qx + e2y * qy + e2z * qz) * invd
+            ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0))
+            return t, u, v, ok
         if MESH_MOMENT and wx is not None:
             # scalar-core derived constants (per-tri, broadcast scalars)
             ngnx = e2y * e1z - e2z * e1y
@@ -2206,14 +2233,14 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return out
 
     def _sub_any(blk, s, ox, oy, oz, dx, dy, dz, tmin, tmax, hf,
-                 w3=None):
+                 w3=None, d3s=None):
         """Unrolled MT any-hit over sub-block s; hf is a 0/1 float mask."""
         if _PROFILE_SKIP_MT:
             return hf
         wx, wy, wz = w3 if w3 is not None else (None, None, None)
         for k in range(s * SUB, (s + 1) * SUB):
             t, _, _, okg = _mt_test(blk, k, ox, oy, oz, dx, dy, dz,
-                                    wx, wy, wz)
+                                    wx, wy, wz, d3s=d3s)
             hf = jnp.where(okg & (t >= tmin) & (t <= tmax), 1.0, hf)
         return hf
 
@@ -2411,7 +2438,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                             lambda c_: c_, carry)
 
     def mesh_any(mref, ox, oy, oz, dx, dy, dz, tmin, tmax, hf0,
-                 nsup=None, root=None, oct=False):
+                 nsup=None, root=None, oct=False, d3s=None):
         """Any-hit over a cluster table; skips groups/clusters once a
         lane set is fully occluded. hf0 and the return value are 0/1
         float masks — Mosaic cannot carry i1 vectors through scf.for."""
@@ -2461,7 +2488,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                 jnp.any(enter_s & (hf < 0.5)),
                                 functools.partial(_sub_any, blk, s, ox, oy,
                                                   oz, dx, dy, dz, tmin,
-                                                  tmax, w3=w3),
+                                                  tmax, w3=w3, d3s=d3s),
                                 lambda h: h, hf)
                     return hf
                 flags = []
@@ -2500,11 +2527,13 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                                     fs,
                                     functools.partial(_sub_any, blk, s, ox,
                                                       oy, oz, dx, dy, dz,
-                                                      tmin, tmax, w3=w3),
+                                                      tmin, tmax, w3=w3,
+                                                      d3s=d3s),
                                     lambda h: h, hf)
                             else:
                                 hf = _sub_any(blk, s, ox, oy, oz, dx, dy, dz,
-                                              tmin, tmax, hf, w3=w3)
+                                              tmin, tmax, hf, w3=w3,
+                                              d3s=d3s)
                         return hf
 
                     return jax.lax.cond(flag, hit_blk, lambda h: h, hf)
@@ -2657,6 +2686,11 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
     # slices with static in-slice reads — the instance-table pattern)
     NLIGHTS = len(ps.lights)
     LIGHT_TABLE = ps.light_table is not None
+    # constant-direction shadow specialization (RENE_CONST_DIR=0 is the
+    # A/B fallback): distant-light occlusion rays share one direction
+    # across the tile, so the d-only factors of every test run on the
+    # scalar core (see _mt_test d3s)
+    CONST_DIR = os.environ.get("RENE_CONST_DIR", "1") != "0"
     _lref_hold = []  # set by the kernel entry (megakernel + wave)
 
     def fold_lights(carry, body):
@@ -3080,24 +3114,36 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
         return t_best, attr
 
     # ---- occlusion: any hit below tmax
-    def trace_any(ox, oy, oz, dx, dy, dz, tmin, tmax, mref=None):
+    def trace_any(ox, oy, oz, dx, dy, dz, tmin, tmax, mref=None,
+                  dir_scalars=None):
+        """dir_scalars: the SCALAR (ldx, ldy, ldz) when every lane
+        shares one direction (distant-light shadows) — d-only dot
+        products and the MT p/det/invd collapse to scalar-core ops
+        (python constants in the unrolled-lights path)."""
+        ds = dir_scalars
+
+        def ddot(c3):
+            if ds is not None:
+                return ds[0] * c3[0] + ds[1] * c3[1] + ds[2] * c3[2]
+            return dot3(dx, dy, dz, *c3)
+
         wx = oy * dz - oz * dy
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
         hit = jnp.zeros(SHAPE, bool)
         for rec in ps.tris:
-            s0 = (dot3(dx, dy, dz, *rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
-            s1 = (dot3(dx, dy, dz, *rec["m1"]) + dot3(wx, wy, wz, *rec["e1"]))
-            s2 = (dot3(dx, dy, dz, *rec["m2"]) + dot3(wx, wy, wz, *rec["e2"]))
+            s0 = (ddot(rec["m0"]) + dot3(wx, wy, wz, *rec["e0"]))
+            s1 = (ddot(rec["m1"]) + dot3(wx, wy, wz, *rec["e1"]))
+            s2 = (ddot(rec["m2"]) + dot3(wx, wy, wz, *rec["e2"]))
             side = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | \
                    ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
-            dn = dot3(dx, dy, dz, *rec["pn"])
+            dn = ddot(rec["pn"])
             t = (rec["pk"] - dot3(ox, oy, oz, *rec["pn"])) \
                 / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
             hit = hit | (side & (jnp.abs(dn) > 1e-12) & (t >= tmin)
                          & (t <= tmax))
         for rec in ps.quads:
-            dn = dot3(dx, dy, dz, *rec["pn"])
+            dn = ddot(rec["pn"])
             t = (rec["pk"] - dot3(ox, oy, oz, *rec["pn"])) \
                 / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
             hx = ox + t * dx - rec["qa"][0]
@@ -3134,7 +3180,7 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             if NC:
                 hf = mesh_any(main_ref, ox, oy, oz, dx, dy, dz, tmin,
                               tmax, hf, root=ps.mesh_root,
-                              oct=ps.mesh_oct)
+                              oct=ps.mesh_oct, d3s=ds)
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
 
@@ -3148,14 +3194,22 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     ldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
                     ldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
                     ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
+                    lds = None
+                    if ds is not None:
+                        lds = (mm[0] * ds[0] + mm[1] * ds[1]
+                               + mm[2] * ds[2],
+                               mm[4] * ds[0] + mm[5] * ds[1]
+                               + mm[6] * ds[2],
+                               mm[8] * ds[0] + mm[9] * ds[1]
+                               + mm[10] * ds[2])
                     return mesh_any((gref, bref), lox, loy, loz,
                                     ldx, ldy, ldz, tmin, tmax, hf,
                                     nsup_b, root=im["root"],
-                                    oct=im.get("oct", False))
+                                    oct=im.get("oct", False), d3s=lds)
 
                 hf = jax.lax.fori_loop(0, im["n_inst"], any_body, hf)
             hit = hf > 0.5
-        if N_SPH:
+        if N_SPH and os.environ.get("RENE_SPH_ANY", "1") != "0":
             hf = jnp.where(hit, ox * 0.0 + 1.0, ox * 0.0)
             hf = sphere_any(_sref_hold[0], ox, oy, oz, dx, dy, dz,
                             tmin, tmax, hf)
@@ -4363,7 +4417,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                 zf = hx * 0.0
                 bdx, bdy, bdz = zf + ldx, zf + ldy, zf + ldz
                 shadowed = trace_any(hx, hy, hz, bdx, bdy, bdz,
-                                     TMIN, 1e5, mref)
+                                     TMIN, 1e5, mref,
+                                     dir_scalars=(ldx, ldy, ldz)
+                                     if CONST_DIR else None)
                 lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
                                          nx, ny, nz, bdx, bdy, bdz)
                 fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
@@ -5050,7 +5106,9 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             zf = hx * 0.0
             bdx, bdy, bdz = zf + ldx, zf + ldy, zf + ldz
             shadowed = trace_any(hx, hy, hz, bdx, bdy, bdz,
-                                 TMIN, 1e5, mref)
+                                 TMIN, 1e5, mref,
+                                 dir_scalars=(ldx, ldy, ldz)
+                                 if CONST_DIR else None)
             lwx, lwy, lwz = to_local(ux, uy, uz, vx, vy, vz,
                                      nx, ny, nz, bdx, bdy, bdz)
             fe_r, fe_g, fe_b, _ = bsdf_eval(attr, lox_, loy_, loz_,
