@@ -3178,9 +3178,15 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
             main_ref, inst_refs = mref
             hf = jnp.where(hit, ox * 0.0 + 1.0, ox * 0.0)
             if NC:
+                # NOTE: the const-dir d3s specialization is NOT passed
+                # into the cluster march — r5f F0/F1 measured the
+                # scalar p/det/invd chain SERIALIZING the 128-tri
+                # unroll (dragon @720p 0.0814 -> 0.1030, -27%); the
+                # win is real only where the d-factors fold to python
+                # constants at trace time (immediates: F2 +6%, F4 +4%)
                 hf = mesh_any(main_ref, ox, oy, oz, dx, dy, dz, tmin,
                               tmax, hf, root=ps.mesh_root,
-                              oct=ps.mesh_oct, d3s=ds)
+                              oct=ps.mesh_oct)
             for (gref, bref, itref), im in zip(inst_refs, INST_MESHES):
                 nsup_b = im["n_clusters"] // SUPER
 
@@ -3194,18 +3200,10 @@ def _build_kernel(ps: PallasScene, num_samples: int, interpret: bool,
                     ldx = mm[0] * dx + mm[1] * dy + mm[2] * dz
                     ldy = mm[4] * dx + mm[5] * dy + mm[6] * dz
                     ldz = mm[8] * dx + mm[9] * dy + mm[10] * dz
-                    lds = None
-                    if ds is not None:
-                        lds = (mm[0] * ds[0] + mm[1] * ds[1]
-                               + mm[2] * ds[2],
-                               mm[4] * ds[0] + mm[5] * ds[1]
-                               + mm[6] * ds[2],
-                               mm[8] * ds[0] + mm[9] * ds[1]
-                               + mm[10] * ds[2])
                     return mesh_any((gref, bref), lox, loy, loz,
                                     ldx, ldy, ldz, tmin, tmax, hf,
                                     nsup_b, root=im["root"],
-                                    oct=im.get("oct", False), d3s=lds)
+                                    oct=im.get("oct", False))
 
                 hf = jax.lax.fori_loop(0, im["n_inst"], any_body, hf)
             hit = hf > 0.5
