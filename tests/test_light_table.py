@@ -50,8 +50,8 @@ AttributeEnd
     return create_scene(parse_pbrt("".join(parts)), ".")
 
 
-@pytest.mark.parametrize("n", [
-    24, pytest.param(64, marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [24, 64])
 def test_many_lights_eligible_and_matches(n):
     scene = _many_light_scene(n)
     bn, config = build_device_scene(scene)
@@ -75,3 +75,18 @@ def test_many_lights_eligible_and_matches(n):
     xla = render(scene, spp=16, seed=2, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+
+
+def test_light_table_smoke():
+    """Fast-lane smoke: >16 lights pack a row table and render finite
+    non-black output (XLA parity slow-marked above; lowering covered by
+    test_mosaic_lowering.test_megakernel_light_table_lowers_for_tpu)."""
+    scene = _many_light_scene(20)
+    scene.max_depth_hint = 2
+    bn, config = build_device_scene(scene)
+    ps = pack_scene(bn, config)
+    assert ps.light_table is not None
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    out = run(3, 2)
+    img = np.asarray(out["radiance"])
+    assert np.isfinite(img).all() and img.mean() > 0.01

@@ -809,8 +809,8 @@ def test_checker_background_eligible_and_matches():
     src = """
 LookAt 0 -5 0  0 0 0  0 0 1
 Camera "perspective" "float fov" 70
-Film "image" "integer xresolution" [20] "integer yresolution" [16]
-Integrator "path" "integer maxdepth" 4
+Film "image" "integer xresolution" [16] "integer yresolution" [12]
+Integrator "path" "integer maxdepth" 3
 WorldBegin
 Texture "sky" "spectrum" "checkerboard" "float uscale" [8]
   "float vscale" [4] "rgb tex1" [0.9 0.7 0.2] "rgb tex2" [0.1 0.2 0.5]
@@ -824,11 +824,11 @@ WorldEnd"""
     ps = pack_scene(bn, config)
     assert ps.bg_checker is not None
     run = make_pallas_batch_fn(bn, config, interpret=True)
-    spp = 12
+    spp = 8
     out = run(4, spp)
     pallas_mean = np.asarray(out["radiance"]).mean(axis=0) / spp
 
     from rene_tpu.render import render
-    xla = render(scene, spp=24, seed=2, engine="xla")
+    xla = render(scene, spp=16, seed=2, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)

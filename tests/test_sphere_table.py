@@ -76,6 +76,7 @@ def test_many_spheres_eligible_and_packed():
     assert np.all(ps.sph_table[3, n_real:] <= 0.0)
 
 
+@pytest.mark.slow
 def test_many_spheres_interpret_matches_xla():
     # interpret mode pays BOTH branches of every block cond, so keep
     # the scene at one table block (100 spheres) and few samples; the
@@ -115,3 +116,16 @@ def test_thousand_spheres_interpret_matches_xla():
     xla = render(scene, spp=6, seed=5, engine="xla")
     xla_mean = xla["color"].mean(axis=(0, 1))
     np.testing.assert_allclose(pallas_mean, xla_mean, rtol=0.1)
+
+
+def test_sphere_table_smoke():
+    """Fast-lane smoke: the table march renders finite non-black output
+    (full XLA parity is the slow-marked test above; Mosaic lowering is
+    test_mosaic_lowering.test_megakernel_sphere_table_lowers_for_tpu)."""
+    scene = _many_sphere_scene(80, emissive=False)
+    scene.max_depth_hint = 2
+    bn, config = build_device_scene(scene)
+    run = make_pallas_batch_fn(bn, config, interpret=True)
+    out = run(3, 2)
+    img = np.asarray(out["radiance"])
+    assert np.isfinite(img).all() and img.mean() > 0.01
